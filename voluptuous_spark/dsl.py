@@ -1,0 +1,1345 @@
+"""Voluptuous-style declarative schema DSL compiled to Catalyst columns.
+
+Each validator here mirrors one operator of the reference
+(``/root/reference/voluptuous/validators.py`` / ``util.py`` /
+``schema_builder.py`` — cites in each docstring) but compiles to a
+**vectorized Spark Column expression pair** instead of a per-value closure:
+
+    RowCheck.out(col) -> Column   # transformed value (the reference RETURNS
+                                  # a new value: validation is transformation)
+    RowCheck.err(col) -> Column   # NULL when valid, else
+                                  # struct<message string, error_type string>
+
+so the whole-row validation of N fields × K validators is ONE ``select``
+evaluated inside WholeStageCodegen — no per-row Python anywhere. Combinators
+compose *expressions*: ``All`` threads each stage's transformed output into
+the next (validators.py:385-411), ``Any`` is an ordered CASE chain
+(validators.py:297-340).
+
+Null semantics: a NULL cell is treated as "key absent" (a DataFrame row has
+no way to omit a column). ``Required`` turns NULL into
+``required key not provided`` (schema_builder.py:399-405); plain/Optional
+keys skip validation of NULL cells. ``Maybe`` explicitly admits NULL.
+"""
+
+from __future__ import annotations
+
+import re as _re
+import typing
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .errors import err_struct
+
+# ---------------------------------------------------------------------------
+# extra-key policies (schema_builder.py:20-22)
+PREVENT_EXTRA = 0
+ALLOW_EXTRA = 1
+REMOVE_EXTRA = 2
+
+
+class UnsupportedSchema(ValueError):
+    """Raised at compile time for semantics Spark cannot express."""
+
+
+class RowCheck:
+    """A compiled row-level validator over a single Column."""
+
+    __slots__ = ("out", "err", "out_type")
+
+    def __init__(self, out, err, out_type: T.DataType | None = None):
+        self.out = out  # Column -> Column
+        self.err = err  # Column -> Column (NULL | struct<message,error_type>)
+        self.out_type = out_type
+
+    @staticmethod
+    def passing(out_type=None):
+        return RowCheck(lambda c: c, lambda c: F.lit(None), out_type)
+
+
+def _pred_check(pred, message, error_type, out=None, out_type=None):
+    """RowCheck from a boolean predicate builder; identity transform."""
+
+    def err(col):
+        ok = pred(col)
+        # a NULL predicate result means the comparison was against NULL ->
+        # treat as failure (mirrors `not v >= min` raising on None)
+        m = message(col) if callable(message) else F.lit(message)
+        et = error_type(col) if callable(error_type) else F.lit(error_type)
+        return F.when(ok, F.lit(None)).otherwise(
+            F.struct(m.alias("message"), et.alias("error_type"))
+        )
+
+    return RowCheck(out or (lambda c: c), err, out_type)
+
+
+# ---------------------------------------------------------------------------
+# dtype helpers
+
+_INTEGRALS = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FRACTIONALS = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _is_numeric(dt):
+    return isinstance(dt, _INTEGRALS + _FRACTIONALS)
+
+
+_PYTYPE_NAME = {str: "str", int: "int", float: "float", bool: "bool", bytes: "bytes"}
+
+
+def _pytype_matches(pytype, dt) -> bool:
+    if pytype is str:
+        return isinstance(dt, T.StringType)
+    if pytype is bool:
+        return isinstance(dt, T.BooleanType)
+    if pytype is int:
+        return isinstance(dt, _INTEGRALS)
+    if pytype is float:
+        return isinstance(dt, _FRACTIONALS)
+    if pytype is bytes:
+        return isinstance(dt, T.BinaryType)
+    return False
+
+
+def _lit_for(value):
+    return F.lit(value)
+
+
+# ---------------------------------------------------------------------------
+# compile dispatch (reference `_compile_scalar`, schema_builder.py:770-818)
+
+
+def compile_validator(v, dtype: T.DataType) -> RowCheck:
+    """Dispatch a schema node to a RowCheck, given the column's Spark type.
+
+    Mirrors ``Schema._compile`` / ``_compile_scalar``
+    (schema_builder.py:212-234, 770-818): Validator objects compile
+    themselves, Python types become type checks, lists become sequence
+    alternatives, anything else is an equality check
+    (``'not a valid value'``, ScalarInvalid).
+    """
+    if isinstance(v, Validator):
+        return v.bind(dtype)
+    if isinstance(v, type):
+        return _type_check(v, dtype)
+    if isinstance(v, list):
+        return _sequence_check(v, dtype)
+    if callable(v):
+        raise UnsupportedSchema(
+            "bare Python callables are per-row; wrap in PandasValidator "
+            "(Arrow batch) or use a built-in validator"
+        )
+    # literal value -> equality (schema_builder.py:812-816)
+    return _pred_check(
+        lambda c: c.eqNullSafe(F.lit(v)), "not a valid value", "ScalarInvalid"
+    )
+
+
+def _type_check(pytype, dtype) -> RowCheck:
+    """isinstance check (schema_builder.py:789-796): 'expected <T>'.
+
+    Column types are static, so the check resolves at bind time: matching
+    type passes every non-NULL cell; mismatched type fails every cell.
+    """
+    name = _PYTYPE_NAME.get(pytype, getattr(pytype, "__name__", str(pytype)))
+    if _pytype_matches(pytype, dtype):
+        return _pred_check(lambda c: c.isNotNull(), f"expected {name}", "TypeInvalid")
+    return _pred_check(lambda c: F.lit(False), f"expected {name}", "TypeInvalid")
+
+
+def _sequence_check(alternatives, dtype) -> RowCheck:
+    """Schema([alt1, alt2]) over an ArrayType column: every element must
+    match >=1 alternative, in declaration order (schema_builder.py:578-663).
+    Elements matching a Remove alternative are dropped from the output.
+    """
+    if not isinstance(dtype, T.ArrayType):
+        return _pred_check(
+            lambda c: F.lit(False), "expected a list", "SequenceTypeInvalid"
+        )
+    elem_t = dtype.elementType
+    removes = [a.schema for a in alternatives if isinstance(a, Remove)]
+    keeps = [a for a in alternatives if not isinstance(a, Remove)]
+    remove_checks = [compile_validator(r, elem_t) for r in removes]
+    keep_checks = [compile_validator(a, elem_t) for a in keeps]
+
+    def elem_ok(x):
+        ok = F.lit(False)
+        for ch in remove_checks + keep_checks:
+            ok = ok | ch.err(x).isNull()
+        return ok
+
+    def elem_out(x):
+        # first matching alternative's transform wins
+        expr = x
+        for ch in reversed(keep_checks):
+            expr = F.when(ch.err(x).isNull(), ch.out(x)).otherwise(expr)
+        return expr
+
+    def out(col):
+        kept = col
+        for rc in remove_checks:
+            kept = F.filter(kept, lambda x, rc=rc: rc.err(x).isNotNull())
+        return F.transform(kept, elem_out)
+
+    def err(col):
+        bad = F.exists(col, lambda x: ~F.coalesce(elem_ok(x), F.lit(False)))
+        return F.when(
+            col.isNull() | ~bad, F.lit(None)
+        ).otherwise(err_struct("not a valid value", "ValueInvalid"))
+
+    return RowCheck(out, err, dtype)
+
+
+# ---------------------------------------------------------------------------
+# validator base
+
+
+class Validator:
+    """Base DSL node. Subclasses implement ``bind(dtype) -> RowCheck``."""
+
+    msg: typing.Optional[str] = None
+
+    def bind(self, dtype: T.DataType) -> RowCheck:  # pragma: no cover
+        raise NotImplementedError
+
+    def _m(self, default: str) -> str:
+        return self.msg or default
+
+
+# -- markers (schema_builder.py:971-1246) -----------------------------------
+
+
+class Marker(Validator):
+    """Wraps a key schema; carries msg/description
+    (schema_builder.py:971-1015)."""
+
+    def __init__(self, schema_, msg=None, description=None):
+        self.schema = schema_
+        self.msg = msg
+        self.description = description
+
+    def bind(self, dtype):
+        return compile_validator(self.schema, dtype)
+
+    def __str__(self):
+        return str(self.schema)
+
+
+# sentinel for "no default" (schema_builder.py:29-38)
+class _Undefined:
+    def __bool__(self):
+        return False
+
+    def __repr__(self):
+        return "..."
+
+
+UNDEFINED = _Undefined()
+
+
+class Optional(Marker):
+    """Key may be absent; optional default injected when missing
+    (schema_builder.py:1018-1049)."""
+
+    def __init__(self, schema_, msg=None, default=UNDEFINED, description=None):
+        super().__init__(schema_, msg, description)
+        self.default = default
+
+
+class Required(Marker):
+    """Key must be present: NULL cell -> 'required key not provided'
+    (schema_builder.py:1155-1214, message at :399-405)."""
+
+    def __init__(self, schema_, msg=None, default=UNDEFINED, description=None):
+        super().__init__(schema_, msg, description)
+        self.default = default
+
+
+class Exclusive(Optional):
+    """<=1 key of a named group may be present
+    (schema_builder.py:1052-1096; check :536-553)."""
+
+    def __init__(self, schema_, group_of_exclusion, msg=None, description=None):
+        super().__init__(schema_, msg=msg, description=description)
+        self.group_of_exclusion = group_of_exclusion
+
+
+class Inclusive(Optional):
+    """all-or-none of a named group (schema_builder.py:1099-1152;
+    check :555-571)."""
+
+    def __init__(self, schema_, group_of_inclusion, msg=None, description=None):
+        super().__init__(schema_, msg=msg, description=description)
+        self.group_of_inclusion = group_of_inclusion
+
+
+class Remove(Marker):
+    """Matching keys/values are dropped from output, never error
+    (schema_builder.py:1217-1246)."""
+
+
+class Msg(Validator):
+    """Override error message of direct descendants
+    (schema_builder.py:898-952)."""
+
+    def __init__(self, schema_, msg, cls=None):
+        self.schema = schema_
+        self.msg = msg
+        self.cls = cls  # error_type override (an error class NAME string)
+
+    def bind(self, dtype):
+        inner = compile_validator(self.schema, dtype)
+        et = self.cls if isinstance(self.cls, str) else (
+            self.cls.__name__ if self.cls else None
+        )
+
+        def err(col):
+            e = inner.err(col)
+            return F.when(e.isNull(), F.lit(None)).otherwise(
+                err_struct(self.msg, et) if et else
+                F.struct(F.lit(self.msg).alias("message"),
+                         e["error_type"].alias("error_type"))
+            )
+
+        return RowCheck(inner.out, err, inner.out_type)
+
+
+class Extra(Validator):
+    """Sentinel: allow undeclared keys (schema_builder.py:68-75)."""
+
+
+extra = Extra()
+
+
+# -- scalar validators (validators.py) ---------------------------------------
+
+
+class Coerce(Validator):
+    """``type(v)``; failure -> CoerceInvalid 'expected <T>'
+    (validators.py:120-160). Spark: try_cast; NULL result on a non-NULL
+    input is the violation, and the output column becomes the cast value.
+
+    Note: string->int matches Python ``int(str)`` (no '24.5' truncation),
+    enforced with a digits regex before the cast.
+    """
+
+    _INT_RE = r"^\s*[+-]?[0-9]+\s*$"
+    _FLOAT_RE = r"^\s*[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?\s*$"
+
+    def __init__(self, type_, msg=None):
+        self.type = type_
+        self.msg = msg
+
+    def bind(self, dtype):
+        name = _PYTYPE_NAME.get(self.type, getattr(self.type, "__name__", "?"))
+        message = self._m(f"expected {name}")
+        if self.type is int:
+            target, out_t = "long", T.LongType()
+        elif self.type is float:
+            target, out_t = "double", T.DoubleType()
+        elif self.type is str:
+            target, out_t = "string", T.StringType()
+        elif self.type is bool:
+            target, out_t = "boolean", T.BooleanType()
+        else:
+            raise UnsupportedSchema(f"Coerce({name}) has no Spark cast")
+
+        is_str_src = isinstance(dtype, T.StringType)
+
+        def out(col):
+            if self.type is int and is_str_src:
+                return F.when(col.rlike(self._INT_RE), col.try_cast("long"))
+            if self.type is float and is_str_src:
+                return F.when(col.rlike(self._FLOAT_RE), col.try_cast("double"))
+            if self.type is int and isinstance(dtype, _FRACTIONALS):
+                # Python int(24.7) truncates toward zero
+                sign = F.when(col < 0, F.lit(-1)).otherwise(F.lit(1))
+                return (F.floor(F.abs(col)) * sign).cast("long")
+            return col.try_cast(target)
+
+        def err(col):
+            return F.when(
+                col.isNull() | out(col).isNotNull(), F.lit(None)
+            ).otherwise(err_struct(message, "CoerceInvalid"))
+
+        return RowCheck(out, err, out_t)
+
+
+def _truthy(col, dtype):
+    if isinstance(dtype, T.BooleanType):
+        return col
+    if _is_numeric(dtype):
+        return col != F.lit(0)
+    if isinstance(dtype, T.StringType):
+        return F.length(col) > 0
+    if isinstance(dtype, (T.ArrayType, T.MapType)):
+        return F.size(col) > 0
+    if isinstance(dtype, T.BinaryType):
+        return F.length(col) > 0
+    return col.isNotNull()
+
+
+class IsTrue(Validator):
+    """Python-truthiness assertion (validators.py:163-188):
+    'value was not true', TrueInvalid."""
+
+    def bind(self, dtype):
+        return _pred_check(
+            lambda c: F.coalesce(_truthy(c, dtype), F.lit(False)),
+            self._m("value was not true"),
+            "TrueInvalid",
+        )
+
+
+class IsFalse(Validator):
+    """'value was not false', FalseInvalid (validators.py:190-209)."""
+
+    def bind(self, dtype):
+        return _pred_check(
+            lambda c: ~F.coalesce(_truthy(c, dtype), F.lit(True)),
+            self._m("value was not false"),
+            "FalseInvalid",
+        )
+
+
+class Boolean(Validator):
+    """Parse '1/true/yes/on/enable' (+negatives) -> bool; else
+    'expected boolean', BooleanInvalid (validators.py:212-240).
+    Non-string values cast via truthiness."""
+
+    _TRUE = ("1", "true", "yes", "on", "enable")
+    _FALSE = ("0", "false", "no", "off", "disable")
+
+    def __init__(self, msg=None):
+        self.msg = msg
+
+    def bind(self, dtype):
+        if not isinstance(dtype, T.StringType):
+            return RowCheck(lambda c: _truthy(c, dtype), lambda c: F.lit(None),
+                            T.BooleanType())
+
+        def out(col):
+            low = F.lower(col)
+            return (
+                F.when(low.isin(*self._TRUE), F.lit(True))
+                .when(low.isin(*self._FALSE), F.lit(False))
+            )
+
+        def err(col):
+            low = F.lower(col)
+            bad = ~low.isin(*(self._TRUE + self._FALSE))
+            return F.when(col.isNull() | ~bad, F.lit(None)).otherwise(
+                err_struct(self._m("expected boolean"), "BooleanInvalid")
+            )
+
+        return RowCheck(out, err, T.BooleanType())
+
+
+class All(Validator):
+    """Pipeline: each stage's *transformed output* feeds the next; first
+    failing stage's error wins (validators.py:385-411). Alias: And."""
+
+    def __init__(self, *validators, msg=None):
+        self.validators = validators
+        self.msg = msg
+
+    def bind(self, dtype):
+        checks, cur_t = [], dtype
+        for v in self.validators:
+            ch = compile_validator(v, cur_t)
+            checks.append(ch)
+            cur_t = ch.out_type or cur_t
+
+        def out(col):
+            cur = col
+            for ch in checks:
+                cur = ch.out(cur)
+            return cur
+
+        def err(col):
+            cur, errs = col, []
+            for ch in checks:
+                errs.append(ch.err(cur))
+                cur = ch.out(cur)
+            e = F.coalesce(*errs, F.lit(None).cast("struct<message:string,error_type:string>"))
+            if self.msg:
+                return F.when(e.isNull(), F.lit(None)).otherwise(
+                    err_struct(self.msg, "AllInvalid")
+                )
+            return e
+
+        return RowCheck(out, err, cur_t)
+
+
+And = All
+
+
+class Any(Validator):
+    """First validator that passes wins; none ->
+    'no valid value found' / AnyInvalid (validators.py:297-340). Alias: Or.
+
+    Deepest-error note (validators.py:330-336): for scalar columns every
+    alternative shares the path, so the reference's deepest-path rule
+    degenerates to the default AnyInvalid message unless ``msg`` is set.
+    """
+
+    error_type = "AnyInvalid"
+    default_msg = "no valid value found"
+
+    def __init__(self, *validators, msg=None):
+        self.validators = validators
+        self.msg = msg
+
+    def bind(self, dtype):
+        checks = [compile_validator(v, dtype) for v in self.validators]
+        out_types = {(ch.out_type or dtype).simpleString() for ch in checks}
+        if len(out_types) > 1:
+            # branches disagree on output type; a Spark column has exactly
+            # one type, so Any degrades to validation-only (identity out)
+            def out(col):
+                return col
+
+            out_t = dtype
+        else:
+            out_t = checks[0].out_type or dtype
+
+            def out(col):
+                expr = F.lit(None).cast(out_t.simpleString())
+                for ch in reversed(checks):
+                    expr = F.when(ch.err(col).isNull(), ch.out(col)).otherwise(expr)
+                return expr
+
+        def err(col):
+            ok = F.lit(False)
+            for ch in checks:
+                ok = ok | ch.err(col).isNull()
+            return F.when(col.isNull() | ok, F.lit(None)).otherwise(
+                err_struct(self._m(self.default_msg), self.error_type)
+            )
+
+        return RowCheck(out, err, out_t)
+
+
+Or = Any
+
+
+class Union(Any):
+    """Any + discriminant pre-filter (validators.py:343-382). The
+    discriminant is compile-time routing; at the column level the CASE
+    chain already short-circuits, so semantics coincide with Any."""
+
+
+Switch = Union
+
+
+class Maybe(Any):
+    """Any(None, validator): NULL passes (validators.py:622-635)."""
+
+    def __init__(self, validator, msg=None):
+        super().__init__(validator, msg=msg)
+        self._inner = validator
+
+    def bind(self, dtype):
+        inner = compile_validator(self._inner, dtype)
+
+        def err(col):
+            e = inner.err(col)
+            base = F.when(col.isNull(), F.lit(None)).otherwise(e)
+            if self.msg:
+                return F.when(base.isNull(), F.lit(None)).otherwise(
+                    err_struct(self.msg, "AnyInvalid")
+                )
+            return base
+
+        return RowCheck(
+            lambda c: F.when(c.isNull(), F.lit(None)).otherwise(inner.out(c)),
+            err,
+            inner.out_type or dtype,
+        )
+
+
+class Match(Validator):
+    """Anchored regex ``re.match`` (validators.py:414-454):
+    'does not match regular expression <pat>', MatchInvalid.
+    rlike is a *search*, so the pattern is start-anchored to emulate match.
+    Non-string column -> 'expected string or buffer'."""
+
+    def __init__(self, pattern, msg=None):
+        self.pattern = pattern if isinstance(pattern, str) else pattern.pattern
+        self.msg = msg
+
+    def bind(self, dtype):
+        if not isinstance(dtype, T.StringType):
+            return _pred_check(
+                lambda c: F.lit(False), "expected string or buffer", "MatchInvalid"
+            )
+        pat = self.pattern if self.pattern.startswith("^") else "^" + self.pattern
+        default = f"does not match regular expression {self.pattern}"
+        return _pred_check(
+            lambda c: c.rlike(pat), self._m(default), "MatchInvalid"
+        )
+
+
+class Replace(Validator):
+    """Regex substitution transform (validators.py:457-486)."""
+
+    def __init__(self, pattern, substitution, msg=None):
+        self.pattern = pattern if isinstance(pattern, str) else pattern.pattern
+        self.substitution = substitution
+        self.msg = msg
+
+    def bind(self, dtype):
+        return RowCheck(
+            lambda c: F.regexp_replace(c, self.pattern, self.substitution),
+            lambda c: F.lit(None),
+            T.StringType(),
+        )
+
+
+# email regexes: same sources as the reference (validators.py:65-91),
+# translated to Java-regex-safe form for rlike.
+_EMAIL_USER_RE = (
+    r"^[-!#$%&'*+/=?^_`{}|~0-9A-Za-z]+(\.[-!#$%&'*+/=?^_`{}|~0-9A-Za-z]+)*$"
+)
+_EMAIL_DOMAIN_RE = (
+    r"^(?:[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?\.)+"
+    r"(?:[A-Za-z]{2,6}\.?|[A-Za-z0-9-]{2,}\.?)$"
+)
+
+
+class Email(Validator):
+    """'expected an email address', EmailInvalid (validators.py:496-519).
+    Splits on the LAST '@' (rsplit('@', 1)) then checks user/domain."""
+
+    def bind(self, dtype):
+        def pred(c):
+            has_at = c.contains("@")
+            user = F.regexp_extract(c, r"^(.*)@[^@]*$", 1)
+            domain = F.substring_index(c, "@", -1)
+            return (
+                has_at
+                & (F.length(user) > 0)
+                & (F.length(domain) > 0)
+                & user.rlike(_EMAIL_USER_RE)
+                & domain.rlike(_EMAIL_DOMAIN_RE)
+            )
+
+        if not isinstance(dtype, T.StringType):
+            return _pred_check(lambda c: F.lit(False),
+                               self._m("expected an email address"), "EmailInvalid")
+        return _pred_check(pred, self._m("expected an email address"), "EmailInvalid")
+
+
+class Url(Validator):
+    """urlparse: scheme + netloc required -> 'expected a URL', UrlInvalid
+    (validators.py:541-555). Spark: parse_url PROTOCOL/HOST non-null."""
+
+    default_msg = "expected a URL"
+
+    def _ok(self, c):
+        return (
+            F.parse_url(c, F.lit("PROTOCOL")).isNotNull()
+            & F.parse_url(c, F.lit("HOST")).isNotNull()
+            & (F.length(F.parse_url(c, F.lit("HOST"))) > 0)
+        )
+
+    def bind(self, dtype):
+        if not isinstance(dtype, T.StringType):
+            return _pred_check(lambda c: F.lit(False), self._m(self.default_msg),
+                               "UrlInvalid")
+        return _pred_check(self._ok, self._m(self.default_msg), "UrlInvalid")
+
+
+class FqdnUrl(Url):
+    """Fqdn also requires '.' in netloc (validators.py:522-538):
+    'expected a fully qualified domain name URL'."""
+
+    default_msg = "expected a fully qualified domain name URL"
+
+    def _ok(self, c):
+        return super()._ok(c) & F.parse_url(c, F.lit("HOST")).contains(".")
+
+
+def _fmt_num(x):
+    """Render a bound like Python '%s' does (1 -> '1', 1.5 -> '1.5')."""
+    return str(x)
+
+
+class Range(Validator):
+    """Bounds check (validators.py:638-711). Messages:
+    'value must be at least %s' / 'higher than' / 'at most' / 'lower than';
+    unordered (NULL) -> 'invalid value or type (must have a partial
+    ordering)'. NaN fails (`not v >= min` form, tests.py:661-663) — in
+    Spark, comparisons with NaN follow different rules, so NaN is rejected
+    explicitly."""
+
+    def __init__(self, min=None, max=None, min_included=True, max_included=True,
+                 msg=None):
+        self.min, self.max = min, max
+        self.min_included, self.max_included = min_included, max_included
+        self.msg = msg
+
+    def bind(self, dtype):
+        is_float = isinstance(dtype, (T.FloatType, T.DoubleType))
+
+        def err(col):
+            nan = F.isnan(col) if is_float else F.lit(False)
+            e = F.when(
+                col.isNull(),
+                err_struct(
+                    self._m("invalid value or type (must have a partial ordering)"),
+                    "RangeInvalid",
+                ),
+            )
+            if self.min is not None:
+                if self.min_included:
+                    bad = ~(col >= F.lit(self.min)) | nan
+                    m = self._m(f"value must be at least {_fmt_num(self.min)}")
+                else:
+                    bad = ~(col > F.lit(self.min)) | nan
+                    m = self._m(f"value must be higher than {_fmt_num(self.min)}")
+                e = e.when(bad, err_struct(m, "RangeInvalid"))
+            if self.max is not None:
+                if self.max_included:
+                    bad = ~(col <= F.lit(self.max)) | nan
+                    m = self._m(f"value must be at most {_fmt_num(self.max)}")
+                else:
+                    bad = ~(col < F.lit(self.max)) | nan
+                    m = self._m(f"value must be lower than {_fmt_num(self.max)}")
+                e = e.when(bad, err_struct(m, "RangeInvalid"))
+            return e.otherwise(F.lit(None))
+
+        return RowCheck(lambda c: c, err, dtype)
+
+
+class Clamp(Validator):
+    """Clip into range (transform) (validators.py:714-753)."""
+
+    def __init__(self, min=None, max=None, msg=None):
+        self.min, self.max = min, max
+        self.msg = msg
+
+    def bind(self, dtype):
+        def out(col):
+            cur = col
+            if self.min is not None:
+                cur = F.greatest(cur, F.lit(self.min))
+            if self.max is not None:
+                cur = F.least(cur, F.lit(self.max))
+            return cur
+
+        def err(col):
+            return F.when(
+                col.isNotNull(), F.lit(None)
+            ).otherwise(
+                err_struct(
+                    self._m("invalid value or type (must have a partial ordering)"),
+                    "RangeInvalid",
+                )
+            )
+
+        return RowCheck(out, err, dtype)
+
+
+class Length(Validator):
+    """len(v) bounds (validators.py:756-786): 'length of value must be at
+    least/at most %s', LengthInvalid. Strings/binary use length(); arrays
+    and maps use size()."""
+
+    def __init__(self, min=None, max=None, msg=None):
+        self.min, self.max = min, max
+        self.msg = msg
+
+    def bind(self, dtype):
+        if isinstance(dtype, (T.ArrayType, T.MapType)):
+            ln = F.size
+        else:
+            ln = F.length
+
+        def err(col):
+            e = F.when(
+                col.isNull(),
+                err_struct(self._m("invalid value or type"), "RangeInvalid"),
+            )
+            if self.min is not None:
+                e = e.when(
+                    ~(ln(col) >= F.lit(self.min)),
+                    err_struct(
+                        self._m(f"length of value must be at least {self.min}"),
+                        "LengthInvalid",
+                    ),
+                )
+            if self.max is not None:
+                e = e.when(
+                    ~(ln(col) <= F.lit(self.max)),
+                    err_struct(
+                        self._m(f"length of value must be at most {self.max}"),
+                        "LengthInvalid",
+                    ),
+                )
+            return e.otherwise(F.lit(None))
+
+        return RowCheck(lambda c: c, err, dtype)
+
+
+def _strptime_to_spark(fmt: str) -> str:
+    """Translate a Python strptime format to a Spark datetime pattern."""
+    mapping = {
+        "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+        "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%j": "DDD",
+        "%z": "XX", "%p": "a", "%%": "%",
+    }
+    out, i, lit_buf = [], 0, []
+
+    def flush():
+        if lit_buf:
+            chunk = "".join(lit_buf)
+            if _re.search(r"[A-Za-z]", chunk):
+                out.append("'" + chunk.replace("'", "''") + "'")
+            else:
+                out.append(chunk)
+            lit_buf.clear()
+
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            d = fmt[i : i + 2]
+            if d in mapping:
+                flush()
+                out.append(mapping[d])
+                i += 2
+                continue
+        lit_buf.append(fmt[i])
+        i += 1
+    flush()
+    return "".join(out)
+
+
+class Datetime(Validator):
+    """strptime parse check; value passes through UNCHANGED
+    (validators.py:789-810): 'value does not match expected format %s',
+    DatetimeInvalid. Default format '%Y-%m-%dT%H:%M:%S.%fZ'."""
+
+    DEFAULT_FORMAT = "%Y-%m-%dT%H:%M:%S.%fZ"
+    error_type = "DatetimeInvalid"
+
+    def __init__(self, format=None, msg=None):
+        self.format = format or self.DEFAULT_FORMAT
+        self.msg = msg
+
+    def _probe(self, col):
+        return F.try_to_timestamp(col, F.lit(_strptime_to_spark(self.format)))
+
+    def bind(self, dtype):
+        if isinstance(dtype, (T.TimestampType, T.DateType)):
+            return RowCheck.passing(dtype)
+        return _pred_check(
+            lambda c: self._probe(c).isNotNull(),
+            self._m(f"value does not match expected format {self.format}"),
+            self.error_type,
+        )
+
+
+class Date(Datetime):
+    """Date variant, default '%Y-%m-%d' (validators.py:813-828)."""
+
+    DEFAULT_FORMAT = "%Y-%m-%d"
+    error_type = "DateInvalid"
+
+
+def _sorted_repr(container):
+    try:
+        items = sorted(container)
+    except TypeError:
+        items = sorted(container, key=str)
+    return repr(items)
+
+
+class In(Validator):
+    """Membership (validators.py:831-860):
+    'value must be one of [sorted]', InInvalid."""
+
+    def __init__(self, container, msg=None):
+        self.container = list(container)
+        self.msg = msg
+
+    def bind(self, dtype):
+        return _pred_check(
+            lambda c: c.isin(*self.container),
+            self._m(f"value must be one of {_sorted_repr(self.container)}"),
+            "InInvalid",
+        )
+
+
+class NotIn(Validator):
+    """Anti-membership (validators.py:863-890):
+    'value must not be one of [sorted]', NotInInvalid."""
+
+    def __init__(self, container, msg=None):
+        self.container = list(container)
+        self.msg = msg
+
+    def bind(self, dtype):
+        return _pred_check(
+            lambda c: ~F.coalesce(c.isin(*self.container), F.lit(True)),
+            self._m(f"value must not be one of {_sorted_repr(self.container)}"),
+            "NotInInvalid",
+        )
+
+
+class Contains(Validator):
+    """Sequence must contain item (validators.py:893-917):
+    'value is not allowed', ContainsInvalid."""
+
+    def __init__(self, item, msg=None):
+        self.item = item
+        self.msg = msg
+
+    def bind(self, dtype):
+        return _pred_check(
+            lambda c: F.array_contains(c, F.lit(self.item)),
+            self._m("value is not allowed"),
+            "ContainsInvalid",
+        )
+
+
+class ExactSequence(Validator):
+    """Positional element-wise match; length must equal
+    (validators.py:920-956), ExactSequenceInvalid."""
+
+    def __init__(self, validators, msg=None):
+        self.validators = list(validators)
+        self.msg = msg
+
+    def bind(self, dtype):
+        if not isinstance(dtype, T.ArrayType):
+            return _pred_check(lambda c: F.lit(False),
+                               self._m("expected a list"), "ExactSequenceInvalid")
+        elem_t = dtype.elementType
+        checks = [compile_validator(v, elem_t) for v in self.validators]
+        n = len(checks)
+
+        def out(col):
+            return F.array(
+                *[ch.out(F.element_at(col, i + 1)) for i, ch in enumerate(checks)]
+            )
+
+        def err(col):
+            ok = F.size(col) == F.lit(n)
+            for i, ch in enumerate(checks):
+                ok = ok & ch.err(F.element_at(col, i + 1)).isNull()
+            return F.when(col.isNull() | ok, F.lit(None)).otherwise(
+                err_struct(self._m("not a valid value"), "ExactSequenceInvalid")
+            )
+
+        return RowCheck(out, err, dtype)
+
+
+class Unique(Validator):
+    """In-cell array has no duplicates (validators.py:959-1000):
+    'contains duplicate items: [dupes]'. For TABLE-level uniqueness
+    (e.g. clip_id over 10^12 rows) use checks.uniqueness instead."""
+
+    def __init__(self, msg=None):
+        self.msg = msg
+
+    def bind(self, dtype):
+        if isinstance(dtype, T.StringType):
+            # reference supports strings as char iterables ('aabbc')
+            def arr(c):
+                return F.split(c, "")
+        else:
+            def arr(c):
+                return c
+
+        def err(col):
+            a = arr(col)
+            dupes = F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        a,
+                        lambda x: F.size(F.filter(a, lambda y: y.eqNullSafe(x))) > 1,
+                    )
+                )
+            )
+            has_dupes = F.size(a) != F.size(F.array_distinct(a))
+            if self.msg:
+                m = F.lit(self.msg)
+            else:
+                rendered = F.transform(
+                    dupes,
+                    lambda x: F.when(
+                        F.lit(isinstance(dtype, T.StringType)
+                              or (isinstance(dtype, T.ArrayType)
+                                  and isinstance(dtype.elementType, T.StringType))),
+                        F.concat(F.lit("'"), x.cast("string"), F.lit("'")),
+                    ).otherwise(x.cast("string")),
+                )
+                m = F.concat(
+                    F.lit("contains duplicate items: ["),
+                    F.array_join(rendered, ", "),
+                    F.lit("]"),
+                )
+            return F.when(col.isNull() | ~has_dupes, F.lit(None)).otherwise(
+                F.struct(m.alias("message"), F.lit("Invalid").alias("error_type"))
+            )
+
+        return RowCheck(lambda c: c, err, dtype)
+
+
+class Equal(Validator):
+    """Exact equality (validators.py:1003-1032):
+    'Values are not equal: value:{} != target:{}'."""
+
+    def __init__(self, target, msg=None):
+        self.target = target
+        self.msg = msg
+
+    def bind(self, dtype):
+        def err(col):
+            ok = col.eqNullSafe(F.lit(self.target))
+            if self.msg:
+                m = F.lit(self.msg)
+            else:
+                m = F.format_string(
+                    "Values are not equal: value:%s != target:%s",
+                    col.cast("string"),
+                    F.lit(str(self.target)),
+                )
+            return F.when(ok, F.lit(None)).otherwise(
+                F.struct(m.alias("message"), F.lit("Invalid").alias("error_type"))
+            )
+
+        return RowCheck(lambda c: c, err, dtype)
+
+
+class Number(Validator):
+    """Decimal precision/scale check on string-encoded numbers
+    (validators.py:1116-1198). Messages: 'Precision must be equal to %s',
+    'Scale must be equal to %s', 'Value must be a number enclosed with
+    string'. precision/scale derived like Decimal.as_tuple(): leading
+    zeros dropped, trailing fraction zeros kept."""
+
+    _NUM_RE = r"^\s*[+-]?([0-9]+)?(\.([0-9]+))?\s*$"
+
+    def __init__(self, precision=None, scale=None, msg=None, yield_decimal=False):
+        self.precision, self.scale = precision, scale
+        self.msg = msg
+        self.yield_decimal = yield_decimal
+
+    def bind(self, dtype):
+        def parts(col):
+            s = F.trim(col.cast("string"))
+            intp = F.regexp_extract(s, self._NUM_RE, 1)
+            frac = F.regexp_extract(s, self._NUM_RE, 3)
+            return s, intp, frac
+
+        def err(col):
+            s, intp, frac = parts(col)
+            is_num = s.rlike(self._NUM_RE) & (
+                (F.length(intp) > 0) | (F.length(frac) > 0)
+            )
+            digits = F.concat(F.regexp_replace(intp, "^0+", ""), frac)
+            digits = F.when(F.length(digits) == 0, F.lit("0")).otherwise(digits)
+            precision = F.length(digits)
+            scale = F.length(frac)
+            e = F.when(col.isNull(), F.lit(None)).when(
+                ~is_num,
+                err_struct(
+                    self._m("Value must be a number enclosed with string"), "Invalid"
+                ),
+            )
+            if self.precision is not None:
+                e = e.when(
+                    precision != F.lit(self.precision),
+                    err_struct(
+                        self._m(f"Precision must be equal to {self.precision}"),
+                        "Invalid",
+                    ),
+                )
+            if self.scale is not None:
+                e = e.when(
+                    scale != F.lit(self.scale),
+                    err_struct(
+                        self._m(f"Scale must be equal to {self.scale}"), "Invalid"
+                    ),
+                )
+            return e.otherwise(F.lit(None))
+
+        if self.yield_decimal and self.precision and self.scale is not None:
+            out_t = T.DecimalType(self.precision, self.scale)
+            out = lambda c: c.try_cast(out_t)  # noqa: E731
+        else:
+            out_t, out = dtype, lambda c: c  # noqa: E731
+        return RowCheck(out, err, out_t)
+
+
+class SomeOf(Validator):
+    """Count of passing validators within [min_valid, max_valid]
+    (validators.py:1201-1270); NotEnoughValid / TooManyValid; pipes the
+    value through passing validators like All."""
+
+    def __init__(self, validators, min_valid=None, max_valid=None, msg=None):
+        assert min_valid is not None or max_valid is not None
+        self.validators = list(validators)
+        self.min_valid = min_valid or 0
+        self.max_valid = max_valid if max_valid is not None else len(self.validators)
+        self.msg = msg
+
+    def bind(self, dtype):
+        checks = [compile_validator(v, dtype) for v in self.validators]
+
+        def thread(col):
+            cur, errs = col, []
+            for ch in checks:
+                e = ch.err(cur)
+                errs.append(e)
+                cur = F.when(e.isNull(), ch.out(cur)).otherwise(cur)
+            return cur, errs
+
+        def out(col):
+            return thread(col)[0]
+
+        def err(col):
+            _, errs = thread(col)
+            passed = sum(
+                (F.when(e.isNull(), 1).otherwise(0) for e in errs), F.lit(0)
+            )
+            ok = (passed >= F.lit(self.min_valid)) & (passed <= F.lit(self.max_valid))
+            if self.msg:
+                m = F.lit(self.msg)
+            else:
+                m = F.array_join(
+                    F.filter(
+                        F.array(*[e["message"] for e in errs]), lambda x: x.isNotNull()
+                    ),
+                    ", ",
+                )
+            too_many = passed > F.lit(self.max_valid)
+            return F.when(col.isNull() | ok, F.lit(None)).otherwise(
+                F.struct(
+                    m.alias("message"),
+                    F.when(too_many, F.lit("TooManyValid"))
+                    .otherwise(F.lit("NotEnoughValid"))
+                    .alias("error_type"),
+                )
+            )
+
+        return RowCheck(out, err, dtype)
+
+
+class Unordered(Validator):
+    """Sequence matches validators in any order via greedy matching
+    (validators.py:1035-1113). Supported for small fixed n (expression
+    blow-up is factorial); larger n raises UnsupportedSchema."""
+
+    MAX_N = 4
+
+    def __init__(self, validators, msg=None):
+        self.validators = list(validators)
+        self.msg = msg
+        if len(self.validators) > self.MAX_N:
+            raise UnsupportedSchema(
+                f"Unordered with n>{self.MAX_N} is combinatorial; use an "
+                "Arrow-batch validator"
+            )
+
+    def bind(self, dtype):
+        if not isinstance(dtype, T.ArrayType):
+            return _pred_check(lambda c: F.lit(False),
+                               self._m("Value is not sequence!"), "Invalid")
+        elem_t = dtype.elementType
+        checks = [compile_validator(v, elem_t) for v in self.validators]
+        n = len(checks)
+
+        import itertools
+
+        def err(col):
+            len_ok = F.size(col) == F.lit(n)
+            # greedy == exists-a-perfect-matching for small n: test all
+            # assignments of validators to positions
+            any_match = F.lit(False)
+            for perm in itertools.permutations(range(n)):
+                this = F.lit(True)
+                for pos, vi in enumerate(perm):
+                    this = this & checks[vi].err(F.element_at(col, pos + 1)).isNull()
+                any_match = any_match | this
+            m = self._m(
+                f"List lengths differ, value:<n> != target:{n}"
+            )
+            return (
+                F.when(col.isNull(), F.lit(None))
+                .when(
+                    ~len_ok,
+                    F.struct(
+                        F.format_string(
+                            self.msg
+                            or "List lengths differ, value:%s != target:"
+                            + str(n),
+                            F.size(col).cast("string"),
+                        ).alias("message"),
+                        F.lit("Invalid").alias("error_type"),
+                    ),
+                )
+                .when(any_match, F.lit(None))
+                .otherwise(
+                    err_struct(
+                        self.msg
+                        or "Element is not valid against any validator",
+                        "Invalid",
+                    )
+                )
+            )
+
+        return RowCheck(lambda c: c, err, dtype)
+
+
+# -- transformers (util.py:15-149) -------------------------------------------
+
+
+class _Transform(Validator):
+    out_type = T.StringType()
+
+    def _expr(self, col):  # pragma: no cover
+        raise NotImplementedError
+
+    def bind(self, dtype):
+        return RowCheck(self._expr, lambda c: F.lit(None), self.out_type)
+
+
+class Lower(_Transform):
+    """util.py:15-23 (str-casts input first)."""
+
+    def _expr(self, col):
+        return F.lower(col.cast("string"))
+
+
+class Upper(_Transform):
+    """util.py:26-32."""
+
+    def _expr(self, col):
+        return F.upper(col.cast("string"))
+
+
+class Capitalize(_Transform):
+    """util.py:35-42: str.capitalize — first char upper, REST lower."""
+
+    def _expr(self, col):
+        s = col.cast("string")
+        return F.concat(
+            F.upper(F.substring(s, 1, 1)), F.lower(F.substring(s, 2, 2147483647))
+        )
+
+
+class Title(_Transform):
+    """util.py:45-52: str.title."""
+
+    def _expr(self, col):
+        return F.initcap(col.cast("string"))
+
+
+class Strip(_Transform):
+    """util.py:55-62: str.strip."""
+
+    def _expr(self, col):
+        return F.trim(col.cast("string"))
+
+
+class DefaultTo(Validator):
+    """None -> default (util.py:65-86)."""
+
+    def __init__(self, default_value, msg=None):
+        self.default_value = default_value
+        self.msg = msg
+
+    def bind(self, dtype):
+        return RowCheck(
+            lambda c: F.coalesce(c, F.lit(self.default_value)),
+            lambda c: F.lit(None),
+            dtype,
+        )
+
+
+class SetTo(Validator):
+    """Unconditional overwrite (util.py:89-106)."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def bind(self, dtype):
+        return RowCheck(lambda c: F.lit(self.value), lambda c: F.lit(None))
+
+
+class Set(Validator):
+    """list -> set (util.py:109-132): Spark keeps arrays; dedupe."""
+
+    def bind(self, dtype):
+        return RowCheck(lambda c: F.array_distinct(c), lambda c: F.lit(None), dtype)
+
+
+class Literal(Validator):
+    """Deep equality (util.py:135-149): '%s not match for %s',
+    LiteralInvalid."""
+
+    def __init__(self, lit):
+        self.lit = lit
+
+    def bind(self, dtype):
+        def err(col):
+            ok = col.eqNullSafe(F.lit(self.lit))
+            m = F.format_string(
+                "%s not match for " + str(self.lit), col.cast("string")
+            )
+            return F.when(ok, F.lit(None)).otherwise(
+                F.struct(m.alias("message"), F.lit("LiteralInvalid").alias("error_type"))
+            )
+
+        return RowCheck(lambda c: F.lit(self.lit), err, dtype)
+
+
+class PandasValidator(Validator):
+    """Escape hatch mirroring the reference's 'callables are validators'
+    (schema_builder.py:800-811), vectorized: fn receives a pandas.Series
+    and returns (out_series, err_message_series_or_None). Runs as an
+    Arrow-batched pandas UDF — the ONLY sanctioned Python in the row path."""
+
+    def __init__(self, fn, out_type: T.DataType, msg=None,
+                 error_type="ValueInvalid"):
+        self.fn = fn
+        self.out_type_ = out_type
+        self.msg = msg
+        self.error_type = error_type
+
+    def bind(self, dtype):
+        from pyspark.sql.functions import pandas_udf
+        import pandas as pd
+
+        fn, msg = self.fn, self.msg
+        res_t = T.StructType(
+            [
+                T.StructField("out", self.out_type_),
+                T.StructField("emsg", T.StringType()),
+            ]
+        )
+
+        @pandas_udf(res_t)
+        def _udf(s: pd.Series) -> pd.DataFrame:
+            out, emsg = fn(s)
+            if emsg is None:
+                emsg = pd.Series([None] * len(s), dtype="object")
+            return pd.DataFrame({"out": out, "emsg": emsg})
+
+        def out(col):
+            return _udf(col)["out"]
+
+        def err(col):
+            e = _udf(col)["emsg"]
+            return F.when(col.isNull() | e.isNull(), F.lit(None)).otherwise(
+                F.struct(
+                    (F.lit(msg) if msg else e).alias("message"),
+                    F.lit(self.error_type).alias("error_type"),
+                )
+            )
+
+        return RowCheck(out, err, self.out_type_)

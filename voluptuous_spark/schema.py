@@ -1,0 +1,473 @@
+"""Schema compiler + DataFrame validation engine.
+
+Mirrors the reference lifecycle (schema_builder.py:90-411): eager one-time
+compile at ``Schema.__init__``, then ``validate(df)`` evaluates EVERY field
+check in a single ``select`` (one scan, zero shuffles) and returns:
+
+- ``annotated``   original columns + transformed outputs + ``errors`` array
+- ``valid``       rows with no violations, with coerced/defaulted outputs
+                  (the reference *returns* the transformed document,
+                  schema_builder.py:202-210)
+- ``violations``  one row per Invalid: MultipleInvalid exploded
+                  (error.py:60-87)
+- ``report(...)`` per-partition pass/fail aggregate (north-star artifact)
+
+Scale notes (10^12-row design):
+- Row-level validation is embarrassingly parallel: the plan is a single
+  Project inside WholeStageCodegen; Catalyst prunes unreferenced columns so
+  e.g. the audio ``bytes`` column is never read unless a check uses it.
+- ``valid`` / ``violations`` / ``report`` share one cached scan only if the
+  caller persists; by default each is an independent lazily-planned
+  DataFrame so the optimizer sees the narrowest column set per output.
+"""
+
+from __future__ import annotations
+
+import typing
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import dsl
+from .dsl import (
+    ALLOW_EXTRA,
+    PREVENT_EXTRA,
+    REMOVE_EXTRA,
+    UNDEFINED,
+    Exclusive,
+    Inclusive,
+    Marker,
+    Optional,
+    Remove,
+    Required,
+    RowCheck,
+    UnsupportedSchema,
+    compile_validator,
+)
+from .errors import humanize as _humanize
+from .errors import py_repr_col, render_violation
+
+_ERR_T = "struct<message:string,error_type:string>"
+
+
+class _Field:
+    __slots__ = (
+        "name", "path", "required", "default", "marker_msg",
+        "validator", "remove", "group_ex", "group_in",
+    )
+
+    def __init__(self, name, path, required, default, marker_msg, validator,
+                 remove=False, group_ex=None, group_in=None):
+        self.name = name
+        self.path = path
+        self.required = required
+        self.default = default
+        self.marker_msg = marker_msg
+        self.validator = validator
+        self.remove = remove
+        self.group_ex = group_ex
+        self.group_in = group_in
+
+
+class ValidationResult:
+    """Outputs of ``Schema.validate``."""
+
+    def __init__(self, annotated: DataFrame, id_cols: list[str],
+                 out_names: list[str]):
+        self.annotated = annotated
+        self._id_cols = id_cols
+        self._out_names = out_names
+
+    @property
+    def valid(self) -> DataFrame:
+        """Rows with zero violations, transformed (coerced/defaulted)."""
+        return (
+            self.annotated.filter(F.size("__errors") == 0)
+            .select(*self._out_names)
+        )
+
+    @property
+    def invalid(self) -> DataFrame:
+        return self.annotated.filter(F.size("__errors") > 0).drop("__errors")
+
+    @property
+    def violations(self) -> DataFrame:
+        """One row per Invalid; deterministic order via array_sort.
+
+        Columns: id cols + (path, message, error_type, offending, rendered).
+        """
+        err = F.explode("__errors").alias("e")
+        df = (
+            self.annotated.filter(F.size("__errors") > 0)
+            .select(*self._id_cols, err)
+            .select(
+                *self._id_cols,
+                F.col("e.path").alias("path"),
+                F.col("e.message").alias("message"),
+                F.col("e.error_type").alias("error_type"),
+                F.col("e.offending").alias("offending"),
+            )
+        )
+        rendered = render_violation(
+            F.col("path"), F.col("message"), F.lit(None).cast("string")
+        )
+        return df.withColumn("rendered", rendered).withColumn(
+            "humanized", _humanize(rendered, F.col("offending"))
+        )
+
+    def report(self, partition_cols: typing.Sequence[str] = ()) -> DataFrame:
+        """Per-partition pass/fail rows (north rule). Keyed by
+        ``spark_partition_id()`` plus optional data partition columns.
+        Partial aggregation (map-side combine) makes this one narrow
+        shuffle regardless of table size."""
+        keys = [F.spark_partition_id().alias("partition_id")] + [
+            F.col(c) for c in partition_cols
+        ]
+        ok = (F.size("__errors") == 0).cast("long")
+        return self.annotated.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(ok).alias("passed"),
+            F.sum(1 - ok).alias("failed"),
+            F.sum(F.size("__errors")).alias("violation_count"),
+        )
+
+
+class Schema:
+    """Compile a voluptuous-style dict schema against DataFrame columns.
+
+    >>> s = Schema({Required('clip_id'): All(str, Length(min=1)),
+    ...             'sr_hz': In([8000, 16000, 44100])})
+    >>> res = s.validate(df, id_cols=['clip_id'])
+
+    ``required`` / ``extra`` flags follow schema_builder.py:118-137.
+    Keys may be plain strings (policy from ``required`` flag), Required,
+    Optional (with default), Exclusive/Inclusive (group checks), Remove.
+    Nested dict values validate StructType columns field-by-field with
+    reference-style paths. NULL cell == absent key.
+    """
+
+    def __init__(self, schema, required: bool = False, extra: int = PREVENT_EXTRA):
+        self.schema = schema
+        self.required = required
+        self.extra = extra
+        if not isinstance(schema, dict):
+            raise UnsupportedSchema(
+                "table Schema must be a dict of column -> validator; "
+                "use compile_validator for single columns"
+            )
+
+    # -- compile-time DSL merge (schema_builder.py:705-767) -----------------
+    def extend(self, schema: dict, required=None, extra=None) -> "Schema":
+        assert isinstance(schema, dict)
+        result = self.schema.copy()
+        key_names = {str(_key_name(k)): k for k in result}
+        for k, v in schema.items():
+            name = str(_key_name(k))
+            if name in key_names:
+                old_key = key_names[name]
+                old_v = result[old_key]
+                if isinstance(old_v, dict) and isinstance(v, dict):
+                    # recursive merge (schema_builder.py:749-752)
+                    merged = Schema(old_v).extend(v).schema
+                    del result[old_key]
+                    result[k] = merged
+                    continue
+                del result[old_key]
+            result[k] = v
+        return Schema(
+            result,
+            self.required if required is None else required,
+            self.extra if extra is None else extra,
+        )
+
+    @classmethod
+    def infer(cls, df: DataFrame, **kwargs) -> "Schema":
+        """Derive a type schema from a DataFrame (Schema.infer,
+        schema_builder.py:141-181, infers types not values)."""
+        rev = {
+            T.StringType: str, T.BooleanType: bool, T.BinaryType: bytes,
+            T.LongType: int, T.IntegerType: int, T.ShortType: int,
+            T.ByteType: int, T.DoubleType: float, T.FloatType: float,
+        }
+        out = {}
+        for f in df.schema.fields:
+            py = rev.get(type(f.dataType))
+            out[Required(f.name)] = py if py else dsl.Validator()
+        return cls(out, **kwargs)
+
+    # -- bind + validate -----------------------------------------------------
+    def _bind_fields(self, struct: T.StructType, prefix: tuple[str, ...] = ()):
+        fields: list[_Field] = []
+        declared: set[str] = set()
+        by_name = {f.name: f.dataType for f in struct.fields}
+        for key, val in self.schema.items():
+            name = _key_name(key)
+            if not isinstance(name, str):
+                raise UnsupportedSchema(f"non-string column key: {name!r}")
+            declared.add(name)
+            required = self.required
+            default = UNDEFINED
+            marker_msg = None
+            remove = False
+            group_ex = group_in = None
+            if isinstance(key, Remove):
+                remove = True
+            if isinstance(key, Required):
+                required = True
+                default = key.default
+                marker_msg = key.msg
+            elif isinstance(key, Exclusive):
+                required = False
+                group_ex = key.group_of_exclusion
+                marker_msg = key.msg
+            elif isinstance(key, Inclusive):
+                required = False
+                group_in = key.group_of_inclusion
+                marker_msg = key.msg
+            elif isinstance(key, Optional):
+                required = False
+                default = key.default
+                marker_msg = key.msg
+            dtype = by_name.get(name)
+            fields.append(
+                _Field(name, prefix + (name,), required, default, marker_msg,
+                       val, remove, group_ex, group_in)
+            )
+            if dtype is None and required and default is UNDEFINED:
+                # statically-missing column: every row fails — keep as a
+                # field with no dtype; handled in _field_exprs
+                pass
+        return fields, declared
+
+    def validate(self, df: DataFrame, id_cols: typing.Sequence[str] = ()) -> ValidationResult:
+        fields, declared = self._bind_fields(df.schema)
+        by_name = {f.name: f.dataType for f in df.schema.fields}
+
+        out_cols: dict[str, Column] = {}
+        err_entries: list[Column] = []
+
+        # group bookkeeping for Exclusive/Inclusive
+        ex_groups: dict[str, list[_Field]] = {}
+        in_groups: dict[str, list[_Field]] = {}
+
+        for fld in fields:
+            dtype = by_name.get(fld.name)
+            if fld.group_ex:
+                ex_groups.setdefault(fld.group_ex, []).append(fld)
+            if fld.group_in:
+                in_groups.setdefault(fld.group_in, []).append(fld)
+
+            if dtype is None:
+                # column absent from the DataFrame entirely
+                if fld.default is not UNDEFINED:
+                    out_cols[fld.name] = F.lit(fld.default)
+                elif fld.required:
+                    err_entries.append(
+                        _violation(
+                            fld.path,
+                            F.lit(fld.marker_msg or "required key not provided"),
+                            "RequiredFieldInvalid",
+                            F.lit("None"),
+                            F.lit(True),
+                        )
+                    )
+                continue
+
+            col = F.col(fld.name)
+            if fld.remove:
+                continue  # dropped from output, never validated
+
+            # nested dict schema over a struct column
+            if isinstance(fld.validator, dict):
+                sub = Schema(fld.validator, required=self.required,
+                             extra=self.extra)
+                out_col, sub_errs = sub._validate_struct(
+                    col, dtype, fld.path
+                )
+                out_cols[fld.name] = out_col
+                err_entries.extend(sub_errs)
+                continue
+
+            check = compile_validator(
+                _unwrap_marker(fld.validator), dtype
+            )
+            defaulted = (
+                F.coalesce(col, F.lit(fld.default))
+                if fld.default is not UNDEFINED
+                else col
+            )
+            present = defaulted.isNotNull()
+            out = F.when(present, check.out(defaulted))
+            err = check.err(defaulted)
+            repr_c = py_repr_col(defaulted, dtype)
+
+            if fld.required:
+                err_entries.append(
+                    _violation(
+                        fld.path,
+                        F.lit(fld.marker_msg or "required key not provided"),
+                        "RequiredFieldInvalid",
+                        F.lit("None"),
+                        ~present,
+                    )
+                )
+            err_entries.append(
+                _violation(
+                    fld.path, err["message"], err["error_type"], repr_c,
+                    present & err.isNotNull(),
+                )
+            )
+            out_cols[fld.name] = out
+
+        # Exclusive groups (schema_builder.py:536-553)
+        for label, grp in ex_groups.items():
+            cnt = sum(
+                (F.col(f.name).isNotNull().cast("int") for f in grp), F.lit(0)
+            )
+            msg = next((f.marker_msg for f in grp if f.marker_msg), None) or (
+                f"two or more values in the same group of exclusion '{label}'"
+            )
+            err_entries.append(
+                _violation((label,), F.lit(msg), "ExclusiveInvalid",
+                           F.lit("None"), cnt > 1)
+            )
+        # Inclusive groups (schema_builder.py:555-571)
+        for label, grp in in_groups.items():
+            cnt = sum(
+                (F.col(f.name).isNotNull().cast("int") for f in grp), F.lit(0)
+            )
+            msg = next((f.marker_msg for f in grp if f.marker_msg), None) or (
+                f"some but not all values in the same group of inclusion '{label}'"
+            )
+            err_entries.append(
+                _violation((label,), F.lit(msg), "InclusiveInvalid",
+                           F.lit("None"), (cnt > 0) & (cnt < len(grp)))
+            )
+
+        # extra-key policy (schema_builder.py:384-396)
+        extra_cols = [c for c in df.columns if c not in declared]
+        if self.extra == PREVENT_EXTRA:
+            for c in extra_cols:
+                err_entries.append(
+                    _violation(
+                        (c,), F.lit("extra keys not allowed"), "Invalid",
+                        py_repr_col(F.col(c), by_name[c]),
+                        F.col(c).isNotNull(),
+                    )
+                )
+        elif self.extra == ALLOW_EXTRA:
+            for c in extra_cols:
+                out_cols.setdefault(c, F.col(c))
+        # REMOVE_EXTRA: simply not projected
+
+        errors = F.array_sort(
+            F.filter(F.array(*err_entries), lambda x: x.isNotNull())
+        ) if err_entries else F.array().cast(
+            "array<struct<path:array<string>,message:string,"
+            "error_type:string,offending:string>>"
+        )
+
+        keep_ids = [c for c in id_cols if c not in out_cols]
+        selection = (
+            [F.col(c).alias(c) for c in keep_ids]
+            + [expr.alias(name) for name, expr in out_cols.items()]
+            + [errors.alias("__errors")]
+        )
+        annotated = df.select(*selection)
+        return ValidationResult(
+            annotated, list(id_cols), list(keep_ids) + list(out_cols)
+        )
+
+    def _validate_struct(self, col: Column, dtype: T.StructType,
+                         prefix: tuple[str, ...]):
+        """Validate a StructType column field-by-field; returns
+        (output struct column, error entries with nested paths)."""
+        if not isinstance(dtype, T.StructType):
+            return col, [
+                _violation(prefix, F.lit("expected a dictionary"),
+                           "DictInvalid", F.lit("None"), col.isNotNull())
+            ]
+        by_name = {f.name: f.dataType for f in dtype.fields}
+        errs: list[Column] = []
+        outs: list[Column] = []
+        declared = set()
+        for key, val in self.schema.items():
+            name = _key_name(key)
+            declared.add(name)
+            required = self.required or isinstance(key, Required)
+            default = getattr(key, "default", UNDEFINED)
+            marker_msg = getattr(key, "msg", None)
+            sub_t = by_name.get(name)
+            path = prefix + (name,)
+            if sub_t is None:
+                if required and default is UNDEFINED:
+                    errs.append(
+                        _violation(path,
+                                   F.lit(marker_msg or "required key not provided"),
+                                   "RequiredFieldInvalid", F.lit("None"),
+                                   col.isNotNull()))
+                continue
+            sub_col = col[name]
+            if isinstance(val, dict):
+                sub_schema = Schema(val, required=self.required, extra=self.extra)
+                o, e = sub_schema._validate_struct(sub_col, sub_t, path)
+                outs.append(o.alias(name))
+                errs.extend(e)
+                continue
+            check = compile_validator(_unwrap_marker(val), sub_t)
+            base = (
+                F.coalesce(sub_col, F.lit(default))
+                if default is not UNDEFINED else sub_col
+            )
+            present = base.isNotNull()
+            if required:
+                errs.append(
+                    _violation(path,
+                               F.lit(marker_msg or "required key not provided"),
+                               "RequiredFieldInvalid", F.lit("None"),
+                               col.isNotNull() & ~present))
+            e = check.err(base)
+            errs.append(
+                _violation(path, e["message"], e["error_type"],
+                           py_repr_col(base, sub_t),
+                           col.isNotNull() & present & e.isNotNull()))
+            outs.append(F.when(present, check.out(base)).alias(name))
+        # extra fields in the struct
+        for fname, ft in by_name.items():
+            if fname in declared:
+                continue
+            if self.extra == PREVENT_EXTRA:
+                errs.append(
+                    _violation(prefix + (fname,),
+                               F.lit("extra keys not allowed"), "Invalid",
+                               py_repr_col(col[fname], ft),
+                               col.isNotNull() & col[fname].isNotNull()))
+            elif self.extra == ALLOW_EXTRA:
+                outs.append(col[fname].alias(fname))
+        out_struct = F.when(col.isNotNull(), F.struct(*outs)) if outs else col
+        return out_struct, errs
+
+
+def _key_name(key):
+    if isinstance(key, Marker):
+        return key.schema
+    return key
+
+
+def _unwrap_marker(v):
+    return v
+
+
+def _violation(path: tuple[str, ...], message: Column, error_type,
+               offending: Column, cond: Column) -> Column:
+    et = F.lit(error_type) if isinstance(error_type, str) else error_type
+    return F.when(
+        cond,
+        F.struct(
+            F.array(*[F.lit(str(p)) for p in path]).alias("path"),
+            message.alias("message"),
+            et.alias("error_type"),
+            F.substring(offending, 1, 500).alias("offending"),
+        ),
+    ).otherwise(F.lit(None))
