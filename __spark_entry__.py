@@ -1,10 +1,9 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: queries() vs oracle_sql() correctness gate.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each entry exercises one operator of SURVEY.md §2 through the
+voluptuous_spark engine over the TPC-H-ish parquet tables; the oracle is
+the equivalent ANSI SQL for DuckDB. Column names/aliases match exactly on
+both sides (the driver hash-compares sorted columns).
 """
 
 from __future__ import annotations
@@ -12,27 +11,520 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from voluptuous_spark import (
+    All,
+    Any,
+    Clamp,
+    Coerce,
+    Date,
+    Exclusive,
+    In,
+    Length,
+    Lower,
+    Match,
+    Range,
+    Replace,
+    Required,
+    Schema,
+    SomeOf,
+    Strip,
+    Upper,
+    ALLOW_EXTRA,
+)
+from voluptuous_spark.checks import (
+    category_histogram,
+    column_stats,
+    duplicate_keys,
+    ks_statistic,
+    orphans,
+    psi_report,
+    referential_report,
+    uniqueness_report,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: full constraint suite on lineitem -> violations DataFrame
+
+_LINEITEM_SCHEMA = Schema(
+    {
+        Required("l_quantity"): Range(min=1, max=49),
+        "l_discount": Range(min=0.0, max=0.05),
+        "l_returnflag": In(["A", "N", "R"]),
+        "l_linestatus": In(["O"]),
+    },
+    extra=ALLOW_EXTRA,
+)
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _t(spark, sf_dir, "lineitem")
+    res = _LINEITEM_SCHEMA.validate(df, id_cols=["l_orderkey", "l_linenumber"])
+    return res.violations.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.element_at("path", 1).alias("col"),
+        "message",
+        "error_type",
+    )
+
+
+_FLAGSHIP_ORACLE = """
+WITH v AS (
+  SELECT l_orderkey, l_linenumber,
+         'l_quantity' AS col,
+         CASE WHEN l_quantity IS NULL THEN 'required key not provided'
+              WHEN NOT (l_quantity >= 1) THEN 'value must be at least 1'
+              WHEN NOT (l_quantity <= 49) THEN 'value must be at most 49' END AS message,
+         CASE WHEN l_quantity IS NULL THEN 'RequiredFieldInvalid'
+              ELSE 'RangeInvalid' END AS error_type
+  FROM lineitem
+  WHERE l_quantity IS NULL OR NOT (l_quantity >= 1 AND l_quantity <= 49)
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount',
+         CASE WHEN NOT (l_discount >= 0.0) THEN 'value must be at least 0.0'
+              WHEN NOT (l_discount <= 0.05) THEN 'value must be at most 0.05' END,
+         'RangeInvalid'
+  FROM lineitem
+  WHERE l_discount IS NOT NULL AND NOT (l_discount >= 0.0 AND l_discount <= 0.05)
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_returnflag',
+         'value must be one of [''A'', ''N'', ''R'']', 'InInvalid'
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_linestatus',
+         'value must be one of [''O'']', 'InInvalid'
+  FROM lineitem
+  WHERE l_linestatus IS NOT NULL AND l_linestatus <> 'O'
+)
+SELECT * FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def _range_quantity(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    res = Schema({"l_quantity": Range(min=5, max=45)}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["l_orderkey", "l_linenumber"]
+    )
+    return res.violations.select("l_orderkey", "l_linenumber", "message", "error_type")
+
+
+def _clamp_discount(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    res = Schema(
+        {"l_discount": Clamp(min=0.02, max=0.04)}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["l_orderkey", "l_linenumber"])
+    return res.valid.select(
+        "l_orderkey", "l_linenumber", F.col("l_discount").alias("clamped")
+    )
+
+
+def _coerce_props(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    res = Schema(
+        {"props": All(Replace("[^0-9]", ""), Coerce(int))}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["event_id"])
+    return res.valid.select("event_id", F.col("props").alias("k_value"))
+
+
+def _length_text(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    res = Schema({"text": Length(min=1, max=300)}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["doc_id"]
+    )
+    return res.violations.select("doc_id", "message", "error_type")
+
+
+def _match_docs(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    res = Schema({"text": Match(r"the\s")}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["doc_id"]
+    )
+    return res.violations.select("doc_id", "message", "error_type")
+
+
+def _in_orderstatus(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders")
+    res = Schema({"o_orderstatus": In(["F", "O"])}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["o_orderkey"]
+    )
+    return res.violations.select("o_orderkey", "message", "error_type")
+
+
+def _any_event_type(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    res = Schema(
+        {"event_type": Any(In(["click", "view"]), Match("^err"))},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["event_id"])
+    return res.violations.select("event_id", "message", "error_type")
+
+
+def _someof_acctbal(spark, sf_dir):
+    df = _t(spark, sf_dir, "customer")
+    res = Schema(
+        {
+            "c_acctbal": SomeOf(
+                [Range(min=0), Range(max=5000)], min_valid=2
+            )
+        },
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["c_custkey"])
+    return res.violations.select("c_custkey", "message", "error_type")
+
+
+def _exclusive_groups(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") > 10, F.col("value")).alias("x"),
+        F.when(F.col("user_id") % 2 == 0, F.col("user_id")).alias("y"),
+    )
+    res = Schema(
+        {
+            Exclusive("x", "xy"): float,
+            Exclusive("y", "xy"): int,
+        },
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["event_id"])
+    return res.violations.select("event_id", "message", "error_type")
+
+
+def _transformers(spark, sf_dir):
+    df = _t(spark, sf_dir, "customer")
+    res = Schema(
+        {
+            "c_name": Upper(),
+            "c_mktsegment": All(Strip(), Lower()),
+        },
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["c_custkey"])
+    return res.valid.select(
+        "c_custkey",
+        F.col("c_name").alias("name_upper"),
+        F.col("c_mktsegment").alias("segment_lower"),
+    )
+
+
+def _date_check(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_orderkey") % 2 == 0,
+            F.date_format("l_shipdate", "yyyy-MM-dd"),
+        )
+        .otherwise(F.lit("not-a-date"))
+        .alias("ship_str"),
+    )
+    res = Schema({"ship_str": Date()}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["l_orderkey", "l_linenumber"]
+    )
+    return res.violations.select(
+        "l_orderkey", "l_linenumber", "message", "error_type"
+    )
+
+
+# -- table-level checks ------------------------------------------------------
+
+
+def _unique_custkey(spark, sf_dir):
+    return duplicate_keys(_t(spark, sf_dir, "orders"), ["o_custkey"]).select(
+        "o_custkey", "dup_count"
+    )
+
+
+def _unique_summary(spark, sf_dir):
+    return uniqueness_report(_t(spark, sf_dir, "orders"), ["o_custkey"])
+
+
+def _referential_orphans(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orphans(ev, cust, "c_custkey", broadcast_parent=True)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _referential_summary(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return referential_report(ev, cust, "c_custkey", broadcast_parent=True)
+
+
+def _stats_lineitem(spark, sf_dir):
+    return column_stats(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_discount", "l_orderkey", "l_returnflag"],
+        exact_distinct=True,
+    ).select(
+        "column",
+        "n_rows",
+        "null_count",
+        F.round("null_rate", 6).alias("null_rate"),
+        "distinct_count",
+        "min_value",
+        "max_value",
+    )
+
+
+def _psi_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 1)
+    return psi_report(a, b, "o_orderpriority").select(
+        F.round("psi", 6).alias("psi"), "n_categories"
+    )
+
+
+def _ks_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R")
+    b = li.filter(F.col("l_returnflag") != "R")
+    return ks_statistic(a, b, "l_quantity").select(
+        F.round("ks_stat", 6).alias("ks_stat")
+    )
+
+
+def _histogram_priority(spark, sf_dir):
+    return category_histogram(_t(spark, sf_dir, "orders"), "o_orderpriority").select(
+        "value", "count", F.round("ratio", 6).alias("ratio")
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full constraint suite on sf0.001 lineitem -> violations."""
+    return _flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_violations": _flagship,
+        "range_quantity": _range_quantity,
+        "clamp_discount": _clamp_discount,
+        "coerce_props": _coerce_props,
+        "length_text": _length_text,
+        "match_docs": _match_docs,
+        "in_orderstatus": _in_orderstatus,
+        "any_event_type": _any_event_type,
+        "someof_acctbal": _someof_acctbal,
+        "exclusive_groups": _exclusive_groups,
+        "transformers": _transformers,
+        "date_check": _date_check,
+        "unique_custkey": _unique_custkey,
+        "unique_summary": _unique_summary,
+        "referential_orphans": _referential_orphans,
+        "referential_summary": _referential_summary,
+        "stats_lineitem": _stats_lineitem,
+        "psi_priority": _psi_priority,
+        "ks_quantity": _ks_quantity,
+        "histogram_priority": _histogram_priority,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_violations": _FLAGSHIP_ORACLE,
+        "range_quantity": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN NOT (l_quantity >= 5) THEN 'value must be at least 5'
+                        ELSE 'value must be at most 45' END AS message,
+                   'RangeInvalid' AS error_type
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL
+              AND NOT (l_quantity >= 5 AND l_quantity <= 45)
+        """,
+        "clamp_discount": """
+            SELECT l_orderkey, l_linenumber,
+                   LEAST(GREATEST(l_discount, 0.02), 0.04) AS clamped
+            FROM lineitem WHERE l_discount IS NOT NULL
+        """,
+        "coerce_props": """
+            SELECT event_id,
+                   CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k_value
+            FROM events WHERE props IS NOT NULL
+        """,
+        "length_text": """
+            SELECT doc_id,
+                   'length of value must be at most 300' AS message,
+                   'LengthInvalid' AS error_type
+            FROM documents
+            WHERE text IS NOT NULL AND NOT (length(text) <= 300)
+        """,
+        "match_docs": """
+            SELECT doc_id,
+                   'does not match regular expression the\\s' AS message,
+                   'MatchInvalid' AS error_type
+            FROM documents
+            WHERE text IS NOT NULL AND NOT regexp_matches(text, '^the\\s')
+        """,
+        "in_orderstatus": """
+            SELECT o_orderkey,
+                   'value must be one of [''F'', ''O'']' AS message,
+                   'InInvalid' AS error_type
+            FROM orders
+            WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O')
+        """,
+        "any_event_type": """
+            SELECT event_id, 'no valid value found' AS message,
+                   'AnyInvalid' AS error_type
+            FROM events
+            WHERE event_type IS NOT NULL
+              AND event_type NOT IN ('click','view')
+              AND NOT regexp_matches(event_type, '^err')
+        """,
+        "someof_acctbal": """
+            SELECT c_custkey,
+                   CASE WHEN NOT (c_acctbal >= 0) THEN 'value must be at least 0'
+                        ELSE 'value must be at most 5000' END AS message,
+                   'NotEnoughValid' AS error_type
+            FROM customer
+            WHERE c_acctbal IS NOT NULL
+              AND NOT (c_acctbal >= 0 AND c_acctbal <= 5000)
+        """,
+        "exclusive_groups": """
+            SELECT event_id,
+                   'two or more values in the same group of exclusion ''xy''' AS message,
+                   'ExclusiveInvalid' AS error_type
+            FROM events
+            WHERE (CASE WHEN value > 10 THEN value END) IS NOT NULL
+              AND (CASE WHEN user_id % 2 = 0 THEN user_id END) IS NOT NULL
+        """,
+        "transformers": """
+            SELECT c_custkey, UPPER(c_name) AS name_upper,
+                   LOWER(TRIM(c_mktsegment)) AS segment_lower
+            FROM customer
+        """,
+        "date_check": """
+            SELECT l_orderkey, l_linenumber,
+                   'value does not match expected format %Y-%m-%d' AS message,
+                   'DateInvalid' AS error_type
+            FROM lineitem
+            WHERE l_orderkey % 2 = 1
+        """,
+        "unique_custkey": """
+            SELECT o_custkey, COUNT(*) AS dup_count
+            FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+        """,
+        "unique_summary": """
+            WITH per_key AS (
+              SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+            )
+            SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_distinct,
+                   SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+                   SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup_rows
+            FROM per_key
+        """,
+        "referential_orphans": """
+            SELECT user_id AS c_custkey, COUNT(*) AS n_events
+            FROM events e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id
+            )
+            GROUP BY user_id
+        """,
+        "referential_summary": """
+            SELECT COUNT(*) AS n_child,
+                   SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans,
+                   SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*) AS orphan_rate
+            FROM events e
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+              ON c.c_custkey = e.user_id
+        """,
+        "stats_lineitem": """
+            SELECT * FROM (
+              SELECT 'l_quantity' AS column, COUNT(*) AS n_rows,
+                     SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_count,
+                     ROUND(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS null_rate,
+                     COUNT(DISTINCT l_quantity) AS distinct_count,
+                     CAST(MIN(l_quantity) AS VARCHAR) AS min_value,
+                     CAST(MAX(l_quantity) AS VARCHAR) AS max_value
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', COUNT(*),
+                     SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+                     ROUND(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6),
+                     COUNT(DISTINCT l_discount),
+                     CAST(MIN(l_discount) AS VARCHAR), CAST(MAX(l_discount) AS VARCHAR)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_orderkey', COUNT(*),
+                     SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+                     ROUND(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6),
+                     COUNT(DISTINCT l_orderkey),
+                     CAST(MIN(l_orderkey) AS VARCHAR), CAST(MAX(l_orderkey) AS VARCHAR)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_returnflag', COUNT(*),
+                     SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+                     ROUND(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6),
+                     COUNT(DISTINCT l_returnflag),
+                     CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+              FROM lineitem
+            )
+        """,
+        "psi_priority": """
+            WITH a AS (
+              SELECT o_orderpriority AS value, COUNT(*) * 1.0
+                     / (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS ratio_a
+              FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderpriority
+            ), b AS (
+              SELECT o_orderpriority AS value, COUNT(*) * 1.0
+                     / (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1) AS ratio_b
+              FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority
+            )
+            SELECT ROUND(SUM((pa - pb) * LN(pa / pb)), 6) AS psi,
+                   COUNT(*) AS n_categories
+            FROM (
+              SELECT GREATEST(COALESCE(ratio_a, 0), 1e-6) AS pa,
+                     GREATEST(COALESCE(ratio_b, 0), 1e-6) AS pb
+              FROM a FULL OUTER JOIN b USING (value)
+            )
+        """,
+        "ks_quantity": """
+            WITH a AS (SELECT l_quantity AS v FROM lineitem
+                       WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL),
+                 b AS (SELECT l_quantity AS v FROM lineitem
+                       WHERE l_returnflag <> 'R' AND l_quantity IS NOT NULL),
+                 ga AS (SELECT v, COUNT(*) AS ca FROM a GROUP BY v),
+                 gb AS (SELECT v, COUNT(*) AS cb FROM b GROUP BY v),
+                 merged AS (
+                   SELECT COALESCE(ga.v, gb.v) AS v,
+                          COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+                   FROM ga FULL OUTER JOIN gb ON ga.v = gb.v
+                 ),
+                 cum AS (
+                   SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+                          SUM(cb) OVER (ORDER BY v) AS cum_b
+                   FROM merged
+                 )
+            SELECT ROUND(MAX(ABS(
+                     cum_a * 1.0 / (SELECT COUNT(*) FROM a)
+                     - cum_b * 1.0 / (SELECT COUNT(*) FROM b))), 6) AS ks_stat
+            FROM cum
+        """,
+        "histogram_priority": """
+            SELECT o_orderpriority AS value, COUNT(*) AS count,
+                   ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM orders), 6) AS ratio
+            FROM orders GROUP BY o_orderpriority
+        """,
+    }

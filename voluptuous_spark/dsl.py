@@ -49,9 +49,12 @@ class RowCheck:
 
     __slots__ = ("out", "err", "out_type")
 
+    _ERR_T = "struct<message:string,error_type:string>"
+
     def __init__(self, out, err, out_type: T.DataType | None = None):
         self.out = out  # Column -> Column
-        self.err = err  # Column -> Column (NULL | struct<message,error_type>)
+        # always typed: a bare lit(None) is VOID and breaks field extraction
+        self.err = lambda c: err(c).cast(self._ERR_T)
         self.out_type = out_type
 
     @staticmethod
