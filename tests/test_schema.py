@@ -1,0 +1,214 @@
+"""Schema-level semantics: required/optional/defaults, extra policies,
+Exclusive/Inclusive groups, nested structs, extend/infer, rendering.
+Mirrors reference tests.py:89-94 (required), 190-223 (remove/extra),
+1623-1680 (inclusive/exclusive), tests.md golden renderings.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from voluptuous_spark import (
+    ALLOW_EXTRA,
+    PREVENT_EXTRA,
+    REMOVE_EXTRA,
+    All,
+    Coerce,
+    Exclusive,
+    In,
+    Inclusive,
+    Length,
+    Optional,
+    Range,
+    Remove,
+    Required,
+    Schema,
+    UnsupportedSchema,
+)
+
+
+def _viol(res):
+    return {
+        (tuple(r["path"]), r["message"], r["error_type"])
+        for r in res.violations.collect()
+    }
+
+
+def test_required_missing_null(spark):
+    df = spark.createDataFrame([("a",), (None,)], "q string")
+    res = Schema({Required("q"): str}).validate(df, id_cols=[])
+    assert _viol(res) == {
+        (("q",), "required key not provided", "RequiredFieldInvalid")
+    }
+
+
+def test_required_column_absent(spark):
+    df = spark.createDataFrame([(1,)], "other int")
+    res = Schema({Required("q"): str}, extra=ALLOW_EXTRA).validate(df, id_cols=[])
+    assert _viol(res) == {
+        (("q",), "required key not provided", "RequiredFieldInvalid")
+    }
+
+
+def test_required_custom_msg(spark):
+    df = spark.createDataFrame([(None,)], "q string")
+    res = Schema({Required("q", msg="aaa?"): str}).validate(df, id_cols=[])
+    assert _viol(res) == {(("q",), "aaa?", "RequiredFieldInvalid")}
+
+
+def test_optional_default(spark):
+    df = spark.createDataFrame([(None,), (7,)], "per_page int")
+    res = Schema({Optional("per_page", default=5): int}).validate(df, id_cols=[])
+    assert sorted(r["per_page"] for r in res.valid.collect()) == [5, 7]
+
+
+def test_required_default_no_error(spark):
+    df = spark.createDataFrame([(None,)], "q int")
+    res = Schema({Required("q", default=42): int}).validate(df, id_cols=[])
+    assert _viol(res) == set()
+    assert res.valid.collect()[0]["q"] == 42
+
+
+def test_extra_prevent(spark):
+    df = spark.createDataFrame([("a", 1)], "q string, rogue int")
+    res = Schema({"q": str}).validate(df, id_cols=[])
+    assert _viol(res) == {(("rogue",), "extra keys not allowed", "Invalid")}
+
+
+def test_extra_allow_and_remove(spark):
+    df = spark.createDataFrame([("a", 1)], "q string, rogue int")
+    allow = Schema({"q": str}, extra=ALLOW_EXTRA).validate(df, id_cols=[])
+    assert allow.valid.columns == ["q", "rogue"]
+    rm = Schema({"q": str}, extra=REMOVE_EXTRA).validate(df, id_cols=[])
+    assert rm.valid.columns == ["q"]
+
+
+def test_remove_marker(spark):
+    """Remove drops the column from output, never errors (tests.py:190-223)."""
+    df = spark.createDataFrame([("a", "junk")], "q string, tmp string")
+    res = Schema({"q": str, Remove("tmp"): str}).validate(df, id_cols=[])
+    assert _viol(res) == set()
+    assert res.valid.columns == ["q"]
+
+
+def test_exclusive_group(spark):
+    df = spark.createDataFrame(
+        [(1, None), (None, 2), (1, 2), (None, None)], "x int, y int"
+    )
+    res = Schema(
+        {Exclusive("x", "pair"): int, Exclusive("y", "pair"): int}
+    ).validate(df, id_cols=[])
+    assert _viol(res) == {
+        (
+            ("pair",),
+            "two or more values in the same group of exclusion 'pair'",
+            "ExclusiveInvalid",
+        )
+    }
+    assert res.valid.count() == 3
+
+
+def test_inclusive_group(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (None, None), (1, None)], "x int, y int"
+    )
+    res = Schema(
+        {Inclusive("x", "pair"): int, Inclusive("y", "pair"): int}
+    ).validate(df, id_cols=[])
+    assert _viol(res) == {
+        (
+            ("pair",),
+            "some but not all values in the same group of inclusion 'pair'",
+            "InclusiveInvalid",
+        )
+    }
+
+
+def test_nested_struct_paths(spark):
+    """Depth-first error paths into nested dicts (tests.md:48-57)."""
+    df = spark.createDataFrame(
+        [(("public", 3),), (("private", 99),)],
+        "settings struct<snmp_community:string, retries:int>",
+    )
+    res = Schema(
+        {"settings": {"snmp_community": str, "retries": Range(min=0, max=10)}}
+    ).validate(df, id_cols=[])
+    assert _viol(res) == {
+        (("settings", "retries"), "value must be at most 10", "RangeInvalid")
+    }
+    rendered = res.violations.select("rendered").collect()[0][0]
+    assert rendered == (
+        "value must be at most 10 @ data['settings']['retries']"
+    )
+
+
+def test_humanized(spark):
+    """humanize_error: '<rendered>. Got <repr>' (humanize.py:43-48)."""
+    df = spark.createDataFrame([("ogg",)], "codec string")
+    res = Schema({"codec": In(["wav", "mp3"])}).validate(df, id_cols=[])
+    h = res.violations.select("humanized").collect()[0][0]
+    assert h == (
+        "value must be one of ['mp3', 'wav'] @ data['codec']. Got 'ogg'"
+    )
+
+
+def test_sequence_alternatives(spark):
+    """list schema: each element matches >=1 alternative
+    (schema_builder.py:578-633)."""
+    df = spark.createDataFrame([(["a", "b"],), (["a", ""],)], "tags array<string>")
+    res = Schema({"tags": [Length(min=1)]}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=[]
+    )
+    v = _viol(res)
+    assert v == {(("tags",), "not a valid value", "ValueInvalid")}
+
+
+def test_multiple_errors_accumulate(spark):
+    """dict validation accumulates every error (schema_builder.py:360-377)."""
+    df = spark.createDataFrame([(0, "zz")], "n int, s string")
+    res = Schema({"n": Range(min=1), "s": In(["a"])}).validate(df, id_cols=[])
+    assert len(res.violations.collect()) == 2
+
+
+def test_extend(spark):
+    base = Schema({"a": int, "b": str})
+    ext = base.extend({"b": int, "c": float})
+    names = {str(k) for k in ext.schema}
+    assert names == {"a", "b", "c"}
+    assert ext.schema["b"] is int
+
+
+def test_infer(spark):
+    df = spark.createDataFrame([("x", 1, 1.5)], "a string, b long, c double")
+    s = Schema.infer(df)
+    res = s.validate(df, id_cols=[])
+    assert res.valid.count() == 1
+
+
+def test_non_dict_schema_rejected():
+    with pytest.raises(UnsupportedSchema):
+        Schema([1, 2, 3])
+
+
+def test_report_partitions(spark):
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "n int, part int"
+    ).repartition(4)
+    res = Schema({"n": Range(min=5), "part": int}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=[]
+    )
+    rep = res.report().collect()
+    assert sum(r["rows"] for r in rep) == 30
+    assert sum(r["failed"] for r in rep) == 5
+
+
+def test_single_select_plan(spark):
+    """Linearity analog (tests.py:1201-1243): all row checks compile into
+    ONE projection — the physical plan has no joins/shuffles/extra scans."""
+    df = spark.createDataFrame([(1, "a", 2.0)], "a int, b string, c double")
+    res = Schema(
+        {"a": Range(min=0), "b": Length(min=1), "c": Range(max=10.0)},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=[])
+    plan = res.annotated._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero shuffles
+    assert "Join" not in plan

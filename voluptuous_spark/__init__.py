@@ -62,6 +62,7 @@ from .dsl import (  # noqa: F401
     Unordered,
     UnsupportedSchema,
     Upper,
+    Url,
     Validator,
     compile_validator,
 )

@@ -642,10 +642,11 @@ class Url(Validator):
     default_msg = "expected a URL"
 
     def _ok(self, c):
+        host = F.try_parse_url(c, F.lit("HOST"))
         return (
-            F.parse_url(c, F.lit("PROTOCOL")).isNotNull()
-            & F.parse_url(c, F.lit("HOST")).isNotNull()
-            & (F.length(F.parse_url(c, F.lit("HOST"))) > 0)
+            F.try_parse_url(c, F.lit("PROTOCOL")).isNotNull()
+            & host.isNotNull()
+            & (F.length(host) > 0)
         )
 
     def bind(self, dtype):
@@ -662,7 +663,9 @@ class FqdnUrl(Url):
     default_msg = "expected a fully qualified domain name URL"
 
     def _ok(self, c):
-        return super()._ok(c) & F.parse_url(c, F.lit("HOST")).contains(".")
+        return super()._ok(c) & F.coalesce(
+            F.try_parse_url(c, F.lit("HOST")).contains("."), F.lit(False)
+        )
 
 
 def _fmt_num(x):

@@ -298,7 +298,7 @@ class Schema:
                 else col
             )
             present = defaulted.isNotNull()
-            out = F.when(present, check.out(defaulted))
+            out = check.out(defaulted)
             err = check.err(defaulted)
             repr_c = py_repr_col(defaulted, dtype)
 
@@ -432,7 +432,7 @@ class Schema:
                 _violation(path, e["message"], e["error_type"],
                            py_repr_col(base, sub_t),
                            col.isNotNull() & present & e.isNotNull()))
-            outs.append(F.when(present, check.out(base)).alias(name))
+            outs.append(check.out(base).alias(name))
         # extra fields in the struct
         for fname, ft in by_name.items():
             if fname in declared:
