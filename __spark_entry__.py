@@ -310,6 +310,94 @@ def _histogram_priority(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# -- training-data pipeline ops (documents / embeddings) ---------------------
+
+
+def _dedup_exact(spark, sf_dir):
+    from voluptuous_spark.textops import exact_duplicates
+
+    d = exact_duplicates(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "fingerprint",
+        "dup_count",
+        F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ",")
+        .alias("doc_ids_str"),
+    )
+
+
+def _fingerprints(spark, sf_dir):
+    from voluptuous_spark.textops import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def _token_counts(spark, sf_dir):
+    from voluptuous_spark.textops import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def _lang_id(spark, sf_dir):
+    from voluptuous_spark.textops import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def _quality(spark, sf_dir):
+    from voluptuous_spark.textops import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def _jaccard_pairs(spark, sf_dir):
+    from voluptuous_spark.textops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _minhash_candidates(spark, sf_dir):
+    from voluptuous_spark.textops import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+def _simhash(spark, sf_dir):
+    from voluptuous_spark.textops import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def _ann_topk(spark, sf_dir):
+    from voluptuous_spark.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    from voluptuous_spark.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=dim, k=5)
+
+
+def _cosine_near_dups(spark, sf_dir):
+    from voluptuous_spark.similarity import cosine_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return cosine_near_duplicates(emb, dim=dim, threshold=0.6)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full constraint suite on sf0.001 lineitem -> violations."""
     return _flagship(spark, "/root/testdata/sf0.001")
@@ -337,6 +425,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_priority": _psi_priority,
         "ks_quantity": _ks_quantity,
         "histogram_priority": _histogram_priority,
+        "dedup_exact": _dedup_exact,
+        "doc_fingerprints": _fingerprints,
+        "token_counts": _token_counts,
+        "lang_id": _lang_id,
+        "quality_scores": _quality,
+        "jaccard_pairs": _jaccard_pairs,
+        "minhash_candidates": _minhash_candidates,
+        "simhash": _simhash,
+        "ann_topk": _ann_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "cosine_near_dups": _cosine_near_dups,
     }
 
 
@@ -527,4 +626,121 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM orders), 6) AS ratio
             FROM orders GROUP BY o_orderpriority
         """,
+        "dedup_exact": r"""
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+              FROM documents
+            )
+            SELECT fingerprint, COUNT(*) AS dup_count,
+                   array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids_str
+            FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+        """,
+        "doc_fingerprints": r"""
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+            FROM documents
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN length(t) = 0 THEN 0
+                        ELSE len(string_split(t, ' ')) END AS n_tokens,
+                   CAST(ceil(length(t) / 4.0) AS BIGINT) AS n_bpe_est
+            FROM (SELECT doc_id,
+                         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+                  FROM documents)
+        """,
+        "lang_id": r"""
+            WITH h AS (
+              SELECT doc_id,
+                len(list_filter(ws, x -> x IN ('the','and','of','to','is','in','that'))) AS en,
+                len(list_filter(ws, x -> x IN ('der','die','und','das','ist','nicht','ein'))) AS de,
+                len(list_filter(ws, x -> x IN ('le','la','les','et','est','une','que'))) AS fr
+              FROM (SELECT doc_id,
+                           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+                    FROM documents)
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr) = 0 THEN 'und'
+                        WHEN en = greatest(en, de, fr) THEN 'en'
+                        WHEN de = greatest(en, de, fr) THEN 'de'
+                        ELSE 'fr' END AS detected_lang,
+                   greatest(en, de, fr) AS marker_hits
+            FROM h
+        """,
+        "quality_scores": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) = 0 THEN 0
+                          ELSE len(string_split(t, ' ')) END AS n_words,
+                     length(t) AS n_chars,
+                     len(list_filter(string_split(t, ' '),
+                         x -> x IN ('the','and','of','to','is','in','that'))) AS stop_hits,
+                     length(t) - length(regexp_replace(t, '[^\w\s]', '', 'g')) AS n_punct
+              FROM b
+            ), g AS (
+              SELECT doc_id, n_words,
+                     CASE WHEN n_words > 0 THEN n_chars * 1.0 / n_words ELSE 0.0 END AS mwl,
+                     CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words ELSE 0.0 END AS sr,
+                     CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS pr
+              FROM f
+            )
+            SELECT doc_id, n_words,
+                   round(mwl, 6) AS mean_word_len,
+                   round(sr, 6) AS stop_ratio,
+                   round(pr, 6) AS punct_ratio,
+                   round(
+                     (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+                     + (CASE WHEN mwl BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END) * 0.2
+                     + least(sr * 5.0, 1.0) * 0.2
+                     + (1.0 - least(pr * 5.0, 1.0)) * 0.2, 6) AS quality
+            FROM g
+        """,
+        "jaccard_pairs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id AS id,
+                     array_to_string(ws[i:i+2], ' ') AS shingle
+              FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)
+              WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
+            ), sizes AS (
+              SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id
+            ), inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.id < b.id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, c.vec_id,
+                     round(list_cosine_similarity(c.embedding::DOUBLE[], q.qv), 6) AS score
+              FROM embeddings c, q
+            )
+            SELECT query_id, vec_id, score,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, vec_id
+                   ) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        # minhash_candidates / simhash / ann_lsh_topk / cosine_near_dups:
+        # rows-only checks (bucketed-LSH plumbing; exact-SQL oracles for the
+        # verified outputs exist via jaccard_pairs / ann_topk)
     }

@@ -1,0 +1,132 @@
+"""Audio synth + Arrow PCM validators + the full clips suite."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from voluptuous_spark.audio import (
+    decode_wav_numpy,
+    decode_wav_reference,
+    encode_wav_pcm16,
+    pcm_check_column,
+    snr_db,
+    transcript_equality_violations,
+)
+from voluptuous_spark.datasynth import clips_df, transcripts_df
+from voluptuous_spark.suite import run_suite
+
+N = 3000
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    df = clips_df(spark, N, seed=SEED, partitions=8).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = transcripts_df(spark, N, seed=SEED, partitions=8).cache()
+    df.count()
+    return df
+
+
+def test_wav_roundtrip():
+    sr = 16000
+    t = np.arange(sr // 10) / sr
+    samples = (10000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    buf = encode_wav_pcm16(samples, sr)
+    s1, r1 = decode_wav_numpy(buf)
+    s2, r2 = decode_wav_reference(buf)
+    assert r1 == r2 == sr
+    assert np.array_equal(s1, samples)
+    assert np.array_equal(s2, samples)
+    assert snr_db(s1, s2) == float("inf")
+
+
+def test_decode_rejects_corruption():
+    buf = encode_wav_pcm16(np.zeros(100, dtype=np.int16), 8000)
+    with pytest.raises(ValueError):
+        decode_wav_numpy(b"JUNK" + buf[4:])
+    with pytest.raises(ValueError):
+        decode_wav_numpy(buf[:20])
+
+
+def test_snr():
+    a = np.array([10000, -10000] * 50, dtype=np.int16)
+    noise = a + np.random.default_rng(0).integers(-5, 5, len(a))
+    assert snr_db(a, noise.astype(np.int16)) > 60
+    assert snr_db(a, np.zeros_like(a)) == float("-inf") or snr_db(
+        a, np.zeros_like(a)
+    ) < 1
+
+
+def test_synth_determinism(spark):
+    a = clips_df(spark, 50, seed=7, partitions=2).collect()
+    b = clips_df(spark, 50, seed=7, partitions=4).collect()
+    ka = sorted((r["clip_id"], bytes(r["bytes"])) for r in a)
+    kb = sorted((r["clip_id"], bytes(r["bytes"])) for r in b)
+    assert ka == kb
+    c = clips_df(spark, 50, seed=8, partitions=2).collect()
+    assert ka != sorted((r["clip_id"], bytes(r["bytes"])) for r in c)
+
+
+def test_pcm_check_flags_corrupted(spark, clips):
+    checked = clips.withColumn("pcm_err", pcm_check_column())
+    bad = {
+        r["clip_id"]: r["pcm_err"]
+        for r in checked.filter(F.col("pcm_err").isNotNull()).collect()
+    }
+    # injected: i%500==13 truncated, i%500==263 bad magic (wav rows only)
+    for i in (13, 263):
+        cid = f"clip_{i:012d}"
+        row = clips.filter(F.col("clip_id") == cid).collect()
+        if row and row[0]["codec"] == "wav":
+            assert cid in bad, f"{cid} should fail PCM check"
+    # clean wav clip passes
+    good = checked.filter(
+        (F.col("codec") == "wav") & F.col("pcm_err").isNull()
+    ).count()
+    assert good > 0.8 * checked.filter(F.col("codec") == "wav").count()
+
+
+def test_transcript_equality(spark, clips, transcripts):
+    v = transcript_equality_violations(clips, transcripts)
+    ids = {r["clip_id"] for r in v.collect()}
+    # i%500==37 -> side-table mismatch
+    assert f"clip_{37:012d}" in ids
+    # whitespace-padded transcripts (i%333==2) also differ from side table
+    assert len(ids) > 0
+
+
+def test_full_suite(spark, clips, transcripts):
+    res = run_suite(clips, transcripts)
+    c = res.counts()
+    assert c["rows"] == N
+    assert 0 < c["failed"] < N / 2
+    assert c["dup_key_rows"] > 0  # injected duplicate clip_ids
+    assert c["orphans"] > 0  # injected orphan side rows count via report
+    assert c["stats_rows"] == 5
+    # violations carry reference-style error types
+    etypes = {
+        r["error_type"]
+        for r in res.violations.select("error_type").distinct().collect()
+    }
+    assert "InInvalid" in etypes
+    assert "RangeInvalid" in etypes
+    assert "RequiredFieldInvalid" in etypes
+    assert "ValueInvalid" in etypes  # PCM / transcript checks
+
+
+def test_suite_detects_injected_rates(spark, clips):
+    res = run_suite(clips, None, with_pcm=False)
+    v = res.violations
+    dur_range = v.filter(
+        (F.col("path")[0] == "dur_ms") & (F.col("error_type") == "RangeInvalid")
+    ).count()
+    # ~1% of N out of range (i%100==23, minus overlaps with null injection)
+    assert N / 100 * 0.5 < dur_range < N / 100 * 1.5
+    sr_bad = v.filter(F.col("path")[0] == "sr_hz").count()
+    assert N / 200 * 0.5 < sr_bad < N / 200 * 1.5

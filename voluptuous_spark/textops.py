@@ -1,0 +1,311 @@
+"""Training-data pipeline text operators (documents table).
+
+Beyond the reference's validators, a 100TB training-data pipeline needs
+dedup + text-quality primitives. All are pure DataFrame ops (JVM-side,
+oracle-checkable in ANSI SQL):
+
+- exact dedup          md5 hash groupBy (1 shuffle)
+- ngram Jaccard dedup  shingle explode -> self-join on shingle -> pairwise
+                       intersection counts (LSH-free exact variant for
+                       moderate corpora; MinHash+LSH below for scale)
+- MinHash + LSH        portable (a*id+b) % p permutations over a
+                       rank-encoded shingle dictionary; band-bucket join
+- SimHash              sign-aggregated bit fingerprint from token ranks
+- language id          stopword-hit heuristic over a fixed marker table
+- quality score        length / punctuation / stopword-ratio features
+- token count          regex word split
+- fingerprint          md5 of normalized text
+
+Portability note: MinHash/SimHash need a hash both Spark and an oracle can
+compute identically -> shingles/tokens are first mapped to dense ranks via
+a sorted-distinct dictionary (deterministic), then mixed with affine
+permutations mod a prime. No engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# affine permutation constants for MinHash (fixed, public)
+_MINHASH_PRIME = 2_147_483_647  # 2^31-1 (Mersenne)
+_MINHASH_COEFS = [
+    (1_500_450_271, 97), (179_424_673, 257), (982_451_653, 991),
+    (32_452_843, 1_031), (2_038_074_743, 8_191), (492_876_847, 131_071),
+    (715_225_739, 524_287), (413_158_511, 6_700_417),
+]
+
+
+def normalize_text(col):
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, fingerprint) — md5 of normalized text; portable + exact."""
+    return df.select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash groupBy: one shuffle on the md5 fingerprint
+    (never on raw text — the shuffle key is 32 bytes regardless of doc
+    size). Returns (fingerprint, dup_count, doc_ids sorted)."""
+    return (
+        doc_fingerprint(df, text_col, id_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def _shingles(df: DataFrame, text_col: str, id_col: str, n: int):
+    """(id, shingle) distinct word n-grams of normalized text."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
+
+    Plan: explode shingles -> self-join on shingle (the join key is the
+    shingle string; co-occurring docs meet) -> count intersections ->
+    join per-doc shingle counts -> |A∩B| / (|A|+|B|-|A∩B|).
+    Exact but quadratic in bucket size — for web scale use
+    ``minhash_lsh_candidates`` to pre-bucket and only verify candidates.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    sh = _shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def shingle_ranks(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle_rank) with ranks from the sorted distinct-shingle
+    dictionary — the portable hash basis for MinHash/SimHash."""
+    sh = _shingles(df, text_col, id_col, n)
+    dict_ = (
+        sh.select("shingle")
+        .distinct()
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy("shingle"))
+        )
+    )
+    return sh.join(dict_, "shingle").select("id", "rank")
+
+
+def minhash_signatures(ranked: DataFrame,
+                       n_hashes: int = 8) -> DataFrame:
+    """(id, sig array<long>) — min over (a*rank+b) % p per permutation.
+    One shuffle (groupBy id); signature length = n_hashes."""
+    coefs = _MINHASH_COEFS[:n_hashes]
+    rank = F.col("rank").cast("long")  # avoid int32 overflow (ANSI mode)
+    mins = [
+        F.min(
+            (rank * F.lit(a).cast("long") + F.lit(b)) % F.lit(_MINHASH_PRIME)
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(coefs)
+    ]
+    g = ranked.groupBy("id").agg(*mins)
+    return g.select(
+        "id", F.array(*[f"h{i}" for i in range(len(coefs))]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, join on (band index, band
+    values). Pairs agreeing on >=1 full band emerge; verify with
+    ``ngram_jaccard_pairs`` on the candidate set only. Scale path: the
+    band join key is tiny; skew handled by AQE. Returns distinct
+    (id_a, id_b), id_a < id_b."""
+    sigs = minhash_signatures(
+        shingle_ranks(df, text_col, id_col, n), n_hashes
+    )
+    n_bands = n_hashes // band_size
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.slice("sig", bi * band_size + 1, band_size).alias(
+                            "vals"
+                        ),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.vals")
+    a = bands.select(F.col("id").alias("id_a"), "band", "vals")
+    b = bands.select(F.col("id").alias("id_b"), "band", "vals")
+    return (
+        a.join(b, ["band", "vals"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint from token ranks: bit j of the hash of each
+    token votes +1/-1; sign of the sum is the fingerprint bit. Portable
+    token hash = affine mix of the dictionary rank. Returns
+    (id, simhash long)."""
+    words = F.explode(
+        F.split(normalize_text(F.col(text_col)), " ")
+    ).alias("w")
+    tok = df.select(F.col(id_col).alias("id"), words).filter(
+        F.length("w") > 0
+    )
+    dict_ = (
+        tok.select("w").distinct()
+        .withColumn("rank", F.row_number().over(Window.orderBy("w")))
+    )
+    ranked = tok.join(dict_, "w").select("id", "rank")
+    h = (F.col("rank").cast("long") * F.lit(_MINHASH_COEFS[0][0]).cast("long")
+         + F.lit(_MINHASH_COEFS[0][1])) % F.lit(_MINHASH_PRIME)
+    votes = [
+        F.sum(
+            F.when(((h / F.lit(1 << j)).cast("long") % 2) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    g = ranked.groupBy("id").agg(*votes)
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return g.select("id", acc.alias("simhash"))
+
+
+# -- language id / quality / tokens -------------------------------------------
+
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que"],
+}
+
+
+def _marker_hits(words_col, markers):
+    return F.size(
+        F.filter(words_col, lambda w: w.isin(*markers))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword heuristic language id: count marker-word hits per
+    language, argmax (ties -> 'und' undetermined). Pure Column ops."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    hits = {
+        lang: _marker_hits(words, m) for lang, m in LANG_MARKERS.items()
+    }
+    best = F.greatest(*hits.values())
+    lang_expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # insertion order = deterministic tie-break
+        lang_expr = lang_expr.when(hits[lang] == best, F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        lang_expr.alias("detected_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (ceil(chars/4) is
+    the standard rough BPE ratio for English-like text)."""
+    t = normalize_text(F.col(text_col))
+    words = F.split(t, " ")
+    n_words = F.when(F.length(t) == 0, 0).otherwise(F.size(words))
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_tokens"),
+        F.ceil(F.length(t) / 4).cast("long").alias("n_bpe_est"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Length / punctuation / stopword-ratio features + a composite score
+    in [0,1] (mirrors common pretraining-corpus heuristics)."""
+    raw = F.col(text_col)
+    t = normalize_text(raw)
+    n_chars = F.length(t)
+    words = F.split(t, " ")
+    n_words = F.when(n_chars == 0, 0).otherwise(F.size(words))
+    stop_hits = _marker_hits(words, LANG_MARKERS["en"])
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(0.0)
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    len_ok = (n_words >= 5) & (n_words <= 100000)
+    word_len_ok = (mean_word_len >= 2) & (mean_word_len <= 12)
+    score = (
+        len_ok.cast("double") * 0.4
+        + word_len_ok.cast("double") * 0.2
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
