@@ -395,7 +395,7 @@ def _cosine_near_dups(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()["embedding"])
-    return cosine_near_duplicates(emb, dim=dim, threshold=0.6)
+    return cosine_near_duplicates(emb, dim=dim, threshold=0.35)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,128 @@
+"""Dedup / similarity / text-analysis operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from voluptuous_spark.similarity import (
+    brute_force_topk,
+    cosine_near_duplicates,
+    lsh_topk,
+)
+from voluptuous_spark.textops import (
+    exact_duplicates,
+    language_id,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "der hund ist nicht ein katze und der vogel"),
+        (4, "le chat est une belle creature et le chien"),
+        (5, "completely different words entirely unrelated text here"),
+        (6, "  the QUICK   brown fox jumps over the lazy dog "),  # norm dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    d = exact_duplicates(docs).collect()
+    assert len(d) == 1
+    assert d[0]["dup_count"] == 3  # 0, 1 and whitespace/case-normalized 6
+    assert d[0]["doc_ids"] == [0, 1, 6]
+
+
+def test_jaccard_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 6)] == 1.0
+    assert (0, 2) in pairs  # one-word change, high overlap
+    assert (0, 5) not in pairs
+
+
+def test_minhash_candidates_superset_of_real_dups(docs):
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert (0, 1) in cands
+    assert (0, 6) in cands
+
+
+def test_simhash_similarity(docs):
+    h = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert h[0] == h[1] == h[6]  # identical normalized text
+    ham_near = bin(h[0] ^ h[2]).count("1")
+    ham_far = bin(h[0] ^ h[5]).count("1")
+    assert ham_near <= ham_far
+
+
+def test_language_id(docs):
+    langs = {r["doc_id"]: r["detected_lang"] for r in language_id(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[3] == "de"
+    assert langs[4] == "fr"
+
+
+def test_token_count_and_quality(docs):
+    t = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    assert t[0] == 9
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    assert q[0] > 0.5
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(50):
+        v = rng.normal(0, 1, 8)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # 50 = near-copy of 0
+    base = np.array(rows[0][1])
+    near = base + rng.normal(0, 0.01, 8)
+    rows.append((50, [float(x) for x in near / np.linalg.norm(near)]))
+    return rows[0][1], spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_brute_force_topk(spark, vectors):
+    _, emb = vectors
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(emb, queries, k=3).orderBy("rank").collect()
+    assert top[0]["vec_id"] == 0 and top[0]["score"] == 1.0
+    assert top[1]["vec_id"] == 50  # the injected near-copy
+    assert top[1]["score"] > 0.99
+
+
+def test_lsh_topk_finds_near_copy(spark, vectors):
+    _, emb = vectors
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = lsh_topk(emb, queries, dim=8, k=3, n_bits=4).orderBy("rank").collect()
+    ids = [r["vec_id"] for r in top]
+    assert 0 in ids and 50 in ids  # near-identical vectors share buckets
+
+
+def test_cosine_near_duplicates(spark, vectors):
+    _, emb = vectors
+    pairs = cosine_near_duplicates(emb, dim=8, threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 50)}
