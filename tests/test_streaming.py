@@ -1,0 +1,41 @@
+"""Structured Streaming validation path."""
+
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from voluptuous_spark import ALLOW_EXTRA, In, Range, Schema
+from voluptuous_spark.streaming import validate_stream
+
+
+def test_streaming_validate(spark):
+    schema = Schema(
+        {"sr_hz": In([8000, 16000]), "dur_ms": Range(min=1, max=1000)},
+        extra=ALLOW_EXTRA,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        df = spark.createDataFrame(
+            [("a", 8000, 100), ("b", 12345, 100), ("c", 8000, 5000)],
+            "clip_id string, sr_hz int, dur_ms int",
+        )
+        df.write.parquet(in_dir)
+
+        stream = spark.readStream.schema(
+            "clip_id string, sr_hz int, dur_ms int"
+        ).parquet(in_dir)
+        annotated = validate_stream(stream, schema)
+        q = (
+            annotated.withColumn("n_errors", F.size("__errors"))
+            .drop("__errors")
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = {r["clip_id"]: r["n_errors"] for r in
+               spark.read.parquet(out_dir).collect()}
+        assert out == {"a": 0, "b": 1, "c": 1}

@@ -1,0 +1,55 @@
+"""Structured Streaming validation: validate clips as they arrive.
+
+The reference validates values synchronously at call time; the streaming
+analog validates each micro-batch with the SAME compiled Schema (the
+row-level plan is a stateless projection, so it applies unchanged to a
+streaming DataFrame) and maintains a windowed pass/fail aggregate with a
+watermark for late events.
+
+Usage:
+    stream = spark.readStream.schema(CLIPS_DDL).parquet(in_dir)
+    annotated = validate_stream(stream, CLIPS_SCHEMA)
+    q = (annotated.writeStream.format('parquet')
+         .option('checkpointLocation', ckpt).start(out_dir))
+
+At 10^12-scale ingest this is the validation-on-ingest path: violations
+stream to a quarantine sink, valid rows to the main table, and the report
+aggregate feeds monitoring. The Arrow PCM pass (audio.with_pcm_check)
+composes: mapInArrow is supported on streaming DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import Schema
+
+
+def validate_stream(stream_df: DataFrame, schema: Schema,
+                    id_cols=("clip_id",)) -> DataFrame:
+    """Annotated streaming DataFrame: original columns + __errors array.
+    Stateless — no watermark needed; each micro-batch is one projection."""
+    res = schema.validate(stream_df, id_cols=list(id_cols))
+    return res.annotated
+
+
+def streaming_report(
+    annotated: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Windowed pass/fail aggregate with late-data watermark — the
+    streaming analog of ValidationResult.report()."""
+    ok = (F.size("__errors") == 0).cast("long")
+    return (
+        annotated.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(ok).alias("passed"),
+            F.sum(1 - ok).alias("failed"),
+            F.sum(F.size("__errors")).alias("violation_count"),
+        )
+    )
