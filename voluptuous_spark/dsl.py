@@ -336,8 +336,22 @@ class Coerce(Validator):
         self.msg = msg
 
     def bind(self, dtype):
+        import enum
+
         name = _PYTYPE_NAME.get(self.type, getattr(self.type, "__name__", "?"))
         message = self._m(f"expected {name}")
+        if isinstance(self.type, type) and issubclass(self.type, enum.Enum):
+            # Coerce(Enum) lists allowed values (validators.py:155-157);
+            # output stays the raw value (a Row cannot hold Enum members)
+            values = [e.value for e in self.type]
+            if not self.msg:
+                message = (
+                    f"expected {name} or one of " + str(values)[1:-1]
+                )
+            return _pred_check(
+                lambda c: c.isin(*[F.lit(v) for v in values]),
+                message, "CoerceInvalid",
+            )
         if self.type is int:
             target, out_t = "long", T.LongType()
         elif self.type is float:
@@ -1349,3 +1363,187 @@ class PandasValidator(Validator):
             )
 
         return RowCheck(out, err, self.out_type_)
+
+
+class CallableValidator(Validator):
+    """A per-value Python callable with reference semantics ('callables are
+    validators', schema_builder.py:800-811), executed element-wise INSIDE an
+    Arrow batch (one pandas UDF per column, never row-at-a-time Spark
+    Python). ``fn`` follows the reference contract: return the (possibly
+    transformed) value, raise ``ValueError`` / ``exceptions.Invalid`` to
+    reject. With ``truth_mode`` (the ``truth`` decorator,
+    validators.py:97-117) a falsy return rejects and the value passes
+    through unchanged.
+
+    This is the slow path — use it only for semantics no Column expression
+    can express (e.g. filesystem probes). The Arrow transfer keeps it off
+    Spark's per-row Python path, but the inner loop is Python.
+    """
+
+    def __init__(self, fn, msg=None, error_type="ValueInvalid",
+                 truth_mode=False, out_type: T.DataType | None = None):
+        self.fn = fn
+        self.msg = msg
+        self.error_type = error_type
+        self.truth_mode = truth_mode
+        self.out_type_ = out_type
+
+    def bind(self, dtype):
+        from pyspark.sql.functions import pandas_udf
+        import pandas as pd
+
+        from . import exceptions as er
+
+        fn = self.fn
+        truth_mode = self.truth_mode
+        default_msg = self.msg or (
+            "not a valid value" if truth_mode else "invalid value"
+        )
+        error_type = self.error_type
+        out_t = self.out_type_ or dtype
+        res_t = T.StructType(
+            [T.StructField("out", out_t), T.StructField("emsg", T.StringType())]
+        )
+
+        @pandas_udf(res_t)
+        def _udf(s: pd.Series) -> pd.DataFrame:
+            outs, emsgs = [], []
+            for v in s:
+                try:
+                    r = fn(v)
+                    if truth_mode:
+                        outs.append(v)
+                        emsgs.append(None if r else default_msg)
+                    else:
+                        outs.append(r)
+                        emsgs.append(None)
+                except (ValueError, TypeError) as e:
+                    outs.append(v if truth_mode else None)
+                    emsgs.append(default_msg)
+                except er.Invalid as e:
+                    outs.append(v if truth_mode else None)
+                    emsgs.append(e.msg)
+            return pd.DataFrame(
+                {"out": outs, "emsg": pd.Series(emsgs, dtype="object")}
+            )
+
+        def out(col):
+            return _udf(col)["out"]
+
+        def err(col):
+            e = _udf(col)["emsg"]
+            return F.when(col.isNull() | e.isNull(), F.lit(None)).otherwise(
+                F.struct(e.alias("message"),
+                         F.lit(error_type).alias("error_type"))
+            )
+
+        return RowCheck(out, err, out_t)
+
+
+def truth(fn, msg=None):
+    """Decorator: bool-returning per-value fn -> validator
+    (validators.py:97-117). Returns a CallableValidator usable directly as
+    a schema node."""
+    return CallableValidator(fn, msg=msg, truth_mode=True)
+
+
+def message(default=None, cls=None):
+    """Decorator to give a custom per-value validator function a default
+    message and Invalid subclass (schema_builder.py:1249-1301). The
+    decorated name becomes a factory: ``isint()`` or
+    ``isint('bad', clsoverride=...)`` yields a schema node."""
+    from . import exceptions as er
+
+    if cls and not issubclass(cls, er.Invalid):
+        raise er.SchemaError(
+            "message can only use subclases of Invalid as custom class"
+        )
+
+    def decorator(f):
+        def check(msg=None, clsoverride=None):
+            et = (clsoverride or cls or er.ValueInvalid).__name__
+            base = f
+            # unwrap a @truth-wrapped fn to keep truth semantics
+            if isinstance(base, CallableValidator):
+                return CallableValidator(
+                    base.fn, msg=msg or default or base.msg,
+                    error_type=et, truth_mode=base.truth_mode,
+                    out_type=base.out_type_,
+                )
+            return CallableValidator(
+                base, msg=msg or default or "invalid value", error_type=et
+            )
+
+        return check
+
+    return decorator
+
+
+def _path_probe(probe_name):
+    """Shared impl for IsFile/IsDir/PathExists (validators.py:558-619):
+    an os.path probe per value — necessarily Python, run Arrow-batched in
+    the worker. At cluster scale these see the EXECUTOR's filesystem; they
+    exist for reference parity and driver-side/local use."""
+    import os
+
+    probe = {"isfile": os.path.isfile, "isdir": os.path.isdir,
+             "exists": os.path.exists}[probe_name]
+
+    def fn(v):
+        if not v:
+            raise ValueError
+        return probe(str(v))
+
+    return fn
+
+
+class IsFile(CallableValidator):
+    """'Not a file' / FileInvalid (validators.py:558-575)."""
+
+    def __init__(self, msg=None):
+        super().__init__(_path_probe("isfile"), msg=msg or "Not a file",
+                         error_type="FileInvalid", truth_mode=True)
+
+    def __call__(self):  # reference usage is IsFile() — already an instance
+        return self
+
+
+class IsDir(CallableValidator):
+    """'Not a directory' / DirInvalid (validators.py:578-594)."""
+
+    def __init__(self, msg=None):
+        super().__init__(_path_probe("isdir"), msg=msg or "Not a directory",
+                         error_type="DirInvalid", truth_mode=True)
+
+
+class PathExists(CallableValidator):
+    """'path does not exist' / PathInvalid (validators.py:597-616)."""
+
+    def __init__(self, msg=None):
+        super().__init__(_path_probe("exists"),
+                         msg=msg or "path does not exist",
+                         error_type="PathInvalid", truth_mode=True)
+
+
+class Object(dict):
+    """Attribute-based validation marker (schema_builder.py:955-960).
+    A Spark Row IS its attribute bag, so an Object schema validates a
+    StructType column exactly like a dict schema, with ObjectInvalid as
+    the type-gate error ('Expected an object')."""
+
+    def __init__(self, schema, cls=UNDEFINED):
+        self.cls = cls
+        super().__init__(schema)
+
+
+class _SelfSentinel:
+    """Recursive schema reference (schema_builder.py:40-41, 215-216).
+    Compiled by substituting the ROOT schema at each nesting level; the
+    recursion is bounded by the (finite) depth of the column's StructType,
+    so unrolling terminates by construction."""
+
+    def __repr__(self):
+        return "Self"
+
+
+Self = _SelfSentinel()

@@ -298,7 +298,7 @@ class Schema:
             if dtype is None:
                 # column absent from the DataFrame entirely
                 if fld.default is not UNDEFINED:
-                    out_cols[fld.name] = F.lit(fld.default)
+                    out_cols[fld.name] = F.lit(_resolve_default(fld.default))
                 elif fld.required:
                     err_entries.append(
                         _violation(
@@ -315,12 +315,17 @@ class Schema:
             if fld.remove:
                 continue  # dropped from output, never validated
 
-            # nested dict schema over a struct column
-            if isinstance(fld.validator, dict):
-                sub = Schema(fld.validator, required=self.required,
+            # nested dict / Object schema over a struct column; Self
+            # re-enters the ROOT schema (bounded by StructType depth,
+            # schema_builder.py:215-216)
+            v = self.schema if fld.validator is dsl.Self else fld.validator
+            if isinstance(v, dict):
+                sub = Schema(v, required=self.required,
                              extra=self.extra)
                 out_col, sub_errs = sub._validate_struct(
-                    col, dtype, fld.path
+                    col, dtype, fld.path,
+                    as_object=isinstance(v, dsl.Object),
+                    root=self.schema,
                 )
                 out_cols[fld.name] = out_col
                 err_entries.extend(sub_errs)
@@ -330,7 +335,7 @@ class Schema:
                 _unwrap_marker(fld.validator), dtype
             )
             defaulted = (
-                F.coalesce(col, F.lit(fld.default))
+                F.coalesce(col, F.lit(_resolve_default(fld.default)))
                 if fld.default is not UNDEFINED
                 else col
             )
@@ -438,10 +443,23 @@ class Schema:
         )
 
     def _validate_struct(self, col: Column, dtype: T.StructType,
-                         prefix: tuple[str, ...]):
+                         prefix: tuple[str, ...], as_object: bool = False,
+                         root: dict | None = None):
         """Validate a StructType column field-by-field; returns
-        (output struct column, error entries with nested paths)."""
+        (output struct column, error entries with nested paths).
+        ``as_object``: Object schema (schema_builder.py:413-441) — same
+        mapping behavior, ObjectInvalid type gate. ``root``: the top-level
+        schema dict that ``Self`` re-enters."""
+        root = root if root is not None else self.schema
         if not isinstance(dtype, T.StructType):
+            if as_object:
+                cls = getattr(self.schema, "cls", dsl.UNDEFINED)
+                m = (f"expected a {cls!r}" if cls is not dsl.UNDEFINED
+                     else "expected an object")
+                return col, [
+                    _violation(prefix, F.lit(m), "ObjectInvalid",
+                               F.lit("None"), col.isNotNull())
+                ]
             return col, [
                 _violation(prefix, F.lit("expected a dictionary"),
                            "DictInvalid", F.lit("None"), col.isNotNull())
@@ -467,15 +485,19 @@ class Schema:
                                    col.isNotNull()))
                 continue
             sub_col = col[name]
+            val = root if val is dsl.Self else val
             if isinstance(val, dict):
                 sub_schema = Schema(val, required=self.required, extra=self.extra)
-                o, e = sub_schema._validate_struct(sub_col, sub_t, path)
+                o, e = sub_schema._validate_struct(
+                    sub_col, sub_t, path,
+                    as_object=isinstance(val, dsl.Object), root=root,
+                )
                 outs.append(o.alias(name))
                 errs.extend(e)
                 continue
             check = compile_validator(_unwrap_marker(val), sub_t)
             base = (
-                F.coalesce(sub_col, F.lit(default))
+                F.coalesce(sub_col, F.lit(_resolve_default(default)))
                 if default is not UNDEFINED else sub_col
             )
             present = base.isNotNull()
@@ -507,6 +529,12 @@ class Schema:
         return out_struct, errs
 
 
+def _resolve_default(d):
+    """Callable defaults are factories (default_factory,
+    schema_builder.py:29-50), resolved once at compile time."""
+    return d() if (d is not UNDEFINED and callable(d)) else d
+
+
 def _key_name(key):
     if isinstance(key, Marker):
         return key.schema
@@ -529,3 +557,67 @@ def _violation(path: tuple[str, ...], message: Column, error_type,
             F.substring(offending, 1, 500).alias("offending"),
         ),
     ).otherwise(F.lit(None))
+
+
+def validate(*a, **kw):
+    """Decorator validating function arguments (schema_builder.py:1329-1376),
+    re-targeted at pipeline functions: positional/keyword schemas map to
+    arguments by name; ``__return__`` validates the return value.
+
+    Spark-first semantics (documented divergence from the per-value
+    reference): a ``Schema`` arg-schema applied to a DataFrame argument
+    performs a STATIC bind check — every required key must exist in
+    ``df.schema`` and every validator must compile against the column types
+    (this is the useful guard for 10^12-row pipelines: fail in the driver
+    before launching a job, never per row). Python types check
+    ``isinstance``; anything else must be a ``Validator`` whose bind acts
+    as a static type gate. Per-value Python validation is intentionally
+    not re-implemented here.
+    """
+    from functools import wraps
+
+    from . import exceptions as er
+
+    RETURNS_KEY = "__return__"
+    return_schema = kw.pop(RETURNS_KEY, None)
+
+    def _check(name, schema, value):
+        if isinstance(schema, Schema):
+            if not isinstance(value, DataFrame):
+                raise er.Invalid(f"expected a DataFrame", [name])
+            fields, _ = schema._bind_fields(value.schema)
+            by_name = {f.name for f in value.schema.fields}
+            for fld in fields:
+                if (fld.required and fld.default is UNDEFINED
+                        and fld.name not in by_name):
+                    raise er.RequiredFieldInvalid(
+                        "required key not provided", [name, fld.name])
+            return
+        if isinstance(schema, type):
+            if not isinstance(value, schema):
+                raise er.TypeInvalid(
+                    f"expected {schema.__name__}", [name])
+            return
+        raise er.SchemaError(
+            f"unsupported argument schema for {name!r}: {schema!r}")
+
+    def decorator(func):
+        arg_names = func.__code__.co_varnames[: func.__code__.co_argcount]
+        schemas = dict(zip(arg_names, a))
+        schemas.update(kw)
+
+        @wraps(func)
+        def wrapper(*args, **kwargs):
+            bound = dict(zip(arg_names, args))
+            bound.update(kwargs)
+            for name, schema in schemas.items():
+                if name in bound:
+                    _check(name, schema, bound[name])
+            out = func(*args, **kwargs)
+            if return_schema is not None:
+                _check(RETURNS_KEY, return_schema, out)
+            return out
+
+        return wrapper
+
+    return decorator
