@@ -436,7 +436,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _ann_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "cosine_near_dups": _cosine_near_dups,
+        **_extra_queries(),
     }
+
+
+def _extra_queries():
+    from entry_ext import EXTRA_QUERIES
+
+    return EXTRA_QUERIES
+
+
+def _extra_oracles():
+    from entry_ext import EXTRA_ORACLES
+
+    return EXTRA_ORACLES
 
 
 def oracle_sql() -> dict[str, str]:
@@ -740,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
         """,
+        **_extra_oracles(),
         # minhash_candidates / simhash / ann_lsh_topk / cosine_near_dups:
         # rows-only checks (bucketed-LSH plumbing; exact-SQL oracles for the
         # verified outputs exist via jaccard_pairs / ann_topk)

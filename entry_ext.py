@@ -1,0 +1,280 @@
+"""Driver-contract extension queries: SURVEY.md §2 operators not covered by
+the original __spark_entry__ set — Boolean, NotIn, Contains, Equal, Unique
+(cell-level), Inclusive, Maybe, Email, Url, Msg, Datetime, Schema.extend.
+Merged into __spark_entry__.queries()/oracle_sql()."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from voluptuous_spark import (
+    ALLOW_EXTRA,
+    Boolean,
+    Contains,
+    Datetime,
+    Equal,
+    Email,
+    Inclusive,
+    Maybe,
+    Msg,
+    NotIn,
+    Range,
+    Schema,
+    Unique,
+    Url,
+)
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _boolean_parse(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.element_at(
+            F.array(F.lit("yes"), F.lit("off"), F.lit("TRUE"),
+                    F.lit("0"), F.lit("maybe")),
+            (F.col("event_id") % 5 + 1).cast("int"),
+        ).alias("flag"),
+    )
+    res = Schema({"flag": Boolean()}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["event_id"]
+    )
+    return res.valid.select("event_id", F.col("flag").alias("flag_bool"))
+
+
+def _notin_priority(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders")
+    res = Schema(
+        {"o_orderpriority": NotIn(["1-URGENT"])}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["o_orderkey"])
+    return res.violations.select("o_orderkey", "message", "error_type")
+
+
+def _contains_the(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("words")
+    )
+    res = Schema({"words": Contains("the")}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["doc_id"]
+    )
+    return res.violations.select("doc_id", "message", "error_type")
+
+
+def _equal_region(spark, sf_dir):
+    df = _t(spark, sf_dir, "region")
+    res = Schema({"r_name": Equal("ASIA")}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["r_regionkey"]
+    )
+    return res.violations.select("r_regionkey", "message", "error_type")
+
+
+def _unique_cells(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.array(F.col("o_orderkey") % 5, F.col("o_custkey") % 5).alias("pair"),
+    )
+    res = Schema({"pair": Unique()}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["o_orderkey"]
+    )
+    return res.violations.select("o_orderkey", "message", "error_type")
+
+
+def _inclusive_groups(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") > 10, F.col("value")).alias("lat"),
+        F.when(F.col("user_id") % 2 == 0, F.col("user_id")).alias("lon"),
+    )
+    res = Schema(
+        {Inclusive("lat", "coords"): float, Inclusive("lon", "coords"): int},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["event_id"])
+    return res.violations.select("event_id", "message", "error_type")
+
+
+def _maybe_value(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 3 != 0, F.col("value")).alias("v"),
+    )
+    res = Schema(
+        {"v": Maybe(Range(min=5.0, max=90.0))}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["event_id"])
+    return res.violations.select("event_id", "message", "error_type")
+
+
+def _email_check(spark, sf_dir):
+    df = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(F.lit("user"), F.col("c_custkey"), F.lit("@example.com")),
+        ).otherwise(F.lit("not-an-email")).alias("email"),
+    )
+    res = Schema({"email": Email()}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["c_custkey"]
+    )
+    return res.violations.select("c_custkey", "message", "error_type")
+
+
+def _url_check(spark, sf_dir):
+    df = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("https://example.com/u/"), F.col("c_custkey")),
+        ).otherwise(F.lit("no scheme here")).alias("homepage"),
+    )
+    res = Schema({"homepage": Url()}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["c_custkey"]
+    )
+    return res.violations.select("c_custkey", "message", "error_type")
+
+
+def _msg_override(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    res = Schema(
+        {"l_quantity": Msg(Range(min=1, max=40), "quantity out of policy")},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["l_orderkey", "l_linenumber"])
+    return res.violations.select(
+        "l_orderkey", "l_linenumber", "message", "error_type"
+    )
+
+
+def _datetime_format(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.concat(F.date_format("o_orderdate", "yyyy-MM-dd"),
+                     F.lit(" 12:30:00")),
+        ).otherwise(F.lit("nope")).alias("ts_str"),
+    )
+    res = Schema(
+        {"ts_str": Datetime(format="%Y-%m-%d %H:%M:%S")}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["o_orderkey"])
+    return res.violations.select("o_orderkey", "message", "error_type")
+
+
+def _schema_extend(spark, sf_dir):
+    base = Schema({"l_quantity": Range(min=1, max=50)}, extra=ALLOW_EXTRA)
+    extended = base.extend({"l_quantity": Range(min=1, max=30),
+                            "l_discount": Range(max=0.05)})
+    df = _t(spark, sf_dir, "lineitem")
+    res = extended.validate(df, id_cols=["l_orderkey", "l_linenumber"])
+    return res.violations.select(
+        "l_orderkey", "l_linenumber",
+        F.element_at("path", 1).alias("col"), "message",
+    )
+
+
+EXTRA_QUERIES = {
+    "boolean_parse": _boolean_parse,
+    "notin_priority": _notin_priority,
+    "contains_the": _contains_the,
+    "equal_region": _equal_region,
+    "unique_cells": _unique_cells,
+    "inclusive_groups": _inclusive_groups,
+    "maybe_value": _maybe_value,
+    "email_check": _email_check,
+    "url_check": _url_check,
+    "msg_override": _msg_override,
+    "datetime_format": _datetime_format,
+    "schema_extend": _schema_extend,
+}
+
+
+EXTRA_ORACLES = {
+    "boolean_parse": """
+        SELECT event_id,
+               CASE event_id % 5
+                 WHEN 0 THEN TRUE WHEN 1 THEN FALSE
+                 WHEN 2 THEN TRUE WHEN 3 THEN FALSE END AS flag_bool
+        FROM events
+        WHERE event_id % 5 <> 4
+    """,
+    "notin_priority": """
+        SELECT o_orderkey,
+               'value must not be one of [''1-URGENT'']' AS message,
+               'NotInInvalid' AS error_type
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    """,
+    "contains_the": """
+        SELECT doc_id, 'value is not allowed' AS message,
+               'ContainsInvalid' AS error_type
+        FROM documents
+        WHERE text IS NOT NULL
+          AND NOT list_contains(string_split(lower(text), ' '), 'the')
+    """,
+    "equal_region": """
+        SELECT r_regionkey,
+               'Values are not equal: value:' || r_name
+                 || ' != target:ASIA' AS message,
+               'Invalid' AS error_type
+        FROM region WHERE r_name <> 'ASIA'
+    """,
+    "unique_cells": """
+        SELECT o_orderkey,
+               'contains duplicate items: [' || (o_orderkey % 5)
+                 || ']' AS message,
+               'Invalid' AS error_type
+        FROM orders WHERE o_orderkey % 5 = o_custkey % 5
+    """,
+    "inclusive_groups": """
+        SELECT event_id,
+               'some but not all values in the same group of inclusion ' ||
+                 chr(39) || 'coords' || chr(39) AS message,
+               'InclusiveInvalid' AS error_type
+        FROM events
+        WHERE ((CASE WHEN value > 10 THEN value END) IS NULL)
+            <> ((CASE WHEN user_id % 2 = 0 THEN user_id END) IS NULL)
+    """,
+    "maybe_value": """
+        SELECT event_id,
+               CASE WHEN NOT (value >= 5.0) THEN 'value must be at least 5.0'
+                    ELSE 'value must be at most 90.0' END AS message,
+               'RangeInvalid' AS error_type
+        FROM events
+        WHERE user_id % 3 <> 0 AND value IS NOT NULL
+          AND NOT (value >= 5.0 AND value <= 90.0)
+    """,
+    "email_check": """
+        SELECT c_custkey, 'expected an email address' AS message,
+               'EmailInvalid' AS error_type
+        FROM customer WHERE c_custkey % 2 <> 0
+    """,
+    "url_check": """
+        SELECT c_custkey, 'expected a URL' AS message,
+               'UrlInvalid' AS error_type
+        FROM customer WHERE c_custkey % 3 <> 0
+    """,
+    "msg_override": """
+        SELECT l_orderkey, l_linenumber,
+               'quantity out of policy' AS message,
+               'RangeInvalid' AS error_type
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL
+          AND NOT (l_quantity >= 1 AND l_quantity <= 40)
+    """,
+    "datetime_format": """
+        SELECT o_orderkey,
+               'value does not match expected format %Y-%m-%d %H:%M:%S' AS message,
+               'DatetimeInvalid' AS error_type
+        FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    "schema_extend": """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS col,
+               'value must be at most 30' AS message
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND NOT (l_quantity <= 30)
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               'value must be at most 0.05'
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND NOT (l_discount <= 0.05)
+    """,
+}

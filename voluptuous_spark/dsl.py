@@ -27,6 +27,7 @@ from __future__ import annotations
 import re as _re
 import typing
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1333,7 +1334,6 @@ class PandasValidator(Validator):
 
     def bind(self, dtype):
         from pyspark.sql.functions import pandas_udf
-        import pandas as pd
 
         fn, msg = self.fn, self.msg
         res_t = T.StructType(
@@ -1390,7 +1390,6 @@ class CallableValidator(Validator):
 
     def bind(self, dtype):
         from pyspark.sql.functions import pandas_udf
-        import pandas as pd
 
         from . import exceptions as er
 
