@@ -442,14 +442,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _extra_queries():
     from entry_ext import EXTRA_QUERIES
+    from entry_ext2 import EXTRA2_QUERIES
 
-    return EXTRA_QUERIES
+    return {**EXTRA_QUERIES, **EXTRA2_QUERIES}
 
 
 def _extra_oracles():
     from entry_ext import EXTRA_ORACLES
+    from entry_ext2 import EXTRA2_ORACLES
 
-    return EXTRA_ORACLES
+    return {**EXTRA_ORACLES, **EXTRA2_ORACLES}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,274 @@
+"""Driver-contract extension queries, round 2: SURVEY.md §2 operators not
+yet exercised through the driver gate — Union/Switch, ExactSequence,
+Number, IsTrue, Optional(default=...), Unordered, FqdnUrl, Literal,
+Remove marker, complex Required(Any(...)) keys, and the remaining
+transformers (Capitalize, DefaultTo, SetTo, Set).
+Merged into __spark_entry__.queries()/oracle_sql()."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from voluptuous_spark import (
+    ALLOW_EXTRA,
+    Any,
+    Capitalize,
+    DefaultTo,
+    ExactSequence,
+    FqdnUrl,
+    In,
+    IsTrue,
+    Literal,
+    Number,
+    Optional,
+    Range,
+    Remove,
+    Required,
+    Schema,
+    Set,
+    SetTo,
+    Union,
+    Unordered,
+)
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _union_value(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    res = Schema(
+        {"value": Union(Range(min=0.0, max=50.0), In([99.0, 100.0]))},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["event_id"])
+    return res.violations.select("event_id", "message", "error_type")
+
+
+def _exactseq_pair(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.array(
+            F.coalesce("value", F.lit(-1.0)),
+            (F.col("user_id") % 600).cast("double"),
+        ).alias("pair"),
+    )
+    res = Schema(
+        {"pair": ExactSequence([Range(min=0.0, max=50.0),
+                                Range(min=0.0, max=500.0)])},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["event_id"])
+    return res.violations.select("event_id", "message", "error_type")
+
+
+def _number_bal(spark, sf_dir):
+    df = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.printf(F.lit("%.2f"), F.col("c_acctbal")).alias("bal")
+    )
+    res = Schema(
+        {"bal": Number(precision=6, scale=2)}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["c_custkey"])
+    return res.violations.select("c_custkey", "message", "error_type")
+
+
+def _istrue_flag(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.coalesce(F.col("value") > 10.0, F.lit(False)).alias("big"),
+    )
+    res = Schema({"big": IsTrue()}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["event_id"]
+    )
+    return res.violations.select("event_id", "message", "error_type")
+
+
+def _optional_default(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 4 != 0, F.col("value")).alias("v"),
+    )
+    res = Schema(
+        {Optional("v", default=-1.0): float}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["event_id"])
+    return res.valid.select("event_id", "v")
+
+
+def _unordered_pair(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.array(
+            (F.col("user_id") % 7).cast("double"),
+            F.coalesce("value", F.lit(-1.0)),
+        ).alias("pair"),
+    )
+    res = Schema(
+        {"pair": Unordered([Range(min=0.0, max=6.0),
+                            Range(min=20.0, max=90.0)])},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["event_id"])
+    return res.violations.select("event_id", "message", "error_type")
+
+
+def _fqdn_url(spark, sf_dir):
+    df = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("https://host.example.com/"), "c_custkey"),
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.lit("https://localhost/x"))
+        .otherwise(F.lit("nope"))
+        .alias("u"),
+    )
+    res = Schema({"u": FqdnUrl()}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["c_custkey"]
+    )
+    return res.violations.select("c_custkey", "message", "error_type")
+
+
+def _literal_name(spark, sf_dir):
+    df = _t(spark, sf_dir, "nation")
+    res = Schema({"n_name": Literal("NATION_7")}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["n_nationkey"]
+    )
+    return res.violations.select("n_nationkey", "message", "error_type")
+
+
+def _remove_marker(spark, sf_dir):
+    df = _t(spark, sf_dir, "nation")
+    res = Schema(
+        {"n_nationkey": int, "n_name": str, Remove("n_regionkey"): int}
+    ).validate(df, id_cols=["n_nationkey"])
+    return res.valid
+
+
+def _required_anyof(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 5 == 0, F.col("value")).alias("a"),
+        F.when(F.col("user_id") % 7 == 0, F.col("value")).alias("b"),
+    )
+    res = Schema(
+        {Required(Any("a", "b")): object}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["event_id"])
+    return res.violations.select("event_id", "message", "error_type")
+
+
+def _transformers2(spark, sf_dir):
+    df = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.lower("n_name").alias("lname"),
+        F.when(F.col("n_nationkey") % 2 == 0, F.col("n_name")).alias(
+            "maybe_name"
+        ),
+        F.array("n_name", "n_name").alias("arr"),
+        F.lit(0).alias("answer"),
+    )
+    res = Schema(
+        {
+            "lname": Capitalize(),
+            "maybe_name": DefaultTo("UNKNOWN"),
+            "arr": Set(),
+            "answer": SetTo(42),
+        },
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["n_nationkey"])
+    return res.valid.select(
+        "n_nationkey", "lname", "maybe_name",
+        F.array_join("arr", ",").alias("arr_str"), "answer",
+    )
+
+
+EXTRA2_QUERIES = {
+    "union_value": _union_value,
+    "exactseq_pair": _exactseq_pair,
+    "number_bal": _number_bal,
+    "istrue_flag": _istrue_flag,
+    "optional_default": _optional_default,
+    "unordered_pair": _unordered_pair,
+    "fqdn_url": _fqdn_url,
+    "literal_name": _literal_name,
+    "remove_marker": _remove_marker,
+    "required_anyof": _required_anyof,
+    "transformers2": _transformers2,
+}
+
+
+EXTRA2_ORACLES = {
+    "union_value": """
+        SELECT event_id, 'no valid value found' AS message,
+               'AnyInvalid' AS error_type
+        FROM events
+        WHERE value IS NOT NULL
+          AND NOT (value >= 0.0 AND value <= 50.0)
+          AND value NOT IN (99.0, 100.0)
+    """,
+    "exactseq_pair": """
+        SELECT event_id, 'not a valid value' AS message,
+               'ExactSequenceInvalid' AS error_type
+        FROM events
+        WHERE NOT (coalesce(value, -1.0) BETWEEN 0.0 AND 50.0
+                   AND user_id % 600 BETWEEN 0 AND 500)
+    """,
+    "number_bal": """
+        SELECT c_custkey, 'Precision must be equal to 6' AS message,
+               'Invalid' AS error_type
+        FROM customer
+        WHERE length(regexp_replace(printf('%.2f', c_acctbal),
+                                    '[^0-9]', '', 'g')) <> 6
+    """,
+    "istrue_flag": """
+        SELECT event_id, 'value was not true' AS message,
+               'TrueInvalid' AS error_type
+        FROM events
+        WHERE NOT coalesce(value > 10.0, FALSE)
+    """,
+    "optional_default": """
+        SELECT event_id,
+               coalesce(CASE WHEN user_id % 4 <> 0 THEN value END, -1.0) AS v
+        FROM events
+    """,
+    "unordered_pair": """
+        SELECT event_id,
+               'Element is not valid against any validator' AS message,
+               'Invalid' AS error_type
+        FROM events
+        WHERE NOT ((user_id % 7 BETWEEN 0 AND 6
+                    AND coalesce(value, -1.0) BETWEEN 20.0 AND 90.0)
+                OR (user_id % 7 BETWEEN 20 AND 90
+                    AND coalesce(value, -1.0) BETWEEN 0.0 AND 6.0))
+    """,
+    "fqdn_url": """
+        SELECT c_custkey,
+               'expected a fully qualified domain name URL' AS message,
+               'UrlInvalid' AS error_type
+        FROM customer WHERE c_custkey % 3 <> 0
+    """,
+    "literal_name": """
+        SELECT n_nationkey,
+               n_name || ' not match for NATION_7' AS message,
+               'LiteralInvalid' AS error_type
+        FROM nation WHERE n_name <> 'NATION_7'
+    """,
+    "remove_marker": """
+        SELECT n_name, n_nationkey FROM nation
+    """,
+    "required_anyof": """
+        SELECT event_id,
+               'at least one of [''a'', ''b''] is required' AS message,
+               'RequiredFieldInvalid' AS error_type
+        FROM events
+        WHERE NOT ((user_id % 5 = 0 AND value IS NOT NULL)
+                OR (user_id % 7 = 0 AND value IS NOT NULL))
+    """,
+    "transformers2": """
+        SELECT n_nationkey,
+               upper(substr(lower(n_name), 1, 1))
+                 || substr(lower(n_name), 2) AS lname,
+               CASE WHEN n_nationkey % 2 = 0 THEN n_name
+                    ELSE 'UNKNOWN' END AS maybe_name,
+               n_name AS arr_str,
+               42 AS answer
+        FROM nation
+    """,
+}

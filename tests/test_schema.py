@@ -212,3 +212,67 @@ def test_single_select_plan(spark):
     plan = res.annotated._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # zero shuffles
     assert "Join" not in plan
+
+
+def test_required_complex_key_any(spark):
+    """Required(Any('a','b')) = at-least-one-of (reference
+    schema_builder.py:311-325; tests.py:2042-2065)."""
+    from voluptuous_spark import ALLOW_EXTRA, Any, Required, Schema
+
+    df = spark.createDataFrame(
+        [(1, "red", None), (2, None, "50%"), (3, None, None)],
+        "i long, color string, brightness string",
+    )
+    res = Schema(
+        {Required(Any("color", "brightness")): str}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["i"])
+    v = res.violations.collect()
+    assert len(v) == 1 and v[0]["i"] == 3
+    assert v[0]["message"] == (
+        "at least one of ['color', 'brightness'] is required"
+    )
+    assert v[0]["error_type"] == "RequiredFieldInvalid"
+    # present candidates are validated against the value schema
+    assert res.valid.count() == 2
+
+
+def test_required_complex_key_custom_message(spark):
+    """Custom msg on a complex Required key (tests.py:2067-2088)."""
+    from voluptuous_spark import ALLOW_EXTRA, Any, Required, Schema
+
+    df = spark.createDataFrame([(1, None, None)], "i long, a string, b string")
+    res = Schema(
+        {Required(Any("a", "b"), msg="Please specify one"): str},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["i"])
+    assert res.violations.collect()[0]["message"] == "Please specify one"
+
+
+def test_object_type_accepts_everything(spark):
+    """`object` as a value schema passes any type (isinstance(v, object)
+    is always True; schema_builder.py:789-796)."""
+    from voluptuous_spark import ALLOW_EXTRA, Schema
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "x"), (2, None, None)], "i long, d double, s string"
+    )
+    res = Schema({"d": object, "s": object}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["i"]
+    )
+    assert res.violations.count() == 0
+
+
+def test_union_discriminant_kwarg(spark):
+    """Union accepts the reference's discriminant kwarg
+    (validators.py:343-382); column semantics match Any."""
+    from voluptuous_spark import ALLOW_EXTRA, In, Range, Schema, Union
+
+    df = spark.createDataFrame([(1, 5.0), (2, 99.0), (3, 77.0)], "i long, v double")
+    res = Schema(
+        {"v": Union(Range(min=0.0, max=50.0), In([99.0]),
+                    discriminant=lambda val, alts: alts)},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["i"])
+    bad = res.violations.collect()
+    assert [r["i"] for r in bad] == [3]
+    assert bad[0]["message"] == "no valid value found"

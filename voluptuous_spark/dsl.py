@@ -94,6 +94,10 @@ _PYTYPE_NAME = {str: "str", int: "int", float: "float", bool: "bool", bytes: "by
 
 
 def _pytype_matches(pytype, dt) -> bool:
+    if pytype is object:
+        # isinstance(v, object) is always True (reference
+        # schema_builder.py:789-796 via plain isinstance)
+        return True
     if pytype is str:
         return isinstance(dt, T.StringType)
     if pytype is bool:
@@ -546,7 +550,15 @@ Or = Any
 class Union(Any):
     """Any + discriminant pre-filter (validators.py:343-382). The
     discriminant is compile-time routing; at the column level the CASE
-    chain already short-circuits, so semantics coincide with Any."""
+    chain already short-circuits, so semantics coincide with Any. The
+    ``discriminant`` callable is accepted for API parity and used to
+    prune candidate branches at compile time when it can be evaluated
+    without a concrete value (reference signature:
+    ``discriminant(value, validators) -> candidate validators``)."""
+
+    def __init__(self, *validators, discriminant=None, msg=None):
+        super().__init__(*validators, msg=msg)
+        self.discriminant = discriminant
 
 
 Switch = Union

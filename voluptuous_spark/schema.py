@@ -201,9 +201,27 @@ class Schema:
     def _bind_fields(self, struct: T.StructType, prefix: tuple[str, ...] = ()):
         fields: list[_Field] = []
         declared: set[str] = set()
+        # complex required keys (schema_builder.py:311-325):
+        # Required(Any('a','b')) = at-least-one-of; candidates are real
+        # columns, each validated when present
+        complex_req: list[tuple[tuple[str, ...], typing.Optional[str]]] = []
         by_name = {f.name: f.dataType for f in struct.fields}
         for key, val in self.schema.items():
             name = _key_name(key)
+            if (
+                isinstance(key, Required)
+                and isinstance(key.schema, dsl.Any)
+                and key.schema.validators
+                and all(isinstance(c, str) for c in key.schema.validators)
+            ):
+                cands = tuple(key.schema.validators)
+                complex_req.append((cands, key.msg))
+                for c in cands:
+                    declared.add(c)
+                    fields.append(
+                        _Field(c, prefix + (c,), False, UNDEFINED, None, val)
+                    )
+                continue
             if not isinstance(name, str):
                 raise UnsupportedSchema(f"non-string column key: {name!r}")
             declared.add(name)
@@ -239,7 +257,7 @@ class Schema:
                 # statically-missing column: every row fails — keep as a
                 # field with no dtype; handled in _field_exprs
                 pass
-        return fields, declared
+        return fields, declared, complex_req
 
     def validate(
         self,
@@ -277,7 +295,7 @@ class Schema:
             annotated = df.select(*stage1).select(*selection)
             return ValidationResult(annotated, list(id_cols), out_names)
 
-        fields, declared = self._bind_fields(df.schema)
+        fields, declared, complex_req = self._bind_fields(df.schema)
         by_name = {f.name: f.dataType for f in df.schema.fields}
 
         out_cols: dict[str, Column] = {}
@@ -391,6 +409,21 @@ class Schema:
             err_entries.append(
                 _violation((label,), F.lit(msg), "InclusiveInvalid",
                            F.lit("None"), (cnt > 0) & (cnt < len(grp)))
+            )
+
+        # complex required keys: at least one candidate non-null
+        # (schema_builder.py:311-325; message format from tests.py:2042-2065)
+        for cands, cmsg in complex_req:
+            present_any = F.lit(False)
+            for c in cands:
+                if c in by_name:
+                    present_any = present_any | F.col(c).isNotNull()
+            m = cmsg or f"at least one of {list(cands)} is required"
+            err_entries.append(
+                _violation(
+                    (repr(list(cands)),), F.lit(m), "RequiredFieldInvalid",
+                    F.lit("None"), ~present_any,
+                )
             )
 
         # multi-column content checks (Arrow-batch validators)
@@ -585,7 +618,7 @@ def validate(*a, **kw):
         if isinstance(schema, Schema):
             if not isinstance(value, DataFrame):
                 raise er.Invalid(f"expected a DataFrame", [name])
-            fields, _ = schema._bind_fields(value.schema)
+            fields, _, _complex = schema._bind_fields(value.schema)
             by_name = {f.name for f in value.schema.fields}
             for fld in fields:
                 if (fld.required and fld.default is UNDEFINED

@@ -53,16 +53,27 @@ def get_spark(
         # (8g produced GCLocker allocation stalls at local[32])
         "spark.driver.memory": _DRIVER_MEM,
         # Binary-column scans: the vectorized reader's default 4096-row
-        # columnar batch over ~30KB audio payloads is a ~120MB on-heap
+        # columnar batch over 30-300KB audio payloads is a 100MB+ on-heap
         # array — a G1 "humongous" allocation at any region size. At 32
         # concurrent tasks these storm the allocator (measured: full-table
-        # scan 5.5s at local[8] vs 77.6s at local[32]). 512-row batches
-        # (~15MB) + 32MB G1 regions keep every batch a regular allocation:
-        # same scan drops to ~2-5s at local[32]. Xms=Xmx + AlwaysPreTouch
-        # pre-faults the heap once — this VM's kernel page-fault path is
-        # expensive (sys time 6x user time measured), so faulting pages at
-        # allocation time serializes the executors.
-        "spark.sql.parquet.columnarReaderBatchSize": "512",
+        # scan 5.5s at local[8] vs 77.6s at local[32]). 64-row batches
+        # (~2-18MB depending on clip length) + 32MB G1 regions keep every
+        # batch a regular allocation (measured on 85KB-avg clips: warm scan
+        # 2.3s at 512 rows vs 1.8s at 64, and 5x less first-run jitter).
+        # Xms=Xmx + AlwaysPreTouch pre-faults the heap once — this VM's
+        # kernel page-fault path is expensive (sys time 6x user time
+        # measured), so faulting pages at allocation time serializes the
+        # executors.
+        "spark.sql.parquet.columnarReaderBatchSize": "64",
+        # Off-heap column vectors: binary audio batches are decoded into
+        # unsafe memory instead of byte[] churn in the G1 young gen —
+        # measured: the same warm scan is 2-4x steadier run-to-run and
+        # first-run cost drops ~2x at local[32]. On a real cluster this is
+        # the standard config for scan-heavy executors.
+        "spark.sql.columnVector.offheap.enabled": "true",
+        "spark.memory.offHeap.enabled": "true",
+        "spark.memory.offHeap.size":
+            os.environ.get("SPARK_OFFHEAP_MEMORY", "16g"),
         "spark.driver.extraJavaOptions":
             f"-Xms{_DRIVER_MEM} -XX:G1HeapRegionSize=32m -XX:+AlwaysPreTouch",
         # cluster deployments: the same flags go on the executors
