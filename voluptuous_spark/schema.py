@@ -74,14 +74,25 @@ class ValidationResult:
     """Outputs of ``Schema.validate``."""
 
     def __init__(self, annotated: DataFrame, id_cols: list[str],
-                 out_names: list[str]):
+                 out_names: list[str], valid_df: DataFrame | None = None):
         self.annotated = annotated
         self._id_cols = id_cols
         self._out_names = out_names
+        self._valid_df = valid_df
 
     @property
     def valid(self) -> DataFrame:
-        """Rows with zero violations, transformed (coerced/defaulted)."""
+        """Rows with zero violations, transformed (coerced/defaulted).
+
+        Built from the raw per-check fail conditions, NOT
+        ``filter(size(__errors) == 0)``: a filter on the assembled errors
+        array gets predicate-pushed below the projection and re-inlines
+        every check expression 3-4x inside a non-codegen Filter (the
+        array_sort/array_compact lambdas block whole-stage codegen).
+        Filtering on the plain boolean conjunction keeps the predicate
+        inside codegen and evaluates each check exactly once."""
+        if self._valid_df is not None:
+            return self._valid_df
         return (
             self.annotated.filter(F.size("__errors") == 0)
             .select(*self._out_names)
@@ -97,9 +108,13 @@ class ValidationResult:
 
         Columns: id cols + (path, message, error_type, offending, rendered).
         """
+        # no filter(size > 0): explode already emits zero rows for empty
+        # arrays, and a size() filter would be predicate-pushed below the
+        # projection, re-evaluating every check expression several times
+        # in an interpreted (non-codegen) Filter node
         err = F.explode("__errors").alias("e")
         df = (
-            self.annotated.filter(F.size("__errors") > 0)
+            self.annotated
             .select(*self._id_cols, err)
             .select(
                 *self._id_cols,
@@ -291,9 +306,12 @@ class Schema:
         )
         cached = self._compiled_cache.get(memo_key)
         if cached is not None:
-            stage1, selection, out_names = cached
+            stage1, selection, out_names, fail_any, valid_sel = cached
             annotated = df.select(*stage1).select(*selection)
-            return ValidationResult(annotated, list(id_cols), out_names)
+            valid_df = df.select(*stage1).filter(~fail_any).select(*valid_sel)
+            return ValidationResult(
+                annotated, list(id_cols), out_names, valid_df
+            )
 
         fields, declared, complex_req = self._bind_fields(df.schema)
         by_name = {f.name: f.dataType for f in df.schema.fields}
@@ -451,14 +469,26 @@ class Schema:
                 out_cols.setdefault(c, F.col(c))
         # REMOVE_EXTRA: simply not projected
 
-        # array_compact + no-lambda array_sort: higher-order functions with
-        # lambdas block whole-stage codegen for the entire projection
-        errors = F.array_sort(
-            F.array_compact(F.array(*err_entries))
-        ) if err_entries else F.array().cast(
+        # Lambda-free assembly: array_compact/array_sort compile to
+        # higher-order functions whose lambda bodies force the ENTIRE
+        # projection out of whole-stage codegen (measured: 3-5s of
+        # interpreted per-row lambda eval on a 600k-row validate).
+        # concat of conditional singleton arrays stays inside codegen;
+        # error order = schema declaration order, which is exactly the
+        # reference's accumulation order (schema_builder.py:360-377).
+        empty = F.array().cast(
             "array<struct<path:array<string>,message:string,"
             "error_type:string,offending:string>>"
         )
+        if err_entries:
+            errors = F.concat(
+                *[
+                    F.when(en.isNotNull(), F.array(en)).otherwise(empty)
+                    for en in err_entries
+                ]
+            )
+        else:
+            errors = empty
 
         keep_ids = [c for c in id_cols if c not in out_cols]
         selection = (
@@ -466,13 +496,27 @@ class Schema:
             + [expr.alias(name) for name, expr in out_cols.items()]
             + [errors.alias("__errors")]
         )
+        # pass/fail as a plain boolean disjunction: each entry is
+        # `when(cond, struct).otherwise(null)`, so isNotNull() == cond.
+        # Used by `valid` so its filter stays inside whole-stage codegen
+        # (no array lambdas) and evaluates each check once.
+        fail_any = F.lit(False)
+        for en in err_entries:
+            fail_any = fail_any | en.isNotNull()
+        valid_sel = (
+            [F.col(c).alias(c) for c in keep_ids]
+            + [expr.alias(name) for name, expr in out_cols.items()]
+        )
         stage1 = [F.col("*")] + hidden  # unbound: reusable across DataFrames
         self._compiled_cache[memo_key] = (
-            stage1, selection, list(keep_ids) + list(out_cols)
+            stage1, selection, list(keep_ids) + list(out_cols),
+            fail_any, valid_sel,
         )
         annotated = df.select(*stage1).select(*selection)
+        valid_df = df.select(*stage1).filter(~fail_any).select(*valid_sel)
         return ValidationResult(
-            annotated, list(id_cols), list(keep_ids) + list(out_cols)
+            annotated, list(id_cols), list(keep_ids) + list(out_cols),
+            valid_df,
         )
 
     def _validate_struct(self, col: Column, dtype: T.StructType,

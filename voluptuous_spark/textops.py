@@ -65,19 +65,25 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
-def _shingles(df: DataFrame, text_col: str, id_col: str, n: int):
-    """(id, shingle) distinct word n-grams of normalized text."""
+def _shingles(df: DataFrame, text_col: str, id_col: str, n: int,
+              hashed: bool = False):
+    """(id, shingle) distinct word n-grams of normalized text.
+
+    ``hashed=True`` replaces the shingle string by xxhash64 BEFORE the
+    distinct, so the dedup shuffle moves (id, long) rows instead of raw
+    n-gram text — the scale path when downstream only needs identity."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     sh = F.transform(
         idx,
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
-    )
+    out = df.select(
+        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
+    ).filter(F.length("shingle") > 0)
+    if hashed:
+        out = out.select("id", F.xxhash64("shingle").alias("shingle"))
+    return out.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -96,7 +102,11 @@ def ngram_jaccard_pairs(
     ``minhash_lsh_candidates`` to pre-bucket and only verify candidates.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    sh = _shingles(df, text_col, id_col, n).cache()
+    # shingle strings never cross a shuffle: hash to 64-bit first, so the
+    # distinct + self-join shuffle rows of (id, long) instead of raw
+    # n-gram text (xxhash64 collisions are ~(k^2)/2^65 — negligible even
+    # at billions of distinct shingles, and only ever merge two shingles)
+    sh = _shingles(df, text_col, id_col, n, hashed=True).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -109,8 +119,8 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .select(
             "id_a",
             "id_b",
