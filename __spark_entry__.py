@@ -454,6 +454,107 @@ def _extra_oracles():
     return {**EXTRA_ORACLES, **EXTRA2_ORACLES}
 
 
+# shared SRP-bucket CTE (n_bits=4, coefs = similarity._SRP_COEFS[:4],
+# P = 2147483647); component sums replicate the j=1..dim fold exactly
+_SRP_BUCKET_CTE = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), u AS (
+      SELECT e.vec_id, e.v[t.j] AS val, t.j AS j
+      FROM e, unnest(generate_series(1, len(e.v))) AS t(j)
+    ), comp AS (
+      SELECT vec_id,
+        sum(val * ((((j * 1500450271 + 97) % 2147483647)
+                    / 2147483647.0) - 0.5)) AS c0,
+        sum(val * ((((j * 179424673 + 257) % 2147483647)
+                    / 2147483647.0) - 0.5)) AS c1,
+        sum(val * ((((j * 982451653 + 991) % 2147483647)
+                    / 2147483647.0) - 0.5)) AS c2,
+        sum(val * ((((j * 32452843 + 1031) % 2147483647)
+                    / 2147483647.0) - 0.5)) AS c3
+      FROM u GROUP BY vec_id
+    ), bucketed AS (
+      SELECT c.vec_id,
+             (CASE WHEN c0 > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN c1 > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN c2 > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN c3 > 0 THEN 8 ELSE 0 END) AS bucket,
+             e.v
+      FROM comp c JOIN e ON e.vec_id = c.vec_id
+    )
+"""
+
+_SIMHASH_ORACLE = r"""
+    WITH tok AS (
+      SELECT doc_id AS id, w
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(trim(regexp_replace(
+                       text, '\s+', ' ', 'g'))), ' ')) AS w
+            FROM documents)
+      WHERE length(w) > 0
+    ), d AS (
+      SELECT w, row_number() OVER (ORDER BY w) AS rank
+      FROM (SELECT DISTINCT w FROM tok)
+    ), r AS (
+      SELECT id, (rank * 1500450271 + 97) % 2147483647 AS h
+      FROM tok JOIN d USING (w)
+    ), votes AS (
+      SELECT id,
+""" + ",\n".join(
+    f"        sum(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END)"
+    f" AS b{j}"
+    for j in range(16)
+) + """
+      FROM r GROUP BY id
+    )
+    SELECT id, (""" + "\n      + ".join(
+    f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+) + """) AS simhash
+    FROM votes
+"""
+
+_MINHASH_COEFS_SQL = [
+    (1_500_450_271, 97), (179_424_673, 257), (982_451_653, 991),
+    (32_452_843, 1_031), (2_038_074_743, 8_191), (492_876_847, 131_071),
+    (715_225_739, 524_287), (413_158_511, 6_700_417),
+]
+
+_MINHASH_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(
+                 text, '\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS id,
+             array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)
+      WHERE length(array_to_string(ws[i:i+2], ' ')) > 0
+    ), d AS (
+      SELECT shingle, row_number() OVER (ORDER BY shingle) AS rank
+      FROM (SELECT DISTINCT shingle FROM sh)
+    ), r AS (
+      SELECT id, rank FROM sh JOIN d USING (shingle)
+    ), sig AS (
+      SELECT id,
+""" + ",\n".join(
+    f"        min((rank * {a} + {b}) % 2147483647) AS h{i}"
+    for i, (a, b) in enumerate(_MINHASH_COEFS_SQL)
+) + """
+      FROM r GROUP BY id
+    ), bands AS (
+""" + "\n      UNION ALL\n".join(
+    f"      SELECT id, {bi} AS band, h{2 * bi} AS v1, h{2 * bi + 1} AS v2"
+    " FROM sig"
+    for bi in range(4)
+) + """
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.id < b.id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "flagship_violations": _FLAGSHIP_ORACLE,
@@ -755,8 +856,36 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
         """,
+        # SRP bucket (similarity.srp_bucket_expr): bit i = sign of
+        # sum_j v[j]*(((j*a_i+b_i)%P)/P - 0.5); deterministic hyperplanes,
+        # so DuckDB computes identical buckets
+        "ann_lsh_topk": _SRP_BUCKET_CTE + """
+            , q AS (
+              SELECT vec_id AS query_id, bucket, v AS qv
+              FROM bucketed WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, c.vec_id,
+                     round(list_cosine_similarity(c.v, q.qv), 6) AS score
+              FROM bucketed c JOIN q ON c.bucket = q.bucket
+            )
+            SELECT query_id, vec_id, score,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, vec_id
+                   ) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "cosine_near_dups": _SRP_BUCKET_CTE + """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS score
+            FROM bucketed a JOIN bucketed b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+        """,
+        # textops.simhash: token-rank affine hash, per-bit +-1 votes
+        "simhash": _SIMHASH_ORACLE,
+        # textops.minhash_lsh_candidates: rank dictionary -> 8 affine
+        # permutation mins -> 4 bands of 2 -> band-equality join
+        "minhash_candidates": _MINHASH_ORACLE,
         **_extra_oracles(),
-        # minhash_candidates / simhash / ann_lsh_topk / cosine_near_dups:
-        # rows-only checks (bucketed-LSH plumbing; exact-SQL oracles for the
-        # verified outputs exist via jaccard_pairs / ann_topk)
     }
