@@ -65,6 +65,10 @@ def run_headline_queries() -> dict:
         t0 = time.time()
         _force(fn(spark, SF_DIR))
         out[name] = round(time.time() - t0, 3)
+        # queries are independent: drop any intermediate caches (LSH
+        # dictionaries, shingle tables) so later queries aren't measured
+        # under earlier queries' storage pressure
+        spark.catalog.clearCache()
     spark.stop()
     return out
 

@@ -71,15 +71,25 @@ def _shingles(df: DataFrame, text_col: str, id_col: str, n: int,
 
     ``hashed=True`` replaces the shingle string by xxhash64 BEFORE the
     distinct, so the dedup shuffle moves (id, long) rows instead of raw
-    n-gram text — the scale path when downstream only needs identity."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    n-gram text — the scale path when downstream only needs identity.
+
+    The word array is materialized in its own projection first: expression
+    trees referenced inside a ``transform`` lambda are re-evaluated per
+    element (no common-subexpression elimination across lambda scopes), so
+    inlining the regexp+split would re-tokenize the document once per
+    shingle (measured 6x slower)."""
+    pre = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__ws"),
+    )
+    words = F.col("__ws")
     idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
     sh = F.transform(
         idx,
         lambda i: F.array_join(F.slice(words, i + 1, n), " "),
     )
-    out = df.select(
-        F.col(id_col).alias("id"), F.explode(sh).alias("shingle")
+    out = pre.select(
+        "id", F.explode(sh).alias("shingle")
     ).filter(F.length("shingle") > 0)
     if hashed:
         out = out.select("id", F.xxhash64("shingle").alias("shingle"))
@@ -133,18 +143,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def _dense_ranks(values: DataFrame, col: str, buckets: int = 64) -> DataFrame:
+    """(col, rank): dense 1-based ranks by ascending ``col`` — numerically
+    identical to ``row_number() over (order by col)`` but WITHOUT the
+    single-partition global window (WindowExec with no partition key moves
+    the whole dictionary to one task — a non-starter for a 10^12-row
+    corpus's shingle dictionary). Plan: range-partition the distinct
+    values, rank locally per partition, add per-partition offsets (a tiny
+    driver-side cumulative sum over ``buckets`` counts).
+
+    The distinct dictionary is cached so the offsets job and the consuming
+    job see the same range bounds (repartitionByRange samples its bounds).
+    """
+    d = (
+        values.select(col).distinct()
+        .repartitionByRange(buckets, F.col(col))
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in d.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(v) for kv in sorted(offsets.items()) for v in kv]
+    ) if offsets else F.create_map()
+    w = Window.partitionBy("__pid").orderBy(col)
+    return d.select(
+        col,
+        (F.row_number().over(w) + off[F.col("__pid")]).alias("rank"),
+    )
+
+
 def shingle_ranks(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, shingle_rank) with ranks from the sorted distinct-shingle
     dictionary — the portable hash basis for MinHash/SimHash."""
     sh = _shingles(df, text_col, id_col, n)
-    dict_ = (
-        sh.select("shingle")
-        .distinct()
-        .withColumn(
-            "rank", F.row_number().over(Window.orderBy("shingle"))
-        )
-    )
+    dict_ = _dense_ranks(sh, "shingle")
     return sh.join(dict_, "shingle").select("id", "rank")
 
 
@@ -221,10 +263,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     tok = df.select(F.col(id_col).alias("id"), words).filter(
         F.length("w") > 0
     )
-    dict_ = (
-        tok.select("w").distinct()
-        .withColumn("rank", F.row_number().over(Window.orderBy("w")))
-    )
+    dict_ = _dense_ranks(tok, "w")
     ranked = tok.join(dict_, "w").select("id", "rank")
     h = (F.col("rank").cast("long") * F.lit(_MINHASH_COEFS[0][0]).cast("long")
          + F.lit(_MINHASH_COEFS[0][1])) % F.lit(_MINHASH_PRIME)
