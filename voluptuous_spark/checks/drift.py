@@ -137,15 +137,53 @@ def ks_statistic(
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = merged.select(
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
-        F.sum("ca").over(_ALL()).alias("na"),
-        F.sum("cb").over(_ALL()).alias("nb"),
-    )
+    cum, na, nb = _ordered_cumsum(merged, "v", ("ca", "cb"))
+    if na == 0 or nb == 0:
+        return merged.sparkSession.createDataFrame(
+            [(None,)], "ks_stat double"
+        )
     return cum.select(
         F.abs(
-            F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb")
+            F.col("cum_ca") / F.lit(na) - F.col("cum_cb") / F.lit(nb)
         ).alias("d")
     ).agg(F.max("d").alias("ks_stat"))
+
+
+def _ordered_cumsum(df, order_col: str, sum_cols, buckets: int = 64):
+    """Cumulative sums by ascending ``order_col`` WITHOUT a global-order
+    window (``Window.orderBy`` with no partition key funnels every distinct
+    value through one task — fatal for an ECDF over a 10^12-row column).
+    Range-partition, cumsum locally, add per-partition offsets from a tiny
+    driver-side pass over ``buckets`` partial sums. Returns
+    (df + cum_<col> columns, total_0, total_1, ...) — totals come free
+    from the offsets job.
+
+    The repartitioned frame is cached so the offsets job and the consuming
+    job see identical range bounds (repartitionByRange samples them)."""
+    d = (
+        df.repartitionByRange(buckets, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .cache()
+    )
+    part = sorted(
+        (r["__pid"], r)
+        for r in d.groupBy("__pid").agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        ).collect()
+    )
+    offs = {c: {} for c in sum_cols}
+    acc = {c: 0 for c in sum_cols}
+    for pid, r in part:
+        for c in sum_cols:
+            offs[c][pid] = acc[c]
+            acc[c] += r[c] or 0
+    w = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = d
+    for c in sum_cols:
+        m = F.create_map(
+            *[F.lit(v) for kv in sorted(offs[c].items()) for v in kv]
+        ) if offs[c] else F.create_map()
+        out = out.withColumn(f"cum_{c}", F.sum(c).over(w) + m[F.col("__pid")])
+    return (out, *[acc[c] for c in sum_cols])
