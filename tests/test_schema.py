@@ -136,8 +136,11 @@ def test_nested_struct_paths(spark):
         (("settings", "retries"), "value must be at most 10", "RangeInvalid")
     }
     rendered = res.violations.select("rendered").collect()[0][0]
+    # reference-verified: value errors in a dict render with the
+    # ' for dictionary value' context (schema_builder.py:370, error.py:52)
     assert rendered == (
-        "value must be at most 10 @ data['settings']['retries']"
+        "value must be at most 10 for dictionary value"
+        " @ data['settings']['retries']"
     )
 
 
@@ -146,8 +149,10 @@ def test_humanized(spark):
     df = spark.createDataFrame([("ogg",)], "codec string")
     res = Schema({"codec": In(["wav", "mp3"])}).validate(df, id_cols=[])
     h = res.violations.select("humanized").collect()[0][0]
+    # reference-verified via voluptuous.humanize.humanize_error
     assert h == (
-        "value must be one of ['mp3', 'wav'] @ data['codec']. Got 'ogg'"
+        "value must be one of ['mp3', 'wav'] for dictionary value"
+        " @ data['codec']. Got 'ogg'"
     )
 
 

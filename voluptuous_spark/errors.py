@@ -69,13 +69,19 @@ ERROR_TYPES = frozenset(
     }
 )
 
-# Schema of one violation (one reference ``Invalid``).
+# Schema of one violation (one reference ``Invalid``). ``error_type``
+# holds the exception CLASS name (InInvalid, RangeInvalid, ...); ``ctx``
+# holds the reference's ``Invalid.error_type`` CONTEXT string
+# ('dictionary value' / 'object value', set by mapping compile at
+# schema_builder.py:370 when the error is about the value itself), which
+# feeds the rendered form "<msg> for <ctx> @ data[...]" (error.py:49-54).
 VIOLATION_SCHEMA = StructType(
     [
         StructField("path", ArrayType(StringType()), True),
         StructField("message", StringType(), True),
         StructField("error_type", StringType(), True),
         StructField("offending", StringType(), True),
+        StructField("ctx", StringType(), True),
     ]
 )
 

@@ -122,13 +122,18 @@ class ValidationResult:
                 F.col("e.message").alias("message"),
                 F.col("e.error_type").alias("error_type"),
                 F.col("e.offending").alias("offending"),
+                F.col("e.ctx").alias("__ctx"),
             )
         )
+        # rendered = Invalid.__str__ (error.py:49-54): the ' for <ctx>'
+        # context comes from the mapping compile, not the class name
         rendered = render_violation(
-            F.col("path"), F.col("message"), F.lit(None).cast("string")
+            F.col("path"), F.col("message"), F.col("__ctx")
         )
-        return df.withColumn("rendered", rendered).withColumn(
-            "humanized", _humanize(rendered, F.col("offending"))
+        return (
+            df.withColumn("rendered", rendered)
+            .withColumn("humanized", _humanize(rendered, F.col("offending")))
+            .drop("__ctx")
         )
 
     def report(self, partition_cols: typing.Sequence[str] = ()) -> DataFrame:
@@ -399,7 +404,7 @@ class Schema:
             err_entries.append(
                 _violation(
                     fld.path, e["message"], e["error_type"], repr_c,
-                    e.isNotNull(),
+                    e.isNotNull(), ctx="dictionary value",
                 )
             )
             out_cols[fld.name] = out
@@ -478,7 +483,7 @@ class Schema:
         # reference's accumulation order (schema_builder.py:360-377).
         empty = F.array().cast(
             "array<struct<path:array<string>,message:string,"
-            "error_type:string,offending:string>>"
+            "error_type:string,offending:string,ctx:string>>"
         )
         if err_entries:
             errors = F.concat(
@@ -588,7 +593,9 @@ class Schema:
             errs.append(
                 _violation(path, e["message"], e["error_type"],
                            py_repr_col(base, sub_t),
-                           col.isNotNull() & present & e.isNotNull()))
+                           col.isNotNull() & present & e.isNotNull(),
+                           ctx="object value" if as_object
+                           else "dictionary value"))
             outs.append(check.out(base).alias(name))
         # extra fields in the struct
         for fname, ft in by_name.items():
@@ -623,7 +630,12 @@ def _unwrap_marker(v):
 
 
 def _violation(path: tuple[str, ...], message: Column, error_type,
-               offending: Column, cond: Column) -> Column:
+               offending: Column, cond: Column,
+               ctx: str | None = None) -> Column:
+    """``ctx`` is the reference's mapping context ('dictionary value' /
+    'object value', schema_builder.py:370): set on direct value-validator
+    errors, absent on required/extra/group errors — it shapes the rendered
+    string, not the message."""
     et = F.lit(error_type) if isinstance(error_type, str) else error_type
     return F.when(
         cond,
@@ -632,6 +644,7 @@ def _violation(path: tuple[str, ...], message: Column, error_type,
             message.alias("message"),
             et.alias("error_type"),
             F.substring(offending, 1, 500).alias("offending"),
+            F.lit(ctx).cast("string").alias("ctx"),
         ),
     ).otherwise(F.lit(None))
 
