@@ -102,7 +102,12 @@ def test_raise_if_invalid_and_humanize(spark):
 
     rows = res.violations.collect()
     h = humanize_error_rows(rows)
-    assert h == "value must be at most 100 @ data['dur']. Got 500"
+    # reference-verified: value errors in a dict carry the
+    # ' for dictionary value' context in the rendered form
+    assert h == (
+        "value must be at most 100 for dictionary value @ data['dur']."
+        " Got 500"
+    )
 
 
 def test_raise_if_invalid_noop_when_valid(spark):
@@ -281,3 +286,36 @@ def test_email_regex_exports():
     assert vs.DOMAIN_REGEX.match("example.com")
     assert not vs.DOMAIN_REGEX.match("nodots")
     assert str(vs.VirtualPathComponent("grp")) == "<grp>"
+
+
+def test_schema_call_single_document(spark):
+    """Reference entry point: schema(data) -> transformed doc or
+    MultipleInvalid (schema_builder.py:202-210), driven through the
+    DataFrame engine."""
+    from voluptuous_spark import Coerce, In, Optional
+
+    s = Schema(
+        {
+            Required("clip_id"): str,
+            "sr_hz": In([8000, 16000]),
+            Optional("lang", default="en"): str,
+            "n": Coerce(int),
+        },
+        extra=ALLOW_EXTRA,
+    )
+    out = s({"clip_id": "c1", "sr_hz": 8000, "n": "42"})
+    assert out == {"clip_id": "c1", "sr_hz": 8000, "lang": "en", "n": 42}
+
+    with pytest.raises(MultipleInvalid) as ei:
+        s({"clip_id": "c1", "sr_hz": 123, "n": "1"})
+    assert str(ei.value) == (
+        "value must be one of [8000, 16000] for dictionary value"
+        " @ data['sr_hz']"
+    )
+
+    # nested dicts become struct columns transparently
+    s2 = Schema({"one": {"two": "three"}})
+    assert s2({"one": {"two": "three"}}) == {"one": {"two": "three"}}
+    with pytest.raises(MultipleInvalid) as ei2:
+        s2({"one": {"two": "nine"}})
+    assert "@ data['one']['two']" in str(ei2.value)

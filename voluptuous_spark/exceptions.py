@@ -262,8 +262,12 @@ def invalid_from_row(row) -> Invalid:
     if cls is MultipleInvalid:  # never stored, but stay safe
         cls = Invalid
     e = cls(row["message"], path=path)
-    # typed subclasses carry their type in the class, not the string field
-    if cls is Invalid:
+    # ``Invalid.error_type`` is the mapping CONTEXT ('dictionary value'),
+    # set by the dict compiler in the reference (schema_builder.py:370) —
+    # NOT the class name; the violations DataFrame carries it as ``ctx``
+    try:
+        e.error_type = row["ctx"]
+    except (KeyError, ValueError):
         e.error_type = None
     return e
 

@@ -122,18 +122,17 @@ class ValidationResult:
                 F.col("e.message").alias("message"),
                 F.col("e.error_type").alias("error_type"),
                 F.col("e.offending").alias("offending"),
-                F.col("e.ctx").alias("__ctx"),
+                F.col("e.ctx").alias("ctx"),
             )
         )
         # rendered = Invalid.__str__ (error.py:49-54): the ' for <ctx>'
         # context comes from the mapping compile, not the class name
         rendered = render_violation(
-            F.col("path"), F.col("message"), F.col("__ctx")
+            F.col("path"), F.col("message"), F.col("ctx")
         )
         return (
             df.withColumn("rendered", rendered)
             .withColumn("humanized", _humanize(rendered, F.col("offending")))
-            .drop("__ctx")
         )
 
     def report(self, partition_cols: typing.Sequence[str] = ()) -> DataFrame:
@@ -177,6 +176,47 @@ class Schema:
                 "table Schema must be a dict of column -> validator; "
                 "use compile_validator for single columns"
             )
+
+    # -- reference-style single-document call (schema_builder.py:202-210) ---
+    def __call__(self, data: dict, spark=None) -> dict:
+        """Validate ONE document exactly like the reference:
+        ``schema(data)`` returns the transformed document or raises
+        ``MultipleInvalid``. A driver-side compatibility shim over the
+        DataFrame engine (one-row DataFrame round-trip) so reference
+        callers can switch without code changes; for table scale use
+        ``validate(df)``."""
+        from pyspark.sql import SparkSession
+
+        from .exceptions import raise_if_invalid
+
+        if not isinstance(data, dict):
+            raise UnsupportedSchema(
+                "Schema.__call__ validates dict documents; wrap scalars in "
+                "a dict or use compile_validator"
+            )
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "Schema.__call__ needs an active SparkSession"
+            )
+        stype = self._infer_doc_type(data)
+        df = spark.createDataFrame([_to_row_value(data, stype)], stype)
+        res = self.validate(df, id_cols=[])
+        raise_if_invalid(res)
+        rows = res.valid.collect()
+        return rows[0].asDict(recursive=True)
+
+    def _infer_doc_type(self, data: dict) -> T.StructType:
+        hints = {}
+        for key, val in self.schema.items():
+            name = _key_name(key)
+            if isinstance(name, str):
+                hints[name] = val
+        fields = [
+            T.StructField(k, _infer_spark_type(v, hints.get(k)), True)
+            for k, v in data.items()
+        ]
+        return T.StructType(fields)
 
     # -- compile-time DSL merge (schema_builder.py:705-767) -----------------
     def extend(self, schema: dict, required=None, extra=None) -> "Schema":
@@ -611,6 +651,76 @@ class Schema:
                 outs.append(col[fname].alias(fname))
         out_struct = F.when(col.isNotNull(), F.struct(*outs)) if outs else col
         return out_struct, errs
+
+
+_PY_TO_SPARK = {
+    bool: T.BooleanType(), int: T.LongType(), float: T.DoubleType(),
+    str: T.StringType(), bytes: T.BinaryType(),
+}
+
+
+def _infer_spark_type(value, hint=None) -> T.DataType:
+    """Spark type for one document cell: data-driven, falling back to the
+    schema DSL hint (a Python type or a literal) for None/missing."""
+    if isinstance(value, bool):
+        return T.BooleanType()
+    if isinstance(value, int):
+        return T.LongType()
+    if isinstance(value, float):
+        return T.DoubleType()
+    if isinstance(value, str):
+        return T.StringType()
+    if isinstance(value, (bytes, bytearray)):
+        return T.BinaryType()
+    if isinstance(value, dict):
+        sub_hints = hint if isinstance(hint, dict) else {}
+        return T.StructType(
+            [
+                T.StructField(
+                    str(k),
+                    _infer_spark_type(
+                        v,
+                        next(
+                            (sv for sk, sv in sub_hints.items()
+                             if _key_name(sk) == k),
+                            None,
+                        ),
+                    ),
+                    True,
+                )
+                for k, v in value.items()
+            ]
+        )
+    if isinstance(value, (list, tuple, set, frozenset)):
+        items = list(value)
+        elem_hint = hint[0] if isinstance(hint, list) and hint else None
+        elem = next((x for x in items if x is not None), None)
+        return T.ArrayType(_infer_spark_type(elem, elem_hint), True)
+    # None: fall back to the DSL hint
+    if isinstance(hint, type) and hint in _PY_TO_SPARK:
+        return _PY_TO_SPARK[hint]
+    if isinstance(hint, dict):
+        return _infer_spark_type({k: None for k in hint}, hint)
+    if hint is not None and not callable(hint) and not isinstance(hint, dict):
+        t = _PY_TO_SPARK.get(type(hint))
+        if t is not None:
+            return t
+    return T.StringType()
+
+
+def _to_row_value(value, dtype):
+    """Convert a Python document tree into Spark row values matching
+    ``dtype`` (dicts -> tuples in field order, sets -> lists)."""
+    if isinstance(dtype, T.StructType):
+        d = value or {}
+        return tuple(
+            _to_row_value(d.get(f.name), f.dataType) for f in dtype.fields
+        )
+    if isinstance(dtype, T.ArrayType):
+        if value is None:
+            return None
+        return [_to_row_value(x, dtype.elementType) for x in value]
+    return value
 
 
 def _resolve_default(d):
