@@ -39,3 +39,48 @@ def test_streaming_validate(spark):
         out = {r["clip_id"]: r["n_errors"] for r in
                spark.read.parquet(out_dir).collect()}
         assert out == {"a": 0, "b": 1, "c": 1}
+
+
+def test_stateful_duplicates_survive_restart(spark):
+    """applyInPandasWithState: per-key counts persist in the checkpointed
+    state store — a duplicate arriving in a LATER run (query restart from
+    the same checkpoint) is flagged."""
+    from voluptuous_spark.streaming import stateful_duplicate_flags
+
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir, ckpt = f"{tmp}/in", f"{tmp}/ckpt"
+
+        def run(batch_df, out_dir):
+            batch_df.write.mode("append").parquet(in_dir)
+            stream = spark.readStream.schema("clip_id string").parquet(in_dir)
+            # foreachBatch: checkpoint-recoverable with any batch sink
+            q = (
+                stateful_duplicate_flags(stream)
+                .writeStream.foreachBatch(
+                    lambda bdf, _id: bdf.write.mode("append")
+                    .parquet(out_dir)
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                r["clip_id"]: (r["n_seen"], r["is_duplicate"])
+                for r in spark.read.parquet(out_dir).collect()
+            }
+
+        first = run(
+            spark.createDataFrame([("a",), ("b",)], "clip_id string"),
+            f"{tmp}/out1",
+        )
+        assert first == {"a": (1, False), "b": (1, False)}
+
+        second = run(
+            spark.createDataFrame([("b",), ("c",)], "clip_id string"),
+            f"{tmp}/out2",
+        )
+        # 'b' was seen in run 1: state restored from checkpoint flags it
+        assert second["b"] == (2, True)
+        assert second["c"] == (1, False)

@@ -385,3 +385,16 @@ def test_set_to(validate_one):
 def test_msg_override(validate_one):
     r = validate_one(Msg(Range(min=0), "不错"), [-1], "int")
     assert r[0][1][0][0] == "不错"
+
+
+def test_range_rejects_nan(validate_one):
+    """Reference tests.py:661-663: NaN fails Range even with only a min
+    bound (`not v >= min` form) — Spark would otherwise order NaN above
+    every number and pass it."""
+    out = validate_one(Range(min=0.0), [1.5, float("nan")], "double")
+    assert out[0] == ("ok", 1.5)
+    assert out[1][0] == "err"
+    assert out[1][1][0][0] == "value must be at least 0.0"
+
+    out = validate_one(Range(max=10.0), [float("nan")], "double")
+    assert out[0][1][0][0] == "value must be at most 10.0"

@@ -1,1 +1,5 @@
-from .validate_stream import validate_stream, streaming_report  # noqa: F401
+from .validate_stream import (  # noqa: F401
+    stateful_duplicate_flags,
+    streaming_report,
+    validate_stream,
+)

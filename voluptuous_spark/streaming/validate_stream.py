@@ -53,3 +53,44 @@ def streaming_report(
             F.sum(F.size("__errors")).alias("violation_count"),
         )
     )
+
+
+def stateful_duplicate_flags(
+    stream_df: DataFrame, key_col: str = "clip_id"
+) -> DataFrame:
+    """Cross-micro-batch duplicate detection — the custom STATEFUL
+    streaming operator (applyInPandasWithState): per-key occurrence counts
+    live in the state store (checkpointed, restored on restart), so a
+    clip_id that re-appears hours later in the ingest stream is flagged
+    even though the table-level uniqueness check only sees one batch.
+
+    Emits one row per key per trigger: (key, n_seen, is_duplicate).
+    State is one long per key; at 10^12-key scale use RocksDB state store
+    (spark.sql.streaming.stateStore.providerClass) and a key TTL.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def flag(key, pdf_iter, state):
+        prev = state.get[0] if state.exists else 0
+        rows = 0
+        for pdf in pdf_iter:
+            rows += len(pdf)
+        total = prev + rows
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_seen": [total],
+                "is_duplicate": [total > 1],
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        flag,
+        outputStructType=f"`{key_col}` string, n_seen long, "
+                         "is_duplicate boolean",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
