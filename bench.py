@@ -155,7 +155,87 @@ def run_scaling() -> dict:
     return out
 
 
-def write_baseline_md(queries: dict, scaling: dict) -> None:
+def run_reference_baseline(clips_path: str, n: int = 20000) -> dict:
+    """Single-node throughput of the REFERENCE library itself on the same
+    data: read clips from the same parquet with pyarrow, validate each as
+    a dict through voluptuous (row schema + the same PCM decode/SNR check
+    as a callable validator — its escape hatch for content checks). This
+    is the 'matches-or-beats its single-node throughput' comparison:
+    the reference is single-threaded by design, and this measures its
+    whole pipeline (parquet -> Python objects -> per-dict validation),
+    NOT just the validator core. Our suite additionally computes
+    uniqueness/referential/stats/drift, which the reference cannot."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/reference")
+    import voluptuous as vref
+
+    from voluptuous_spark.audio import _check_one
+    from voluptuous_spark.suite import VALID_CODECS, VALID_SRS
+
+    def pcm_doc(doc):
+        # whole-document callable — the reference's multi-field
+        # validation idiom (README 'Multi-field validation'); mirrors
+        # the engine's Arrow-batch content check per row
+        err = _check_one(
+            doc.get("bytes"), doc.get("sr_hz"), doc.get("dur_ms"),
+            doc.get("codec"),
+        )
+        if err:
+            raise vref.Invalid(err, ["bytes"])
+        return doc
+
+    schema = vref.Schema(
+        vref.All(
+            vref.Schema(
+                {
+                    vref.Required("clip_id"): vref.All(
+                        str, vref.Length(min=1)
+                    ),
+                    vref.Required("sr_hz"): vref.In(VALID_SRS),
+                    vref.Required("dur_ms"): vref.All(
+                        vref.Coerce(int), vref.Range(min=1, max=600000)
+                    ),
+                    vref.Required("codec"): vref.In(VALID_CODECS),
+                    "transcript": vref.Match(r"\S"),
+                },
+                extra=vref.ALLOW_EXTRA,
+            ),
+            pcm_doc,
+        )
+    )
+
+    t0 = time.time()
+    done = failed = 0
+    for f in sorted(glob.glob(f"{clips_path}/*.parquet")):
+        if done >= n:
+            break
+        tbl = pq.read_table(f)
+        for batch in tbl.to_batches():
+            docs = batch.to_pylist()
+            for doc in docs:
+                try:
+                    schema(doc)
+                except vref.MultipleInvalid:
+                    failed += 1
+                done += 1
+                if done >= n:
+                    break
+            if done >= n:
+                break
+    wall = time.time() - t0
+    return {
+        "n": done,
+        "failed": failed,
+        "wall_sec": round(wall, 3),
+        "clips_per_sec": round(done / wall, 1),
+    }
+
+
+def write_baseline_md(queries: dict, scaling: dict,
+                      ref: dict | None = None) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lines = [
         "# BENCH / BASELINE — measured",
@@ -199,6 +279,31 @@ def write_baseline_md(queries: dict, scaling: dict) -> None:
         f"rows, {any_pair['lo']['violations']} violations "
         "(injected-error fixture rates).",
         "",
+    ]
+    if ref:
+        by_cores = {}
+        for pair in scaling.values():
+            for side in ("lo", "hi"):
+                by_cores[pair[side]["cores"]] = pair[side]["clips_per_sec"]
+        lines += [
+            "## Single-node comparison vs the reference library itself",
+            "",
+            "Same parquet data, same row schema, same PCM decode/SNR "
+            "check (as a voluptuous callable validator — its escape "
+            "hatch for content checks), measured end-to-end including "
+            "the pyarrow read:",
+            "",
+            "| engine | clips/sec | notes |",
+            "|---|---|---|",
+            f"| reference (voluptuous, single-threaded) | "
+            f"{ref['clips_per_sec']} | n={ref['n']}, row checks + PCM "
+            "only — uniqueness/referential/stats/drift not expressible |",
+        ] + [
+            f"| this engine (local[{c}]) | {cps} | FULL suite incl. "
+            "table-level checks |"
+            for c, cps in sorted(by_cores.items())
+        ] + [""]
+    lines += [
         "## Headline driver queries "
         f"(sf_dir={SF_DIR}, local[{CPUS}])",
         "",
@@ -214,7 +319,12 @@ def write_baseline_md(queries: dict, scaling: dict) -> None:
 def main():
     queries = run_headline_queries()
     scaling = run_scaling()
-    write_baseline_md(queries, scaling)
+    tag = f"clips_{N_CLIPS}_{SEED}_{CLIP_MIN_MS}ms"
+    try:
+        ref = run_reference_baseline(f"{CACHE_DIR}/{tag}/clips.parquet")
+    except Exception:
+        ref = None  # reference repo unavailable: skip the comparison
+    write_baseline_md(queries, scaling, ref)
     total = sum(queries.values())
     rep = scaling["n2_to_8"]
     print(
@@ -232,6 +342,9 @@ def main():
                 "scaling_pairs": {
                     k: v["scaling_efficiency"] for k, v in scaling.items()
                 },
+                "reference_single_thread_clips_per_sec": (
+                    ref["clips_per_sec"] if ref else None
+                ),
                 "n_clips": N_CLIPS,
             }
         )
