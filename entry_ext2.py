@@ -204,8 +204,16 @@ EXTRA2_ORACLES = {
           AND value NOT IN (99.0, 100.0)
     """,
     "exactseq_pair": """
-        SELECT event_id, 'not a valid value' AS message,
-               'ExactSequenceInvalid' AS error_type
+        SELECT event_id,
+               CASE
+                 WHEN coalesce(value, -1.0) < 0.0
+                   THEN 'value must be at least 0.0'
+                 WHEN coalesce(value, -1.0) > 50.0
+                   THEN 'value must be at most 50.0'
+                 WHEN user_id % 600 > 500
+                   THEN 'value must be at most 500.0'
+               END AS message,
+               'RangeInvalid' AS error_type
         FROM events
         WHERE NOT (coalesce(value, -1.0) BETWEEN 0.0 AND 50.0
                    AND user_id % 600 BETWEEN 0 AND 500)

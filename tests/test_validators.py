@@ -339,13 +339,21 @@ def test_number_valid(validate_one):
 
 
 def test_number_precision_invalid(validate_one):
+    # reference-verified: both precision AND scale wrong -> combined
+    # message (validators.py:1150-1160)
     r = validate_one(Number(precision=6, scale=2), ["12345.001"], "string")
-    assert r[0] == one_err("Precision must be equal to 6", "Invalid")
+    assert r[0] == one_err(
+        "Precision must be equal to 6, and Scale must be equal to 2",
+        "Invalid",
+    )
 
 
 def test_number_scale_invalid(validate_one):
     r = validate_one(Number(precision=6, scale=2), ["1234.012"], "string")
-    assert r[0] == one_err("Precision must be equal to 6", "Invalid")
+    assert r[0] == one_err(
+        "Precision must be equal to 6, and Scale must be equal to 2",
+        "Invalid",
+    )
 
 
 def test_number_scale_only(validate_one):
@@ -398,3 +406,36 @@ def test_range_rejects_nan(validate_one):
 
     out = validate_one(Range(max=10.0), [float("nan")], "double")
     assert out[0][1][0][0] == "value must be at most 10.0"
+
+
+def test_number_combined_message(validate_one):
+    """Reference validators.py:1150-1160: BOTH precision and scale wrong
+    -> combined message; a single mismatch keeps its own message."""
+    out = validate_one(
+        Number(precision=6, scale=2), ["1234.56", "1234.567", "123.45"],
+        "string",
+    )
+    assert out[0] == ("ok", "1234.56")
+    assert out[1][1][0][0] == (
+        "Precision must be equal to 6, and Scale must be equal to 2"
+    )
+    assert out[2][1][0][0] == "Precision must be equal to 6"
+
+    out = validate_one(Number(scale=2), ["123.456"], "string")
+    assert out[0][1][0][0] == "Scale must be equal to 2"
+
+
+def test_exact_sequence_element_error_surfaces(validate_one):
+    """Reference test_exact_sequence: the failing ELEMENT's own error
+    message surfaces ('expected str'); length mismatch stays a
+    sequence-level error."""
+    out = validate_one(
+        ExactSequence([Range(min=0.0, max=1.0), Range(min=5.0, max=9.0)]),
+        [[0.5, 7.0], [0.5, 2.0], [0.5]],
+        "array<double>",
+    )
+    assert out[0][0] == "ok"
+    assert out[1][1][0][0] == "value must be at least 5.0"
+    assert out[1][1][0][1] == "RangeInvalid"
+    assert out[2][1][0][0] == "not a valid value"
+    assert out[2][1][0][1] == "ExactSequenceInvalid"

@@ -990,16 +990,41 @@ class ExactSequence(Validator):
 
         def out(col):
             return F.array(
-                *[ch.out(F.element_at(col, i + 1)) for i, ch in enumerate(checks)]
+                *[ch.out(F.try_element_at(col, F.lit(i + 1))) for i, ch in enumerate(checks)]
             )
 
         def err(col):
-            ok = F.size(col) == F.lit(n)
-            for i, ch in enumerate(checks):
-                ok = ok & ch.err(F.element_at(col, i + 1)).isNull()
-            return F.when(col.isNull() | ok, F.lit(None)).otherwise(
-                err_struct(self._m("not a valid value"), "ExactSequenceInvalid")
+            # first failing element's own error surfaces (the reference
+            # re-raises the element validator's Invalid, e.g. 'expected
+            # str', validators.py:941-953); length mismatch is the
+            # sequence-level error
+            elem_err = (
+                F.coalesce(
+                    *[
+                        ch.err(F.try_element_at(col, F.lit(i + 1)))
+                        for i, ch in enumerate(checks)
+                    ]
+                )
+                if checks
+                else F.lit(None).cast(
+                    "struct<message:string,error_type:string>"
+                )
             )
+            e = (
+                F.when(col.isNull(), F.lit(None))
+                .when(
+                    F.size(col) != F.lit(n),
+                    err_struct(
+                        self._m("not a valid value"), "ExactSequenceInvalid"
+                    ),
+                )
+                .otherwise(elem_err)
+            )
+            if self.msg:
+                return F.when(e.isNull(), F.lit(None)).otherwise(
+                    err_struct(self.msg, "ExactSequenceInvalid")
+                )
+            return e
 
         return RowCheck(out, err, dtype)
 
@@ -1118,6 +1143,20 @@ class Number(Validator):
                     self._m("Value must be a number enclosed with string"), "Invalid"
                 ),
             )
+            if self.precision is not None and self.scale is not None:
+                # both wrong -> combined message (validators.py:1150-1160,
+                # note the AND: a single mismatch uses its own message)
+                e = e.when(
+                    (precision != F.lit(self.precision))
+                    & (scale != F.lit(self.scale)),
+                    err_struct(
+                        self._m(
+                            f"Precision must be equal to {self.precision}, "
+                            f"and Scale must be equal to {self.scale}"
+                        ),
+                        "Invalid",
+                    ),
+                )
             if self.precision is not None:
                 e = e.when(
                     precision != F.lit(self.precision),
@@ -1231,7 +1270,7 @@ class Unordered(Validator):
             for perm in itertools.permutations(range(n)):
                 this = F.lit(True)
                 for pos, vi in enumerate(perm):
-                    this = this & checks[vi].err(F.element_at(col, pos + 1)).isNull()
+                    this = this & checks[vi].err(F.try_element_at(col, F.lit(pos + 1))).isNull()
                 any_match = any_match | this
             m = self._m(
                 f"List lengths differ, value:<n> != target:{n}"
