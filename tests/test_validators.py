@@ -439,3 +439,26 @@ def test_exact_sequence_element_error_surfaces(validate_one):
     assert out[1][1][0][1] == "RangeInvalid"
     assert out[2][1][0][0] == "not a valid value"
     assert out[2][1][0][1] == "ExactSequenceInvalid"
+
+
+def test_email_edge_cases(validate_one):
+    """Reference test_email_validation_* (empty / missing host / missing
+    user / plain text all -> 'expected an email address')."""
+    out = validate_one(
+        Email(),
+        ["user@example.com", "", "a@", "@x.com", "just-text"],
+        "string",
+    )
+    assert out[0] == ("ok", "user@example.com")
+    for i in range(1, 5):
+        assert out[i][1][0][:2] == ("expected an email address", "EmailInvalid")
+
+
+def test_url_edge_cases(validate_one):
+    """Reference test_url_validation_*: scheme+netloc required."""
+    out = validate_one(
+        Url(), ["http://example.com", "", "http://", "example.com"], "string"
+    )
+    assert out[0][0] == "ok"
+    for i in range(1, 4):
+        assert out[i][1][0][:2] == ("expected a URL", "UrlInvalid")
