@@ -48,6 +48,14 @@ def get_spark(
         # rows; at cluster scale tune with row-group size instead
         "spark.sql.files.maxPartitionBytes": "64m",
         "spark.sql.session.timeZone": "UTC",
+        # The engine performs its own common-subexpression elimination
+        # (each field's error CASE chain is computed once as a hidden
+        # stage-1 column); Spark's codegen-level CSE adds nothing here,
+        # measured slightly slower on every heavy validate query, and its
+        # generated code hits a Janino compile bug ("isNull_N is not an
+        # rvalue") on ExactSequence/Unordered element checks, forcing
+        # those stages into interpreted fallback
+        "spark.sql.subexpressionElimination.enabled": "false",
         # local mode: the driver heap IS the executor heap; 32 concurrent
         # tasks each buffering multi-MB audio batches need real headroom
         # (8g produced GCLocker allocation stalls at local[32])
