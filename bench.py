@@ -284,7 +284,7 @@ def write_baseline_md(queries: dict, scaling: dict,
         "requires >= 0.8.",
         "Run-to-run spread on this shared VM: repeated full benchmarks "
         "measured the",
-        "n2_to_8 pair at 0.896 / 0.885 / 0.788 / 0.762 across identical "
+        "n2_to_8 pair at 0.896 / 0.885 / 0.789 / 0.788 / 0.765 across identical "
         "invocations —",
         "the machine's co-tenant noise epochs, not the engine, move the "
         "ratio; the",
