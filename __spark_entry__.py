@@ -599,8 +599,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O')
         """,
         "any_event_type": """
-            SELECT event_id, 'no valid value found' AS message,
-                   'AnyInvalid' AS error_type
+            -- deepest-error rule (validators.py:322-336): equal-depth
+            -- branch failures surface the FIRST branch's error (In's)
+            SELECT event_id,
+                   'value must be one of [''click'', ''view'']' AS message,
+                   'InInvalid' AS error_type
             FROM events
             WHERE event_type IS NOT NULL
               AND event_type NOT IN ('click','view')
@@ -643,9 +646,9 @@ def oracle_sql() -> dict[str, str]:
             WITH per_key AS (
               SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
             )
-            SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_distinct,
-                   SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
-                   SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup_rows
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_distinct,
+                   CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+                   CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_rows
             FROM per_key
         """,
         "referential_orphans": """
@@ -658,9 +661,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "referential_summary": """
             SELECT COUNT(*) AS n_child,
-                   SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS n_orphans,
-                   SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) * 1.0
-                     / COUNT(*) AS orphan_rate
+                   CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+                   CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*) AS DOUBLE) AS orphan_rate
             FROM events e
             LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
               ON c.c_custkey = e.user_id
@@ -668,7 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_lineitem": """
             SELECT * FROM (
               SELECT 'l_quantity' AS column, COUNT(*) AS n_rows,
-                     SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_count,
+                     CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
                      ROUND(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS null_rate,
                      COUNT(DISTINCT l_quantity) AS distinct_count,
                      CAST(MIN(l_quantity) AS VARCHAR) AS min_value,
@@ -676,21 +679,21 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
               UNION ALL
               SELECT 'l_discount', COUNT(*),
-                     SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+                     CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                      ROUND(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6),
                      COUNT(DISTINCT l_discount),
                      CAST(MIN(l_discount) AS VARCHAR), CAST(MAX(l_discount) AS VARCHAR)
               FROM lineitem
               UNION ALL
               SELECT 'l_orderkey', COUNT(*),
-                     SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END),
+                     CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                      ROUND(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6),
                      COUNT(DISTINCT l_orderkey),
                      CAST(MIN(l_orderkey) AS VARCHAR), CAST(MAX(l_orderkey) AS VARCHAR)
               FROM lineitem
               UNION ALL
               SELECT 'l_returnflag', COUNT(*),
-                     SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+                     CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                      ROUND(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6),
                      COUNT(DISTINCT l_returnflag),
                      CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)

@@ -94,11 +94,13 @@ def _optional_default(spark, sf_dir):
 
 
 def _unordered_pair(spark, sf_dir):
+    # integral-valued doubles so the greedy error's str(value)
+    # interpolation renders identically in Spark and DuckDB
     df = _t(spark, sf_dir, "events").select(
         "event_id",
         F.array(
             (F.col("user_id") % 7).cast("double"),
-            F.coalesce("value", F.lit(-1.0)),
+            (F.col("user_id") % 97).cast("double"),
         ).alias("pair"),
     )
     res = Schema(
@@ -196,8 +198,11 @@ EXTRA2_QUERIES = {
 
 EXTRA2_ORACLES = {
     "union_value": """
-        SELECT event_id, 'no valid value found' AS message,
-               'AnyInvalid' AS error_type
+        -- deepest-error rule: first branch (Range) error surfaces
+        SELECT event_id,
+               CASE WHEN NOT (value >= 0.0) THEN 'value must be at least 0.0'
+                    ELSE 'value must be at most 50.0' END AS message,
+               'RangeInvalid' AS error_type
         FROM events
         WHERE value IS NOT NULL
           AND NOT (value >= 0.0 AND value <= 50.0)
@@ -237,14 +242,16 @@ EXTRA2_ORACLES = {
         FROM events
     """,
     "unordered_pair": """
+        -- greedy matcher (validators.py:1072-1088): element #0
+        -- (user_id%7, always 0..6) consumes Range(0,6) first; element #1
+        -- must then satisfy Range(20,90) or is reported with the
+        -- reference's 'Element #i (v)' message
         SELECT event_id,
-               'Element is not valid against any validator' AS message,
+               'Element #1 (' || CAST(CAST(user_id % 97 AS DOUBLE) AS VARCHAR)
+                 || ') is not valid against any validator' AS message,
                'Invalid' AS error_type
         FROM events
-        WHERE NOT ((user_id % 7 BETWEEN 0 AND 6
-                    AND coalesce(value, -1.0) BETWEEN 20.0 AND 90.0)
-                OR (user_id % 7 BETWEEN 20 AND 90
-                    AND coalesce(value, -1.0) BETWEEN 0.0 AND 6.0))
+        WHERE NOT (user_id % 97 BETWEEN 20 AND 90)
     """,
     "fqdn_url": """
         SELECT c_custkey,

@@ -1,0 +1,255 @@
+"""Round-2 parity tests: dynamic MapType key schemas
+(reference schema_builder.py:469-488), set schemas (schema_builder.py:
+665-703), Unordered greedy matching (validators.py:1035-1113), Any
+deepest-error selection (validators.py:322-336), Msg depth<=1 rule
+(schema_builder.py:942-949), humanize truncation marker
+(humanize.py:44-47).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from voluptuous_spark import (
+    ALLOW_EXTRA,
+    REMOVE_EXTRA,
+    Coerce,
+    In,
+    Match,
+    Msg,
+    Range,
+    Required,
+    Schema,
+    Unordered,
+    dsl,
+)
+
+
+# ---------------------------------------------------------------------------
+# MapType dynamic keys
+
+
+def test_map_wildcard_value_check(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 5, "b": 50}), (2, {"a": 200}), (3, None), (4, {})],
+        "id long, props map<string,long>",
+    )
+    res = Schema(
+        {"props": {str: Range(min=0, max=100)}}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["id"])
+    bad = res.violations.orderBy("id").collect()
+    assert [(r.id, list(r.path), r.message) for r in bad] == [
+        (2, ["props", "a"], "value must be at most 100")
+    ]
+    assert bad[0].rendered == (
+        "value must be at most 100 for dictionary value @ data['props']['a']"
+    )
+    # NULL map == absent key; empty map valid
+    assert sorted(r.id for r in res.valid.collect()) == [1, 3, 4]
+
+
+def test_map_literal_required_and_extra(spark):
+    df = spark.createDataFrame(
+        [(1, {"name": "x", "age": "5"}), (2, {"zzz": "1"})],
+        "id long, m map<string,string>",
+    )
+    # PREVENT_EXTRA inside the map: undeclared keys error with the
+    # reference message/path (schema_builder.py:384-396)
+    res = Schema(
+        {"id": int, "m": {Required("name"): str}}
+    ).validate(df, id_cols=["id"])
+    got = sorted(
+        (r.id, list(r.path), r.message) for r in res.violations.collect()
+    )
+    assert got == [
+        (1, ["m", "age"], "extra keys not allowed"),
+        (2, ["m", "name"], "required key not provided"),
+        (2, ["m", "zzz"], "extra keys not allowed"),
+    ]
+
+
+def test_map_coerce_keys(spark):
+    # {Coerce(int): str} (reference doctest schema_builder.py:483-488):
+    # coercible keys transform; un-coercible keys are extra
+    df = spark.createDataFrame(
+        [(1, {"10": "x", "oops": "y"}), (2, {"7": "z"})],
+        "id long, m map<string,string>",
+    )
+    res = Schema({"id": int, "m": {Coerce(int): str}}).validate(
+        df, id_cols=["id"]
+    )
+    rows = {r.id: r.m for r in res.annotated.select("id", "m").collect()}
+    assert rows[1] == {10: "x"} and rows[2] == {7: "z"}
+    bad = res.violations.collect()
+    assert [(r.id, list(r.path)) for r in bad] == [(1, ["m", "oops"])]
+
+
+def test_map_remove_extra_policy(spark):
+    df = spark.createDataFrame(
+        [(1, {"name": "x", "junk": "y"})], "id long, m map<string,string>"
+    )
+    res = Schema(
+        {"m": {"name": str}}, extra=REMOVE_EXTRA
+    ).validate(df, id_cols=["id"])
+    assert res.violations.count() == 0
+    assert res.annotated.select("m").first().m == {"name": "x"}
+
+
+def test_map_optional_default_injection(spark):
+    from voluptuous_spark import Optional
+
+    df = spark.createDataFrame(
+        [(1, {"a": 5}), (2, {"lvl": 9, "a": 1})],
+        "id long, m map<string,long>",
+    )
+    res = Schema(
+        {"m": {Optional("lvl", default=3): int, str: int}},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["id"])
+    rows = {r.id: r.m for r in res.annotated.select("id", "m").collect()}
+    assert rows[1]["lvl"] == 3 and rows[2]["lvl"] == 9
+
+
+# ---------------------------------------------------------------------------
+# set schemas
+
+
+def test_set_schema_alternatives(spark):
+    df = spark.createDataFrame(
+        [(1, ["A", "N"]), (2, ["A", "X"]), (3, None)],
+        "id long, v array<string>",
+    )
+    res = Schema(
+        {"v": {"A", "N", "R"}}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["id"])
+    bad = res.violations.collect()
+    assert [(r.id, r.message, r.error_type) for r in bad] == [
+        (2, "invalid value in set", "Invalid")
+    ]
+
+
+def test_set_schema_not_a_set(spark):
+    # non-array column -> 'expected a set' (schema_builder.py:681)
+    ch = dsl.compile_validator({1, 2}, T.LongType())
+    df = spark.createDataFrame([(5,)], "v long")
+    e = df.select(ch.err(F.col("v")).alias("e")).first().e
+    assert e.message == "expected a set" and e.error_type == "Invalid"
+
+
+def test_frozenset_schema(spark):
+    ch = dsl.compile_validator(frozenset({1, 2}), T.ArrayType(T.LongType()))
+    df = spark.createDataFrame([([1, 3],)], "v array<long>")
+    e = df.select(ch.err(F.col("v")).alias("e")).first().e
+    assert e.message == "invalid value in frozenset"
+
+
+# ---------------------------------------------------------------------------
+# Unordered greedy semantics (exact reference parity incl. messages)
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [
+        ([3.0, 1.0], "Element #1 (1.0) is not valid against any validator"),
+        ([1.0, 3.0], None),
+        ([11.0, 1.0], "Element #0 (11.0) is not valid against any validator"),
+        ([5.0, 5.0], None),
+        ([1.0, 1.0], "Element #1 (1.0) is not valid against any validator"),
+    ],
+)
+def test_unordered_greedy(spark, value, expected):
+    # greedy consumption (validators.py:1072-1088): element takes the
+    # FIRST unconsumed passing validator; [3.0, 1.0] consumes Range(0,10)
+    # for 3.0, leaving Range(2,10) which 1.0 fails — the permissive
+    # perfect-matching answer (valid) is WRONG here
+    ch = Unordered([Range(0, 10), Range(2, 10)]).bind(
+        T.ArrayType(T.DoubleType())
+    )
+    df = spark.createDataFrame([(value,)], "v array<double>")
+    e = df.select(ch.err(F.col("v")).alias("e")).first().e
+    assert (e.message if e else None) == expected
+
+
+def test_unordered_length_mismatch(spark):
+    ch = Unordered([Range(0, 10), Range(2, 10)]).bind(
+        T.ArrayType(T.DoubleType())
+    )
+    df = spark.createDataFrame([([1.0],)], "v array<double>")
+    e = df.select(ch.err(F.col("v")).alias("e")).first().e
+    assert e.message == "List lengths differ, value:1 != target:2"
+
+
+def test_unordered_not_sequence(spark):
+    ch = Unordered([Range(0, 10)]).bind(T.DoubleType())
+    df = spark.createDataFrame([(7.0,)], "v double")
+    e = df.select(ch.err(F.col("v")).alias("e")).first().e
+    assert e.message == "Value 7.0 is not sequence!"
+
+
+# ---------------------------------------------------------------------------
+# Any deepest-error + Msg depth rule
+
+
+def test_any_surfaces_first_branch_error(spark):
+    df = spark.createDataFrame([(1, "zzz")], "id long, v string")
+    res = Schema(
+        {"v": dsl.Any(In(["click", "view"]), Match("^err"))},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["id"])
+    bad = res.violations.first()
+    assert bad.message == "value must be one of ['click', 'view']"
+    assert bad.error_type == "InInvalid"
+
+
+def test_msg_direct_override_collapses(spark):
+    df = spark.createDataFrame([(1, ("bad",))], "id long, s struct<a:string>")
+    res = Schema(
+        {"s": Msg({"a": Range(min=0, max=5)}, "custom boom")},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["id"])
+    bad = res.violations.first()
+    assert (list(bad.path), bad.message, bad.error_type) == (
+        ["s"], "custom boom", "Invalid"
+    )
+
+
+def test_msg_deep_error_passes_through(spark):
+    df = spark.createDataFrame(
+        [(1, (("x",),))], "id long, s struct<inner:struct<b:string>>"
+    )
+    res = Schema(
+        {"s": Msg({"inner": {"b": Range(min=0, max=5)}}, "boom")},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["id"])
+    bad = res.violations.first()
+    assert list(bad.path) == ["s", "inner", "b"]
+    assert bad.message == "invalid value or type (must have a partial ordering)"
+
+
+def test_range_cross_type_is_range_invalid(spark):
+    # reference: 'bad' >= 0 raises TypeError -> RangeInvalid
+    # (validators.py:668-673); must NOT become a Spark ANSI cast error
+    df = spark.createDataFrame([(1, "bad")], "id long, v string")
+    res = Schema({"v": Range(min=0, max=5)}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["id"]
+    )
+    bad = res.violations.first()
+    assert bad.message == "invalid value or type (must have a partial ordering)"
+    assert bad.error_type == "RangeInvalid"
+
+
+# ---------------------------------------------------------------------------
+# humanize truncation marker
+
+
+def test_offending_truncated_with_marker(spark):
+    long_s = "x" * 600
+    df = spark.createDataFrame([(1, long_s)], "id long, v string")
+    from voluptuous_spark import Length
+
+    res = Schema({"v": Length(max=10)}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["id"]
+    )
+    off = res.violations.first().offending
+    # repr cut to 497 chars + '...' (humanize.py:44-47)
+    assert len(off) == 500 and off.endswith("...")

@@ -280,4 +280,6 @@ def test_union_discriminant_kwarg(spark):
     ).validate(df, id_cols=["i"])
     bad = res.violations.collect()
     assert [r["i"] for r in bad] == [3]
-    assert bad[0]["message"] == "no valid value found"
+    # deepest-error rule: losing branch's (Range's) error surfaces
+    assert bad[0]["message"] == "value must be at most 50.0"
+    assert bad[0]["error_type"] == "RangeInvalid"

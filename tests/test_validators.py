@@ -188,7 +188,9 @@ def test_any_first_match_wins(validate_one):
     r = validate_one(Any(In(["a"]), In(["b"])), ["a", "b", "c"], "string")
     assert r[0] == ok("a")
     assert r[1] == ok("b")
-    assert r[2] == one_err("no valid value found", "AnyInvalid")
+    # reference deepest-error rule (validators.py:322-336): all branches
+    # fail at equal depth -> FIRST branch's error surfaces, not AnyInvalid
+    assert r[2] == one_err("value must be one of ['a']", "InInvalid")
 
 
 def test_any_custom_msg(validate_one):

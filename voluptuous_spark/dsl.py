@@ -134,6 +134,8 @@ def compile_validator(v, dtype: T.DataType) -> RowCheck:
         return _type_check(v, dtype)
     if isinstance(v, list):
         return _sequence_check(v, dtype)
+    if isinstance(v, (set, frozenset)):
+        return _set_check(v, dtype)
     if callable(v):
         raise UnsupportedSchema(
             "bare Python callables are per-row; wrap in PandasValidator "
@@ -198,6 +200,37 @@ def _sequence_check(alternatives, dtype) -> RowCheck:
         ).otherwise(err_struct("not a valid value", "ValueInvalid"))
 
     return RowCheck(out, err, dtype)
+
+
+def _set_check(schema, dtype) -> RowCheck:
+    """Schema({alt1, alt2}) over an ArrayType column: every member must
+    match >=1 alternative (reference ``_compile_set``,
+    schema_builder.py:665-703). Spark has no SetType; an array column is
+    the set's carrier, so members validate as-is (the reference iterates
+    set members the same way). Messages mirror the reference exactly:
+    'expected a set'/'expected a frozenset' when the value is not a set,
+    'invalid value in set' per non-matching member."""
+    type_name = type(schema).__name__  # 'set' or 'frozenset'
+    if not isinstance(dtype, T.ArrayType):
+        return _pred_check(
+            lambda c: F.lit(False), f"expected a {type_name}", "Invalid"
+        )
+    elem_t = dtype.elementType
+    alt_checks = [compile_validator(s, elem_t) for s in schema]
+
+    def elem_ok(x):
+        ok = F.lit(False)
+        for ch in alt_checks:
+            ok = ok | ch.err(x).isNull()
+        return ok
+
+    def err(col):
+        bad = F.exists(col, lambda x: ~F.coalesce(elem_ok(x), F.lit(False)))
+        return F.when(col.isNull() | ~bad, F.lit(None)).otherwise(
+            err_struct(f"invalid value in {type_name}", "Invalid")
+        )
+
+    return RowCheck(lambda c: c, err, dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -499,12 +532,18 @@ And = All
 
 
 class Any(Validator):
-    """First validator that passes wins; none ->
-    'no valid value found' / AnyInvalid (validators.py:297-340). Alias: Or.
+    """First validator that passes wins; none -> surface the losing
+    branch's error per the reference's deepest-path rule
+    (validators.py:322-336). Alias: Or.
 
-    Deepest-error note (validators.py:330-336): for scalar columns every
-    alternative shares the path, so the reference's deepest-path rule
-    degenerates to the default AnyInvalid message unless ``msg`` is set.
+    Deepest-error bookkeeping: the reference keeps the error with the
+    strictly-longest path, so among same-depth errors the FIRST branch's
+    error wins. Every alternative bound to one scalar column shares the
+    path, so the surfaced error is exactly the first validator's error
+    (message + error_type), not a generic AnyInvalid — matching e.g.
+    ``Any(In(['a']), Match('x'))('z')`` raising InInvalid in the
+    reference. ``msg=`` overrides with AnyInvalid(msg)
+    (validators.py:334); zero validators -> 'no valid value found'.
     """
 
     error_type = "AnyInvalid"
@@ -525,7 +564,7 @@ class Any(Validator):
 
             out_t = dtype
         else:
-            out_t = checks[0].out_type or dtype
+            out_t = (checks[0].out_type if checks else None) or dtype
 
             def out(col):
                 expr = F.lit(None).cast(out_t.simpleString())
@@ -537,9 +576,15 @@ class Any(Validator):
             ok = F.lit(False)
             for ch in checks:
                 ok = ok | ch.err(col).isNull()
-            return F.when(col.isNull() | ok, F.lit(None)).otherwise(
-                err_struct(self._m(self.default_msg), self.error_type)
-            )
+            if self.msg is not None:
+                losing = err_struct(self.msg, self.error_type)
+            elif checks:
+                # all branches failed here, so the first branch's err
+                # struct is non-null: reference raises that error verbatim
+                losing = checks[0].err(col)
+            else:
+                losing = err_struct(self.default_msg, self.error_type)
+            return F.when(col.isNull() | ok, F.lit(None)).otherwise(losing)
 
         return RowCheck(out, err, out_t)
 
@@ -716,6 +761,29 @@ class Range(Validator):
 
     def bind(self, dtype):
         is_float = isinstance(dtype, (T.FloatType, T.DoubleType))
+        # cross-type comparison: the reference's `v >= min` raises
+        # TypeError -> 'invalid value or type (must have a partial
+        # ordering)' (validators.py:668-673, 694-700). Spark's ANSI cast
+        # would instead throw at runtime, so resolve the mismatch
+        # statically at bind time.
+        bounds = [b for b in (self.min, self.max) if b is not None]
+        num_bounds = all(
+            isinstance(b, (int, float)) and not isinstance(b, bool)
+            for b in bounds
+        )
+        str_bounds = all(isinstance(b, str) for b in bounds)
+        comparable = not bounds or (
+            (num_bounds and _is_numeric(dtype))
+            or (str_bounds and isinstance(dtype, T.StringType))
+        )
+        if not comparable:
+            return _pred_check(
+                lambda c: F.lit(False),
+                self._m(
+                    "invalid value or type (must have a partial ordering)"
+                ),
+                "RangeInvalid",
+            )
 
         def err(col):
             nan = F.isnan(col) if is_float else F.lit(False)
@@ -1254,29 +1322,66 @@ class Unordered(Validator):
 
     def bind(self, dtype):
         if not isinstance(dtype, T.ArrayType):
-            return _pred_check(lambda c: F.lit(False),
-                               self._m("Value is not sequence!"), "Invalid")
+            # 'Value {} is not sequence!' (validators.py:1062)
+            msg = self.msg or None
+            return _pred_check(
+                lambda c: F.lit(False),
+                (lambda c: F.lit(msg)) if msg else (
+                    lambda c: F.format_string(
+                        "Value %s is not sequence!",
+                        F.coalesce(c.cast("string"), F.lit("None")),
+                    )
+                ),
+                "Invalid",
+            )
         elem_t = dtype.elementType
         checks = [compile_validator(v, elem_t) for v in self.validators]
         n = len(checks)
-
-        import itertools
+        err_t = RowCheck._ERR_T
 
         def err(col):
             len_ok = F.size(col) == F.lit(n)
-            # greedy == exists-a-perfect-matching for small n: test all
-            # assignments of validators to positions
-            any_match = F.lit(False)
-            for perm in itertools.permutations(range(n)):
-                this = F.lit(True)
-                for pos, vi in enumerate(perm):
-                    this = this & checks[vi].err(F.try_element_at(col, F.lit(pos + 1))).isNull()
-                any_match = any_match | this
-            m = self._m(
-                f"List lengths differ, value:<n> != target:{n}"
-            )
+            elems = [F.try_element_at(col, F.lit(i + 1)) for i in range(n)]
+            # element i passes validator j? (greedy consults these in order)
+            ok_bit = [
+                [checks[j].err(elems[i]).isNull() for j in range(n)]
+                for i in range(n)
+            ]
+
+            def missing(i):
+                # 'Element #{index} ({value}) is not valid against any
+                # validator' (validators.py:1090-1100); str(value) form
+                if self.msg:
+                    return err_struct(self.msg, "Invalid")
+                return F.struct(
+                    F.format_string(
+                        f"Element #{i} (%s) is not valid against any "
+                        "validator",
+                        F.coalesce(elems[i].cast("string"), F.lit("None")),
+                    ).alias("message"),
+                    F.lit("Invalid").alias("error_type"),
+                )
+
+            def greedy(i, consumed):
+                """First error produced by the reference's greedy matcher
+                (validators.py:1072-1088): element i consumes the FIRST
+                not-yet-consumed validator it satisfies; an element with
+                none is 'missing' and its error surfaces (MultipleInvalid
+                keeps accumulating but __str__/our violations use the
+                first, error.py:68-77)."""
+                if i == n:
+                    return F.lit(None).cast(err_t)
+                avail = [j for j in range(n) if j not in consumed]
+                expr = None
+                for j in avail:
+                    branch = greedy(i + 1, consumed | {j})
+                    expr = (F.when(ok_bit[i][j], branch) if expr is None
+                            else expr.when(ok_bit[i][j], branch))
+                return (missing(i).cast(err_t) if expr is None
+                        else expr.otherwise(missing(i)).cast(err_t))
+
             return (
-                F.when(col.isNull(), F.lit(None))
+                F.when(col.isNull(), F.lit(None).cast(err_t))
                 .when(
                     ~len_ok,
                     F.struct(
@@ -1287,16 +1392,9 @@ class Unordered(Validator):
                             F.size(col).cast("string"),
                         ).alias("message"),
                         F.lit("Invalid").alias("error_type"),
-                    ),
+                    ).cast(err_t),
                 )
-                .when(any_match, F.lit(None))
-                .otherwise(
-                    err_struct(
-                        self.msg
-                        or "Element is not valid against any validator",
-                        "Invalid",
-                    )
-                )
+                .otherwise(greedy(0, frozenset()))
             )
 
         return RowCheck(lambda c: c, err, dtype)

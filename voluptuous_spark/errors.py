@@ -96,6 +96,17 @@ def err_struct(message: Column | str, error_type: str) -> Column:
     return F.struct(msg.alias("message"), F.lit(error_type).alias("error_type"))
 
 
+def truncate_repr(col: Column) -> Column:
+    """Cap an offending-value repr at MAX_VALIDATION_ERROR_ITEM_LENGTH,
+    appending the reference's '...' marker (humanize.py:44-47: the repr is
+    cut to max-3 chars and '...' appended when it exceeds the cap)."""
+    cap = MAX_VALIDATION_ERROR_ITEM_LENGTH
+    return F.when(
+        F.length(col) > cap,
+        F.concat(F.substring(col, 1, cap - 3), F.lit("...")),
+    ).otherwise(col)
+
+
 def violation_struct(
     path: list[str], err: Column, offending: Column
 ) -> Column:
@@ -104,9 +115,7 @@ def violation_struct(
         F.array(*[F.lit(p) for p in path]).alias("path"),
         err["message"].alias("message"),
         err["error_type"].alias("error_type"),
-        F.substring(offending, 1, MAX_VALIDATION_ERROR_ITEM_LENGTH).alias(
-            "offending"
-        ),
+        truncate_repr(offending).alias("offending"),
     )
 
 

@@ -363,6 +363,7 @@ class Schema:
 
         out_cols: dict[str, Column] = {}
         err_entries: list[Column] = []
+        err_arrays: list[Column] = []  # array<violation> entries (MapType)
         hidden: list[Column] = []  # stage-1 err-struct columns
 
         # group bookkeeping for Exclusive/Inclusive
@@ -400,13 +401,31 @@ class Schema:
             # re-enters the ROOT schema (bounded by StructType depth,
             # schema_builder.py:215-216)
             v = self.schema if fld.validator is dsl.Self else fld.validator
+            msg_override = None
+            if isinstance(v, dsl.Msg) and isinstance(v.schema, dict):
+                # Msg over a mapping schema: direct-descendant errors
+                # (depth <=1) collapse to Invalid(msg) at the field path
+                # (schema_builder.py:942-949); deeper errors pass through
+                et = v.cls if isinstance(v.cls, str) else (
+                    v.cls.__name__ if v.cls else "Invalid")
+                msg_override = (v.msg, et)
+                v = v.schema
             if isinstance(v, dict):
                 sub = Schema(v, required=self.required,
                              extra=self.extra)
+                if isinstance(dtype, T.MapType):
+                    out_col, sub_errs, sub_arrs = sub._validate_map(
+                        col, dtype, fld.path
+                    )
+                    out_cols[fld.name] = out_col
+                    err_entries.extend(sub_errs)
+                    err_arrays.extend(sub_arrs)
+                    continue
                 out_col, sub_errs = sub._validate_struct(
                     col, dtype, fld.path,
                     as_object=isinstance(v, dsl.Object),
                     root=self.schema,
+                    msg_override=msg_override,
                 )
                 out_cols[fld.name] = out_col
                 err_entries.extend(sub_errs)
@@ -521,16 +540,26 @@ class Schema:
         # concat of conditional singleton arrays stays inside codegen;
         # error order = schema declaration order, which is exactly the
         # reference's accumulation order (schema_builder.py:360-377).
-        empty = F.array().cast(
+        viol_arr_t = (
             "array<struct<path:array<string>,message:string,"
             "error_type:string,offending:string,ctx:string>>"
         )
-        if err_entries:
+        empty = F.array().cast(viol_arr_t)
+        # map-entry violation arrays are dynamic-length: evaluate each ONCE
+        # as a hidden stage-1 column (the transform/filter lambdas are the
+        # expensive part), then concat by reference
+        arr_refs: list[Column] = []
+        for arr in err_arrays:
+            a_alias = f"__ea_{len(hidden)}"
+            hidden.append(arr.cast(viol_arr_t).alias(a_alias))
+            arr_refs.append(F.col(a_alias))
+        if err_entries or arr_refs:
             errors = F.concat(
                 *[
                     F.when(en.isNotNull(), F.array(en)).otherwise(empty)
                     for en in err_entries
-                ]
+                ],
+                *[F.coalesce(a, empty) for a in arr_refs],
             )
         else:
             errors = empty
@@ -548,6 +577,8 @@ class Schema:
         fail_any = F.lit(False)
         for en in err_entries:
             fail_any = fail_any | en.isNotNull()
+        for a in arr_refs:
+            fail_any = fail_any | (F.size(F.coalesce(a, empty)) > 0)
         valid_sel = (
             [F.col(c).alias(c) for c in keep_ids]
             + [expr.alias(name) for name, expr in out_cols.items()]
@@ -564,30 +595,242 @@ class Schema:
             valid_df,
         )
 
+    def _validate_map(self, col: Column, dtype: T.MapType,
+                      prefix: tuple[str, ...]):
+        """Validate a MapType column against a dict schema with dynamic
+        keys (reference dynamic mapping keys, schema_builder.py:469-488):
+        literal keys behave like struct fields (Required/Optional/default),
+        wildcard keys (Python types like ``{str: int}``, validators like
+        ``{Coerce(int): str}``) match any map entry whose key satisfies
+        them. Entry order of candidate matching follows the reference's
+        priority (values, Remove, markers, callables, types, Extra —
+        ``_compile_itemsort``, schema_builder.py:821-861). Unmatched keys
+        hit the extra policy ('extra keys not allowed' under
+        PREVENT_EXTRA, pass under ALLOW_EXTRA, dropped under
+        REMOVE_EXTRA).
+
+        Returns ``(out_col, single_errs, err_arrays)`` where err_arrays
+        are ``array<violation>`` Columns built per map entry via
+        transform/filter (no per-row Python; the lambda runs JVM-side).
+        """
+        from .errors import truncate_repr
+
+        key_t, val_t = dtype.keyType, dtype.valueType
+
+        # -- classify candidates in reference priority order ----------------
+        def _prio(key):
+            if key is dsl.Extra or isinstance(key, dsl.Extra):
+                return 5
+            if isinstance(key, Remove):
+                return 1
+            if isinstance(key, Marker):
+                return 2
+            if isinstance(key, type):
+                return 4
+            if isinstance(key, dsl.Validator) or callable(key):
+                return 3
+            return 0  # literal values first
+
+        items = sorted(self.schema.items(), key=lambda kv: _prio(kv[0]))
+
+        def _key_match(key_schema, k: Column) -> Column:
+            """Does map key `k` satisfy this candidate key schema?"""
+            if key_schema is dsl.Extra or isinstance(key_schema, dsl.Extra):
+                return F.lit(True)
+            if isinstance(key_schema, (Remove, Marker)):
+                return _key_match(key_schema.schema, k)
+            if isinstance(key_schema, type):
+                return F.lit(dsl._pytype_matches(key_schema, key_t))
+            if isinstance(key_schema, dsl.Validator):
+                return key_schema.bind(key_t).err(k).isNull()
+            return k.eqNullSafe(F.lit(key_schema))
+
+        cands = []  # (match_fn, value_check, is_remove, key_schema)
+        for key, val in items:
+            is_remove = isinstance(key, Remove)
+            vcheck = (None if is_remove
+                      else compile_validator(_unwrap_marker(val), val_t))
+            cands.append((key, vcheck, is_remove))
+
+        # -- per-entry violations -------------------------------------------
+        prefix_lits = [F.lit(str(p)) for p in prefix]
+
+        def entry_violation(k: Column, v: Column) -> Column:
+            # first matching candidate's value check decides; no candidate
+            # -> extra policy
+            err = None  # err struct or NULL for the matched branch
+            matched = F.lit(False)
+            branches = []
+            for key, vcheck, is_remove in cands:
+                m = _key_match(key, k)
+                if is_remove:
+                    branches.append((m, F.lit(None).cast(RowCheck._ERR_T)))
+                else:
+                    branches.append((m, vcheck.err(v)))
+                matched = matched | m
+            expr = (
+                F.lit(None).cast(RowCheck._ERR_T)
+                if self.extra != PREVENT_EXTRA
+                else err_struct_local("extra keys not allowed", "Invalid")
+            )
+            for m, e in reversed(branches):
+                expr = F.when(m, e).otherwise(expr)
+            is_extra_err = ~matched & F.lit(self.extra == PREVENT_EXTRA)
+            return F.when(
+                expr.isNull(), F.lit(None)
+            ).otherwise(
+                F.struct(
+                    F.array(*prefix_lits, k.cast("string")).alias("path"),
+                    expr["message"].alias("message"),
+                    expr["error_type"].alias("error_type"),
+                    truncate_repr(
+                        F.when(is_extra_err, py_repr_col(v, val_t))
+                        .otherwise(py_repr_col(v, val_t))
+                    ).alias("offending"),
+                    F.when(is_extra_err, F.lit(None).cast("string"))
+                    .otherwise(F.lit("dictionary value")).alias("ctx"),
+                )
+            )
+
+        def err_struct_local(message, error_type):
+            return F.struct(
+                F.lit(message).alias("message"),
+                F.lit(error_type).alias("error_type"),
+            ).cast(RowCheck._ERR_T)
+
+        entries = F.map_entries(col)
+        entry_errs = F.filter(
+            F.transform(
+                entries, lambda e: entry_violation(e["key"], e["value"])
+            ),
+            lambda x: x.isNotNull(),
+        )
+        err_arrays = [F.when(col.isNotNull(), entry_errs)]
+
+        # -- literal-key marker checks (required / defaults) ----------------
+        single_errs: list[Column] = []
+        out = col
+        for key, val in self.schema.items():
+            name = _key_name(key)
+            if not isinstance(name, (str, int, float, bool)):
+                continue  # wildcard
+            contains = F.map_contains_key(col, F.lit(name))
+            default = getattr(key, "default", UNDEFINED)
+            required = self.required or isinstance(key, Required)
+            if default is not UNDEFINED:
+                d = F.lit(_resolve_default(default)).cast(val_t)
+                out = F.when(
+                    out.isNotNull() & ~F.map_contains_key(out, F.lit(name)),
+                    F.map_concat(out, F.create_map(F.lit(name).cast(key_t), d)),
+                ).otherwise(out)
+            elif required and not isinstance(key, (Exclusive, Inclusive)):
+                single_errs.append(
+                    _violation(
+                        prefix + (str(name),),
+                        F.lit(getattr(key, "msg", None)
+                              or "required key not provided"),
+                        "RequiredFieldInvalid", F.lit("None"),
+                        col.isNotNull() & ~contains,
+                    )
+                )
+
+        # -- output map: Remove keys dropped, REMOVE_EXTRA pruned,
+        #    value transforms applied per first matching candidate ----------
+        def any_match(k, which):
+            m = F.lit(False)
+            for key, _vc, is_remove in cands:
+                if which(is_remove):
+                    m = m | _key_match(key, k)
+            return m
+
+        removes = [c for c in cands if c[2]]
+        if removes:
+            out = F.map_filter(
+                out, lambda k, v: ~any_match(k, lambda r: r)
+            )
+        if self.extra == REMOVE_EXTRA:
+            out = F.map_filter(
+                out, lambda k, v: any_match(k, lambda r: not r)
+            )
+
+        def value_out(k, v):
+            expr = v
+            for key, vcheck, is_remove in reversed(cands):
+                if is_remove or vcheck is None:
+                    continue
+                o = vcheck.out(v)
+                same_t = (vcheck.out_type is None
+                          or vcheck.out_type.simpleString()
+                          == val_t.simpleString())
+                if same_t:
+                    expr = F.when(
+                        _key_match(key, k) & vcheck.err(v).isNull(), o
+                    ).otherwise(expr)
+            return expr
+
+        out = F.transform_values(out, value_out)
+        # key transform: the reference's canonical wildcard-key transform
+        # is Coerce on keys ({Coerce(int): str}, schema_builder.py:483-488)
+        coerce_keys = [
+            key for key, _vc, _r in cands if isinstance(key, dsl.Coerce)
+        ]
+        if len(coerce_keys) == 1 and len(cands) == 1:
+            kcheck = coerce_keys[0].bind(key_t)
+            # un-coercible keys are already extra-key errors (or pruned);
+            # drop them from the output BEFORE the key cast so the cast
+            # never yields a NULL map key (which Spark rejects at runtime)
+            out = F.transform_keys(
+                F.map_filter(out, lambda k, v: kcheck.err(k).isNull()),
+                lambda k, v: kcheck.out(k),
+            )
+        return out, single_errs, err_arrays
+
     def _validate_struct(self, col: Column, dtype: T.StructType,
                          prefix: tuple[str, ...], as_object: bool = False,
-                         root: dict | None = None):
+                         root: dict | None = None,
+                         msg_override: tuple[str, str] | None = None):
         """Validate a StructType column field-by-field; returns
         (output struct column, error entries with nested paths).
         ``as_object``: Object schema (schema_builder.py:413-441) — same
         mapping behavior, ObjectInvalid type gate. ``root``: the top-level
-        schema dict that ``Self`` re-enters."""
+        schema dict that ``Self`` re-enters. ``msg_override``: (msg,
+        error_type) from a wrapping ``Msg`` — the reference overrides only
+        errors whose path depth is <=1 relative to the Msg
+        (schema_builder.py:942-949), i.e. this level's own errors; errors
+        from deeper recursion keep their original message."""
         root = root if root is not None else self.schema
+        own_conds: list[Column] = []
+        errs: list[Column] = []
+
+        def emit(path, message, et, off, cond, ctx=None):
+            if msg_override is not None:
+                own_conds.append(cond)
+            else:
+                errs.append(_violation(path, message, et, off, cond, ctx=ctx))
+
+        def finish(out_col):
+            if msg_override is not None and own_conds:
+                cond = F.lit(False)
+                for c in own_conds:
+                    cond = cond | c
+                errs.insert(0, _violation(
+                    prefix, F.lit(msg_override[0]), msg_override[1],
+                    F.lit("None"), cond,
+                ))
+            return out_col, errs
+
         if not isinstance(dtype, T.StructType):
             if as_object:
                 cls = getattr(self.schema, "cls", dsl.UNDEFINED)
                 m = (f"expected a {cls!r}" if cls is not dsl.UNDEFINED
                      else "expected an object")
-                return col, [
-                    _violation(prefix, F.lit(m), "ObjectInvalid",
-                               F.lit("None"), col.isNotNull())
-                ]
-            return col, [
-                _violation(prefix, F.lit("expected a dictionary"),
-                           "DictInvalid", F.lit("None"), col.isNotNull())
-            ]
+                emit(prefix, F.lit(m), "ObjectInvalid",
+                     F.lit("None"), col.isNotNull())
+                return finish(col)
+            emit(prefix, F.lit("expected a dictionary"),
+                 "DictInvalid", F.lit("None"), col.isNotNull())
+            return finish(col)
         by_name = {f.name: f.dataType for f in dtype.fields}
-        errs: list[Column] = []
         outs: list[Column] = []
         declared = set()
         for key, val in self.schema.items():
@@ -600,16 +843,22 @@ class Schema:
             path = prefix + (name,)
             if sub_t is None:
                 if required and default is UNDEFINED:
-                    errs.append(
-                        _violation(path,
-                                   F.lit(marker_msg or "required key not provided"),
-                                   "RequiredFieldInvalid", F.lit("None"),
-                                   col.isNotNull()))
+                    emit(path,
+                         F.lit(marker_msg or "required key not provided"),
+                         "RequiredFieldInvalid", F.lit("None"),
+                         col.isNotNull())
                 continue
             sub_col = col[name]
             val = root if val is dsl.Self else val
             if isinstance(val, dict):
                 sub_schema = Schema(val, required=self.required, extra=self.extra)
+                if not isinstance(sub_t, T.StructType):
+                    # the sub-gate error is depth 1 relative to a wrapping
+                    # Msg -> own-level (overridable)
+                    emit(path, F.lit("expected a dictionary"), "DictInvalid",
+                         F.lit("None"), col.isNotNull() & sub_col.isNotNull())
+                    outs.append(sub_col.alias(name))
+                    continue
                 o, e = sub_schema._validate_struct(
                     sub_col, sub_t, path,
                     as_object=isinstance(val, dsl.Object), root=root,
@@ -624,33 +873,29 @@ class Schema:
             )
             present = base.isNotNull()
             if required:
-                errs.append(
-                    _violation(path,
-                               F.lit(marker_msg or "required key not provided"),
-                               "RequiredFieldInvalid", F.lit("None"),
-                               col.isNotNull() & ~present))
+                emit(path,
+                     F.lit(marker_msg or "required key not provided"),
+                     "RequiredFieldInvalid", F.lit("None"),
+                     col.isNotNull() & ~present)
             e = check.err(base)
-            errs.append(
-                _violation(path, e["message"], e["error_type"],
-                           py_repr_col(base, sub_t),
-                           col.isNotNull() & present & e.isNotNull(),
-                           ctx="object value" if as_object
-                           else "dictionary value"))
+            emit(path, e["message"], e["error_type"],
+                 py_repr_col(base, sub_t),
+                 col.isNotNull() & present & e.isNotNull(),
+                 ctx="object value" if as_object else "dictionary value")
             outs.append(check.out(base).alias(name))
         # extra fields in the struct
         for fname, ft in by_name.items():
             if fname in declared:
                 continue
             if self.extra == PREVENT_EXTRA:
-                errs.append(
-                    _violation(prefix + (fname,),
-                               F.lit("extra keys not allowed"), "Invalid",
-                               py_repr_col(col[fname], ft),
-                               col.isNotNull() & col[fname].isNotNull()))
+                emit(prefix + (fname,),
+                     F.lit("extra keys not allowed"), "Invalid",
+                     py_repr_col(col[fname], ft),
+                     col.isNotNull() & col[fname].isNotNull())
             elif self.extra == ALLOW_EXTRA:
                 outs.append(col[fname].alias(fname))
         out_struct = F.when(col.isNotNull(), F.struct(*outs)) if outs else col
-        return out_struct, errs
+        return finish(out_struct)
 
 
 _PY_TO_SPARK = {
@@ -746,6 +991,8 @@ def _violation(path: tuple[str, ...], message: Column, error_type,
     'object value', schema_builder.py:370): set on direct value-validator
     errors, absent on required/extra/group errors — it shapes the rendered
     string, not the message."""
+    from .errors import truncate_repr
+
     et = F.lit(error_type) if isinstance(error_type, str) else error_type
     return F.when(
         cond,
@@ -753,7 +1000,7 @@ def _violation(path: tuple[str, ...], message: Column, error_type,
             F.array(*[F.lit(str(p)) for p in path]).alias("path"),
             message.alias("message"),
             et.alias("error_type"),
-            F.substring(offending, 1, 500).alias("offending"),
+            truncate_repr(offending).alias("offending"),
             F.lit(ctx).cast("string").alias("ctx"),
         ),
     ).otherwise(F.lit(None))
