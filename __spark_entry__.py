@@ -146,11 +146,21 @@ def _length_text(spark, sf_dir):
 
 
 def _match_docs(spark, sf_dir):
-    df = _t(spark, sf_dir, "documents")
-    res = Schema({"text": Match(r"the\s")}, extra=ALLOW_EXTRA).validate(
-        df, id_cols=["doc_id"]
+    """Match (anchored regex) + Contains (array membership) over one
+    documents scan; violations distinguished by the path column."""
+    from voluptuous_spark import Contains
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split(F.lower("text"), " ").alias("words")
     )
-    return res.violations.select("doc_id", "message", "error_type")
+    res = Schema(
+        {"text": Match(r"the\s"), "words": Contains("the")},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["doc_id"])
+    return res.violations.select(
+        "doc_id", F.element_at("path", 1).alias("col"),
+        "message", "error_type",
+    )
 
 
 def _in_orderstatus(spark, sf_dir):
@@ -227,6 +237,48 @@ def _date_check(spark, sf_dir):
         .alias("ship_str"),
     )
     res = Schema({"ship_str": Date()}, extra=ALLOW_EXTRA).validate(
+        df, id_cols=["l_orderkey", "l_linenumber"]
+    )
+    return res.violations.select(
+        "l_orderkey", "l_linenumber", "message", "error_type"
+    )
+
+
+def _maptype_props(spark, sf_dir):
+    """Dynamic MapType key schema ({str: Range}) over a map column built
+    deterministically from events (reference schema_builder.py:469-488)."""
+    df = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.map_from_arrays(
+            F.array(
+                F.lit("k"),
+                F.concat(F.lit("x"), (F.col("event_id") % 3).cast("string")),
+            ),
+            F.array(
+                F.coalesce("value", F.lit(-1.0)),
+                (F.col("user_id") % 150).cast("double"),
+            ),
+        ).alias("attrs"),
+    )
+    res = Schema(
+        {"attrs": {str: Range(min=0.0, max=100.0)}}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["event_id"])
+    return res.violations.select(
+        "event_id",
+        F.element_at("path", 2).alias("key"),
+        "message",
+        "error_type",
+    )
+
+
+def _set_flags(spark, sf_dir):
+    """Set schema {alternatives} over an array column (reference
+    _compile_set, schema_builder.py:665-703)."""
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.array("l_returnflag", "l_linestatus").alias("flags"),
+    )
+    res = Schema({"flags": {"A", "N", "O"}}, extra=ALLOW_EXTRA).validate(
         df, id_cols=["l_orderkey", "l_linenumber"]
     )
     return res.violations.select(
@@ -417,6 +469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exclusive_groups": _exclusive_groups,
         "transformers": _transformers,
         "date_check": _date_check,
+        "maptype_props": _maptype_props,
+        "set_flags": _set_flags,
         "unique_custkey": _unique_custkey,
         "unique_summary": _unique_summary,
         "referential_orphans": _referential_orphans,
@@ -585,11 +639,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE text IS NOT NULL AND NOT (length(text) <= 300)
         """,
         "match_docs": """
-            SELECT doc_id,
+            SELECT doc_id, 'text' AS col,
                    'does not match regular expression the\\s' AS message,
                    'MatchInvalid' AS error_type
             FROM documents
             WHERE text IS NOT NULL AND NOT regexp_matches(text, '^the\\s')
+            UNION ALL
+            SELECT doc_id, 'words', 'value is not allowed',
+                   'ContainsInvalid'
+            FROM documents
+            WHERE text IS NOT NULL
+              AND NOT list_contains(string_split(lower(text), ' '), 'the')
         """,
         "in_orderstatus": """
             SELECT o_orderkey,
@@ -637,6 +697,30 @@ def oracle_sql() -> dict[str, str]:
                    'DateInvalid' AS error_type
             FROM lineitem
             WHERE l_orderkey % 2 = 1
+        """,
+        "maptype_props": """
+            -- key 'k' carries coalesce(value,-1.0); keys 'x{0,1,2}' carry
+            -- user_id % 150; Range(0,100) per map entry
+            SELECT event_id, 'k' AS key,
+                   CASE WHEN NOT (coalesce(value, -1.0) >= 0.0)
+                        THEN 'value must be at least 0.0'
+                        ELSE 'value must be at most 100.0' END AS message,
+                   'RangeInvalid' AS error_type
+            FROM events
+            WHERE NOT (coalesce(value, -1.0) BETWEEN 0.0 AND 100.0)
+            UNION ALL
+            SELECT event_id, 'x' || (event_id % 3),
+                   'value must be at most 100.0', 'RangeInvalid'
+            FROM events
+            WHERE user_id % 150 > 100
+        """,
+        "set_flags": """
+            SELECT l_orderkey, l_linenumber,
+                   'invalid value in set' AS message,
+                   'Invalid' AS error_type
+            FROM lineitem
+            WHERE l_returnflag NOT IN ('A','N','O')
+               OR l_linestatus NOT IN ('A','N','O')
         """,
         "unique_custkey": """
             SELECT o_custkey, COUNT(*) AS dup_count

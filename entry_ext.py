@@ -1,7 +1,10 @@
 """Driver-contract extension queries: SURVEY.md §2 operators not covered by
-the original __spark_entry__ set — Boolean, NotIn, Contains, Equal, Unique
-(cell-level), Inclusive, Maybe, Email, Url, Msg, Datetime, Schema.extend.
-Merged into __spark_entry__.queries()/oracle_sql()."""
+the original __spark_entry__ set. Round 2 consolidates single-operator
+queries into multi-operator ones (the driver gate caps at 50 queries):
+``truthy_parse`` = Boolean + IsTrue, ``equal_literal`` = Equal + Literal,
+``url_email_checks`` = Email + Url + FqdnUrl. Each operator still has its
+own violation rows (distinguished by the path column) and its own oracle
+branch. Merged into __spark_entry__.queries()/oracle_sql()."""
 
 from __future__ import annotations
 
@@ -10,11 +13,13 @@ from pyspark.sql import functions as F
 from voluptuous_spark import (
     ALLOW_EXTRA,
     Boolean,
-    Contains,
     Datetime,
     Equal,
     Email,
+    FqdnUrl,
     Inclusive,
+    IsTrue,
+    Literal,
     Maybe,
     Msg,
     NotIn,
@@ -29,7 +34,9 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _boolean_parse(spark, sf_dir):
+def _truthy_parse(spark, sf_dir):
+    """Boolean (string truthiness parse) + IsTrue in one schema; ``valid``
+    keeps only rows where the flag parses AND big is truthy."""
     df = _t(spark, sf_dir, "events").select(
         "event_id",
         F.element_at(
@@ -37,11 +44,14 @@ def _boolean_parse(spark, sf_dir):
                     F.lit("0"), F.lit("maybe")),
             (F.col("event_id") % 5 + 1).cast("int"),
         ).alias("flag"),
+        F.coalesce(F.col("value") > 10.0, F.lit(False)).alias("big"),
     )
-    res = Schema({"flag": Boolean()}, extra=ALLOW_EXTRA).validate(
-        df, id_cols=["event_id"]
+    res = Schema(
+        {"flag": Boolean(), "big": IsTrue()}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["event_id"])
+    return res.valid.select(
+        "event_id", F.col("flag").alias("flag_bool"), "big"
     )
-    return res.valid.select("event_id", F.col("flag").alias("flag_bool"))
 
 
 def _notin_priority(spark, sf_dir):
@@ -52,22 +62,18 @@ def _notin_priority(spark, sf_dir):
     return res.violations.select("o_orderkey", "message", "error_type")
 
 
-def _contains_the(spark, sf_dir):
-    df = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), " ").alias("words")
+def _equal_literal(spark, sf_dir):
+    """Equal + Literal on nation, distinguished by path col."""
+    df = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", (F.col("n_nationkey") % 5).alias("mod5")
     )
-    res = Schema({"words": Contains("the")}, extra=ALLOW_EXTRA).validate(
-        df, id_cols=["doc_id"]
+    res = Schema(
+        {"n_name": Literal("NATION_7"), "mod5": Equal(2)}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["n_nationkey"])
+    return res.violations.select(
+        "n_nationkey", F.element_at("path", 1).alias("col"),
+        "message", "error_type",
     )
-    return res.violations.select("doc_id", "message", "error_type")
-
-
-def _equal_region(spark, sf_dir):
-    df = _t(spark, sf_dir, "region")
-    res = Schema({"r_name": Equal("ASIA")}, extra=ALLOW_EXTRA).validate(
-        df, id_cols=["r_regionkey"]
-    )
-    return res.violations.select("r_regionkey", "message", "error_type")
 
 
 def _unique_cells(spark, sf_dir):
@@ -105,32 +111,34 @@ def _maybe_value(spark, sf_dir):
     return res.violations.select("event_id", "message", "error_type")
 
 
-def _email_check(spark, sf_dir):
+def _url_email_checks(spark, sf_dir):
+    """Email + Url + FqdnUrl over one customer scan, one validate call."""
     df = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         F.when(
             F.col("c_custkey") % 2 == 0,
             F.concat(F.lit("user"), F.col("c_custkey"), F.lit("@example.com")),
         ).otherwise(F.lit("not-an-email")).alias("email"),
-    )
-    res = Schema({"email": Email()}, extra=ALLOW_EXTRA).validate(
-        df, id_cols=["c_custkey"]
-    )
-    return res.violations.select("c_custkey", "message", "error_type")
-
-
-def _url_check(spark, sf_dir):
-    df = _t(spark, sf_dir, "customer").select(
-        "c_custkey",
         F.when(
             F.col("c_custkey") % 3 == 0,
             F.concat(F.lit("https://example.com/u/"), F.col("c_custkey")),
         ).otherwise(F.lit("no scheme here")).alias("homepage"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("https://host.example.com/"), "c_custkey"),
+        )
+        .when(F.col("c_custkey") % 3 == 1, F.lit("https://localhost/x"))
+        .otherwise(F.lit("nope"))
+        .alias("fq"),
     )
-    res = Schema({"homepage": Url()}, extra=ALLOW_EXTRA).validate(
-        df, id_cols=["c_custkey"]
+    res = Schema(
+        {"email": Email(), "homepage": Url(), "fq": FqdnUrl()},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=["c_custkey"])
+    return res.violations.select(
+        "c_custkey", F.element_at("path", 1).alias("col"),
+        "message", "error_type",
     )
-    return res.violations.select("c_custkey", "message", "error_type")
 
 
 def _msg_override(spark, sf_dir):
@@ -172,15 +180,13 @@ def _schema_extend(spark, sf_dir):
 
 
 EXTRA_QUERIES = {
-    "boolean_parse": _boolean_parse,
+    "truthy_parse": _truthy_parse,
     "notin_priority": _notin_priority,
-    "contains_the": _contains_the,
-    "equal_region": _equal_region,
+    "equal_literal": _equal_literal,
     "unique_cells": _unique_cells,
     "inclusive_groups": _inclusive_groups,
     "maybe_value": _maybe_value,
-    "email_check": _email_check,
-    "url_check": _url_check,
+    "url_email_checks": _url_email_checks,
     "msg_override": _msg_override,
     "datetime_format": _datetime_format,
     "schema_extend": _schema_extend,
@@ -188,13 +194,14 @@ EXTRA_QUERIES = {
 
 
 EXTRA_ORACLES = {
-    "boolean_parse": """
+    "truthy_parse": """
         SELECT event_id,
                CASE event_id % 5
                  WHEN 0 THEN TRUE WHEN 1 THEN FALSE
-                 WHEN 2 THEN TRUE WHEN 3 THEN FALSE END AS flag_bool
+                 WHEN 2 THEN TRUE WHEN 3 THEN FALSE END AS flag_bool,
+               TRUE AS big
         FROM events
-        WHERE event_id % 5 <> 4
+        WHERE event_id % 5 <> 4 AND coalesce(value > 10.0, FALSE)
     """,
     "notin_priority": """
         SELECT o_orderkey,
@@ -203,19 +210,18 @@ EXTRA_ORACLES = {
         FROM orders
         WHERE o_orderpriority = '1-URGENT'
     """,
-    "contains_the": """
-        SELECT doc_id, 'value is not allowed' AS message,
-               'ContainsInvalid' AS error_type
-        FROM documents
-        WHERE text IS NOT NULL
-          AND NOT list_contains(string_split(lower(text), ' '), 'the')
-    """,
-    "equal_region": """
-        SELECT r_regionkey,
-               'Values are not equal: value:' || r_name
-                 || ' != target:ASIA' AS message,
-               'Invalid' AS error_type
-        FROM region WHERE r_name <> 'ASIA'
+
+    "equal_literal": """
+        SELECT n_nationkey, 'n_name' AS col,
+               n_name || ' not match for NATION_7' AS message,
+               'LiteralInvalid' AS error_type
+        FROM nation WHERE n_name <> 'NATION_7'
+        UNION ALL
+        SELECT n_nationkey, 'mod5',
+               'Values are not equal: value:' || (n_nationkey % 5)
+                 || ' != target:2',
+               'Invalid'
+        FROM nation WHERE n_nationkey % 5 <> 2
     """,
     "unique_cells": """
         SELECT o_orderkey,
@@ -242,14 +248,17 @@ EXTRA_ORACLES = {
         WHERE user_id % 3 <> 0 AND value IS NOT NULL
           AND NOT (value >= 5.0 AND value <= 90.0)
     """,
-    "email_check": """
-        SELECT c_custkey, 'expected an email address' AS message,
+    "url_email_checks": """
+        SELECT c_custkey, 'email' AS col,
+               'expected an email address' AS message,
                'EmailInvalid' AS error_type
         FROM customer WHERE c_custkey % 2 <> 0
-    """,
-    "url_check": """
-        SELECT c_custkey, 'expected a URL' AS message,
-               'UrlInvalid' AS error_type
+        UNION ALL
+        SELECT c_custkey, 'homepage', 'expected a URL', 'UrlInvalid'
+        FROM customer WHERE c_custkey % 3 <> 0
+        UNION ALL
+        SELECT c_custkey, 'fq',
+               'expected a fully qualified domain name URL', 'UrlInvalid'
         FROM customer WHERE c_custkey % 3 <> 0
     """,
     "msg_override": """

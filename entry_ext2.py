@@ -1,8 +1,9 @@
-"""Driver-contract extension queries, round 2: SURVEY.md §2 operators not
-yet exercised through the driver gate — Union/Switch, ExactSequence,
-Number, IsTrue, Optional(default=...), Unordered, FqdnUrl, Literal,
-Remove marker, complex Required(Any(...)) keys, and the remaining
-transformers (Capitalize, DefaultTo, SetTo, Set).
+"""Driver-contract extension queries, set 2: Union/Switch, ExactSequence,
+Number, Optional(default=...), Unordered (greedy), complex
+Required(Any(...)) keys, and ``transformers2`` = Capitalize + DefaultTo +
+SetTo + Set + the Remove marker (its effect is hash-checked via the
+``has_regionkey`` flag). IsTrue moved into entry_ext ``truthy_parse``,
+FqdnUrl into ``url_email_checks``, Literal into ``equal_literal``.
 Merged into __spark_entry__.queries()/oracle_sql()."""
 
 from __future__ import annotations
@@ -15,10 +16,7 @@ from voluptuous_spark import (
     Capitalize,
     DefaultTo,
     ExactSequence,
-    FqdnUrl,
     In,
-    IsTrue,
-    Literal,
     Number,
     Optional,
     Range,
@@ -71,17 +69,6 @@ def _number_bal(spark, sf_dir):
     return res.violations.select("c_custkey", "message", "error_type")
 
 
-def _istrue_flag(spark, sf_dir):
-    df = _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.coalesce(F.col("value") > 10.0, F.lit(False)).alias("big"),
-    )
-    res = Schema({"big": IsTrue()}, extra=ALLOW_EXTRA).validate(
-        df, id_cols=["event_id"]
-    )
-    return res.violations.select("event_id", "message", "error_type")
-
-
 def _optional_default(spark, sf_dir):
     df = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -111,39 +98,6 @@ def _unordered_pair(spark, sf_dir):
     return res.violations.select("event_id", "message", "error_type")
 
 
-def _fqdn_url(spark, sf_dir):
-    df = _t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.when(
-            F.col("c_custkey") % 3 == 0,
-            F.concat(F.lit("https://host.example.com/"), "c_custkey"),
-        )
-        .when(F.col("c_custkey") % 3 == 1, F.lit("https://localhost/x"))
-        .otherwise(F.lit("nope"))
-        .alias("u"),
-    )
-    res = Schema({"u": FqdnUrl()}, extra=ALLOW_EXTRA).validate(
-        df, id_cols=["c_custkey"]
-    )
-    return res.violations.select("c_custkey", "message", "error_type")
-
-
-def _literal_name(spark, sf_dir):
-    df = _t(spark, sf_dir, "nation")
-    res = Schema({"n_name": Literal("NATION_7")}, extra=ALLOW_EXTRA).validate(
-        df, id_cols=["n_nationkey"]
-    )
-    return res.violations.select("n_nationkey", "message", "error_type")
-
-
-def _remove_marker(spark, sf_dir):
-    df = _t(spark, sf_dir, "nation")
-    res = Schema(
-        {"n_nationkey": int, "n_name": str, Remove("n_regionkey"): int}
-    ).validate(df, id_cols=["n_nationkey"])
-    return res.valid
-
-
 def _required_anyof(spark, sf_dir):
     df = _t(spark, sf_dir, "events").select(
         "event_id",
@@ -165,6 +119,7 @@ def _transformers2(spark, sf_dir):
         ),
         F.array("n_name", "n_name").alias("arr"),
         F.lit(0).alias("answer"),
+        "n_regionkey",
     )
     res = Schema(
         {
@@ -172,12 +127,16 @@ def _transformers2(spark, sf_dir):
             "maybe_name": DefaultTo("UNKNOWN"),
             "arr": Set(),
             "answer": SetTo(42),
+            Remove("n_regionkey"): int,
         },
         extra=ALLOW_EXTRA,
     ).validate(df, id_cols=["n_nationkey"])
+    # Remove marker effect (schema_builder.py:1217-1246) is hash-checked:
+    # the pruned column must be absent from the validated output
     return res.valid.select(
         "n_nationkey", "lname", "maybe_name",
         F.array_join("arr", ",").alias("arr_str"), "answer",
+        F.lit("n_regionkey" in res.valid.columns).alias("has_regionkey"),
     )
 
 
@@ -185,12 +144,8 @@ EXTRA2_QUERIES = {
     "union_value": _union_value,
     "exactseq_pair": _exactseq_pair,
     "number_bal": _number_bal,
-    "istrue_flag": _istrue_flag,
     "optional_default": _optional_default,
     "unordered_pair": _unordered_pair,
-    "fqdn_url": _fqdn_url,
-    "literal_name": _literal_name,
-    "remove_marker": _remove_marker,
     "required_anyof": _required_anyof,
     "transformers2": _transformers2,
 }
@@ -230,12 +185,7 @@ EXTRA2_ORACLES = {
         WHERE length(regexp_replace(printf('%.2f', c_acctbal),
                                     '[^0-9]', '', 'g')) <> 6
     """,
-    "istrue_flag": """
-        SELECT event_id, 'value was not true' AS message,
-               'TrueInvalid' AS error_type
-        FROM events
-        WHERE NOT coalesce(value > 10.0, FALSE)
-    """,
+
     "optional_default": """
         SELECT event_id,
                coalesce(CASE WHEN user_id % 4 <> 0 THEN value END, -1.0) AS v
@@ -253,21 +203,9 @@ EXTRA2_ORACLES = {
         FROM events
         WHERE NOT (user_id % 97 BETWEEN 20 AND 90)
     """,
-    "fqdn_url": """
-        SELECT c_custkey,
-               'expected a fully qualified domain name URL' AS message,
-               'UrlInvalid' AS error_type
-        FROM customer WHERE c_custkey % 3 <> 0
-    """,
-    "literal_name": """
-        SELECT n_nationkey,
-               n_name || ' not match for NATION_7' AS message,
-               'LiteralInvalid' AS error_type
-        FROM nation WHERE n_name <> 'NATION_7'
-    """,
-    "remove_marker": """
-        SELECT n_name, n_nationkey FROM nation
-    """,
+
+
+
     "required_anyof": """
         SELECT event_id,
                'at least one of [''a'', ''b''] is required' AS message,
@@ -283,7 +221,8 @@ EXTRA2_ORACLES = {
                CASE WHEN n_nationkey % 2 = 0 THEN n_name
                     ELSE 'UNKNOWN' END AS maybe_name,
                n_name AS arr_str,
-               42 AS answer
+               42 AS answer,
+               FALSE AS has_regionkey
         FROM nation
     """,
 }

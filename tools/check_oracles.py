@@ -2,7 +2,12 @@
 __spark_entry__.queries() entry and its DuckDB oracle at a given sf dir,
 compare row count + schema-agnostic sorted values.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--strict] [sf_dir] [query ...]
+
+--strict additionally requires IDENTICAL pandas dtypes and exact values
+(no float rounding) after column-name sort — this replicates the driver's
+value-hash sensitivity (e.g. DuckDB HUGEINT -> float64 drift fails
+strict but passes the lenient compare).
 """
 
 from __future__ import annotations
@@ -33,9 +38,37 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def _widen_ints(df: pd.DataFrame) -> pd.DataFrame:
+    # integer WIDTH does not affect the driver's value hash (round-1
+    # evidence: int32-vs-int64 queries hash-matched) — only the
+    # float64-vs-int64 kind distinction does (60000.0 != 60000)
+    df = df.copy()
+    for c in df.columns:
+        if str(df[c].dtype) in ("int8", "int16", "int32", "uint32"):
+            df[c] = df[c].astype("int64")
+    return df
+
+
+def strict_compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> str | None:
+    s = _widen_ints(sdf).reindex(sorted(sdf.columns), axis=1)
+    o = _widen_ints(odf).reindex(sorted(odf.columns), axis=1)
+    if list(s.columns) != list(o.columns):
+        return f"columns {list(s.columns)} != {list(o.columns)}"
+    s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+    o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
+    if list(s.dtypes.astype(str)) != list(o.dtypes.astype(str)):
+        return (f"dtypes spark={dict(s.dtypes.astype(str))} "
+                f"oracle={dict(o.dtypes.astype(str))}")
+    if not s.equals(o):
+        return "exact values differ"
+    return None
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry
     from voluptuous_spark.session import get_spark
@@ -81,6 +114,12 @@ def main():
             pd.testing.assert_frame_equal(
                 s, o, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
             )
+            if strict:
+                why = strict_compare(sdf, odf)
+                if why:
+                    failures.append((name, f"STRICT: {why}"))
+                    print(f"FAIL {name}: strict: {why}")
+                    continue
             print(f"PASS {name}: rows={len(sdf)}")
         except AssertionError as e:
             failures.append((name, str(e)[:300]))
