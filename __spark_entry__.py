@@ -412,13 +412,17 @@ def _jaccard_pairs(spark, sf_dir):
 def _minhash_candidates(spark, sf_dir):
     from voluptuous_spark.textops import minhash_lsh_candidates
 
-    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+    # basis='ranked' is the SQL-oracle parity mode; production default is
+    # basis='hashed' (xxhash64, no shingle dictionary — half the shuffle)
+    return minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), basis="ranked"
+    )
 
 
 def _simhash(spark, sf_dir):
     from voluptuous_spark.textops import simhash
 
-    return simhash(_t(spark, sf_dir, "documents"))
+    return simhash(_t(spark, sf_dir, "documents"), basis="ranked")
 
 
 def _ann_topk(spark, sf_dir):
@@ -508,9 +512,29 @@ def _extra_oracles():
     return {**EXTRA_ORACLES, **EXTRA2_ORACLES}
 
 
-# shared SRP-bucket CTE (n_bits=4, coefs = similarity._SRP_COEFS[:4],
-# P = 2147483647); component sums replicate the j=1..dim fold exactly
-_SRP_BUCKET_CTE = """
+# shared banded-SRP CTE (n_bits=8 split into 2 bands of 4, coefs from
+# similarity._SRP_COEFS, P = 2147483647); component sums replicate the
+# j=1..dim fold exactly; two vectors are candidates when ANY band matches
+def _srp_banded_cte(n_bits: int = 8, n_bands: int = 2) -> str:
+    from voluptuous_spark.similarity import _P, _SRP_COEFS
+
+    band_bits = n_bits // n_bands
+    comps = ",\n".join(
+        f"        sum(val * ((((j * {a} + {b}) % {_P})"
+        f" / {_P}.0) - 0.5)) AS c{i}"
+        for i, (a, b) in enumerate(_SRP_COEFS[:n_bits])
+    )
+    bands = "\n      UNION ALL\n".join(
+        f"      SELECT c.vec_id, {bi} AS band_id, "
+        + " + ".join(
+            f"(CASE WHEN c{bi * band_bits + j} > 0 THEN {1 << j} "
+            "ELSE 0 END)"
+            for j in range(band_bits)
+        )
+        + " AS band_val FROM comp c"
+        for bi in range(n_bands)
+    )
+    return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), u AS (
@@ -518,25 +542,15 @@ _SRP_BUCKET_CTE = """
       FROM e, unnest(generate_series(1, len(e.v))) AS t(j)
     ), comp AS (
       SELECT vec_id,
-        sum(val * ((((j * 1500450271 + 97) % 2147483647)
-                    / 2147483647.0) - 0.5)) AS c0,
-        sum(val * ((((j * 179424673 + 257) % 2147483647)
-                    / 2147483647.0) - 0.5)) AS c1,
-        sum(val * ((((j * 982451653 + 991) % 2147483647)
-                    / 2147483647.0) - 0.5)) AS c2,
-        sum(val * ((((j * 32452843 + 1031) % 2147483647)
-                    / 2147483647.0) - 0.5)) AS c3
+{comps}
       FROM u GROUP BY vec_id
-    ), bucketed AS (
-      SELECT c.vec_id,
-             (CASE WHEN c0 > 0 THEN 1 ELSE 0 END)
-           + (CASE WHEN c1 > 0 THEN 2 ELSE 0 END)
-           + (CASE WHEN c2 > 0 THEN 4 ELSE 0 END)
-           + (CASE WHEN c3 > 0 THEN 8 ELSE 0 END) AS bucket,
-             e.v
-      FROM comp c JOIN e ON e.vec_id = c.vec_id
+    ), banded AS (
+{bands}
     )
 """
+
+
+_SRP_BANDED_CTE = _srp_banded_cte()
 
 _SIMHASH_ORACLE = r"""
     WITH tok AS (
@@ -943,17 +957,23 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
         """,
-        # SRP bucket (similarity.srp_bucket_expr): bit i = sign of
-        # sum_j v[j]*(((j*a_i+b_i)%P)/P - 0.5); deterministic hyperplanes,
-        # so DuckDB computes identical buckets
-        "ann_lsh_topk": _SRP_BUCKET_CTE + """
+        # banded SRP (similarity.srp_bucket_expr / _banded): bit i = sign
+        # of sum_j v[j]*(((j*a_i+b_i)%P)/P - 0.5); deterministic
+        # hyperplanes, so DuckDB computes identical band codes
+        "ann_lsh_topk": _SRP_BANDED_CTE + """
             , q AS (
-              SELECT vec_id AS query_id, bucket, v AS qv
-              FROM bucketed WHERE vec_id < 5
+              SELECT vec_id AS query_id, band_id, band_val
+              FROM banded WHERE vec_id < 5
+            ), cand AS (
+              SELECT DISTINCT q.query_id, c.vec_id
+              FROM banded c
+              JOIN q ON c.band_id = q.band_id AND c.band_val = q.band_val
             ), scored AS (
-              SELECT q.query_id, c.vec_id,
-                     round(list_cosine_similarity(c.v, q.qv), 6) AS score
-              FROM bucketed c JOIN q ON c.bucket = q.bucket
+              SELECT cand.query_id, cand.vec_id,
+                     round(list_cosine_similarity(cv.v, qv.v), 6) AS score
+              FROM cand
+              JOIN e cv ON cv.vec_id = cand.vec_id
+              JOIN e qv ON qv.vec_id = cand.query_id
             )
             SELECT query_id, vec_id, score,
                    row_number() OVER (
@@ -962,12 +982,20 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
         """,
-        "cosine_near_dups": _SRP_BUCKET_CTE + """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(a.v, b.v), 6) AS score
-            FROM bucketed a JOIN bucketed b
-              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+        "cosine_near_dups": _SRP_BANDED_CTE + """
+            , pairs AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM banded a
+              JOIN banded b ON a.band_id = b.band_id
+                           AND a.band_val = b.band_val
+                           AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b,
+                   round(list_cosine_similarity(ea.v, eb.v), 6) AS score
+            FROM pairs
+            JOIN e ea ON ea.vec_id = id_a
+            JOIN e eb ON eb.vec_id = id_b
+            WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
         """,
         # textops.simhash: token-rank affine hash, per-bit +-1 votes
         "simhash": _SIMHASH_ORACLE,

@@ -17,9 +17,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# (a_i, b_i) per hyperplane: h_i[j] = ((a_i*(j+1)+b_i) % P)/P - 0.5.
+# Large well-known primes; 22 entries support SRP codes up to 22 bits
+# (the round-1 table stopped at 6, capping the engine at 64 buckets —
+# a scale-killer, since bucket population then grows linearly with the
+# corpus; deeper codes + banding below bound it instead).
 _SRP_COEFS = [
     (1_500_450_271, 97), (179_424_673, 257), (982_451_653, 991),
     (32_452_843, 1_031), (2_038_074_743, 8_191), (492_876_847, 131_071),
+    (2_147_483_629, 3), (1_000_000_007, 17), (998_244_353, 31),
+    (1_073_741_789, 61), (167_772_161, 127), (469_762_049, 251),
+    (754_974_721, 509), (15_485_863, 1_021), (32_452_867, 2_039),
+    (49_979_687, 4_093), (67_867_967, 8_117), (86_028_121, 16_381),
+    (104_395_301, 32_749), (122_949_823, 65_521), (141_650_939, 131_063),
+    (160_481_183, 262_139),
 ]
 _P = 2_147_483_647
 
@@ -77,12 +88,19 @@ def brute_force_topk(
     )
 
 
-def srp_bucket_expr(vec_col, dim: int, n_bits: int = 6):
-    """Signed-random-projection bucket id: bit i = sign of <v, h_i> where
+def srp_bucket_expr(vec_col, dim: int, n_bits: int = 6, first_bit: int = 0):
+    """Signed-random-projection bucket id from bits [first_bit,
+    first_bit+n_bits): bit i = sign of <v, h_i> where
     h_i[j] = ((a_i*(j+1)+b_i) % P)/P - 0.5 — a deterministic pseudo-random
-    hyperplane both engines can compute exactly."""
+    hyperplane both engines can compute exactly. ``first_bit`` selects a
+    band of a longer code (multi-table LSH)."""
+    if first_bit + n_bits > len(_SRP_COEFS):
+        raise ValueError(
+            f"SRP code limited to {len(_SRP_COEFS)} bits; "
+            f"requested bits [{first_bit}, {first_bit + n_bits})"
+        )
     acc = F.lit(0).cast("long")
-    for i, (a, b) in enumerate(_SRP_COEFS[:n_bits]):
+    for i, (a, b) in enumerate(_SRP_COEFS[first_bit:first_bit + n_bits]):
         comp = F.aggregate(
             F.zip_with(
                 vec_col,
@@ -104,37 +122,75 @@ def srp_bucket_expr(vec_col, dim: int, n_bits: int = 6):
     return acc
 
 
+def _banded(df: DataFrame, vec_col, dim: int, band_bits: int,
+            n_bands: int) -> DataFrame:
+    """Explode each vector into ``n_bands`` rows keyed (band_id,
+    band_val): band b holds SRP bits [b*band_bits, (b+1)*band_bits).
+    Multi-table (OR-amplified) LSH: two vectors are candidates when ANY
+    band matches. Bucket population per (band_id, band_val) is
+    ~N / 2**band_bits — pick ``band_bits ≈ log2(N / target_bucket_rows)``
+    so within-bucket work is bounded at any corpus size (the fix for the
+    round-1 16-bucket quadratic blowup)."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            srp_bucket_expr(
+                vec_col, dim, band_bits, first_bit=b * band_bits
+            ).alias("band_val"),
+        )
+        for b in range(n_bands)
+    ])
+    return (
+        df.withColumn("__band", F.explode(bands))
+        .withColumn("__band_id", F.col("__band")["band_id"])
+        .withColumn("__band_val", F.col("__band")["band_val"])
+        .drop("__band")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_bits: int = 4,
+    n_bits: int = 8,
+    n_bands: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: SRP-bucket corpus and queries, exact cosine only
-    within the query's bucket. At scale the bucket column is a partition /
-    cluster key so a query touches 1/2^bits of the corpus."""
-    c = _as_double(corpus, vec_col).withColumn(
-        "__bucket", srp_bucket_expr(F.col(vec_col), dim, n_bits)
+    """Approximate top-k: banded SRP codes (``n_bits`` total, split into
+    ``n_bands`` tables of n_bits/n_bands bits). A corpus vector is a
+    candidate when ANY band matches the query's band — multi-table LSH
+    recall amplification — then exact cosine re-ranks candidates only.
+    At scale the (band_id, band_val) pair is the partition / cluster key;
+    a query touches n_bands/2**(n_bits/n_bands) of the corpus."""
+    assert n_bits % n_bands == 0, "n_bits must split evenly into bands"
+    band_bits = n_bits // n_bands
+    c = _banded(_as_double(corpus, vec_col), F.col(vec_col), dim,
+                band_bits, n_bands)
+    q = _banded(
+        _as_double(queries, vec_col).select(
+            query_id_col, F.col(vec_col).alias("__qv")
+        ),
+        F.col("__qv"), dim, band_bits, n_bands,
     )
-    q = _as_double(queries, vec_col).select(
-        query_id_col,
-        F.col(vec_col).alias("__qv"),
-        srp_bucket_expr(F.col(vec_col), dim, n_bits).alias("__bucket"),
-    )
-    scored = c.join(F.broadcast(q), "__bucket").select(
-        query_id_col,
-        id_col,
-        F.round(cosine_expr(F.col(vec_col), F.col("__qv")), 6).alias("score"),
+    cand = (
+        c.join(F.broadcast(q), ["__band_id", "__band_val"])
+        # a pair matching several bands appears once per band: keep one
+        .dropDuplicates([query_id_col, id_col])
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_expr(F.col(vec_col), F.col("__qv")), 6)
+            .alias("score"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.col(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -143,25 +199,36 @@ def cosine_near_duplicates(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_bits: int = 4,
+    n_bits: int = 8,
+    n_bands: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding near-dup pairs: SRP bucket (near-identical vectors share
-    all sign bits with high probability), exact cosine within buckets.
-    Returns (id_a, id_b, score) with id_a < id_b, score >= threshold."""
-    v = _as_double(df, vec_col).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        srp_bucket_expr(F.col(vec_col).cast("array<double>"), dim, n_bits).alias(
-            "__bucket"
+    """Embedding near-dup pairs: banded SRP codes (near-identical vectors
+    agree on all sign bits of at least one band with high probability),
+    within-band self-join, pair dedup, exact cosine verify. Returns
+    (id_a, id_b, score) with id_a < id_b, score >= threshold.
+
+    Scale shape: the self-join is keyed on (band_id, band_val), so the
+    quadratic term is sum over buckets of pop² with pop ~ N/2**band_bits;
+    band_bits parameterizes the bound (round-1 used a flat 16-bucket code,
+    which is quadratic in N — fixed here)."""
+    assert n_bits % n_bands == 0, "n_bits must split evenly into bands"
+    band_bits = n_bits // n_bands
+    v = _banded(
+        _as_double(df, vec_col).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
         ),
+        F.col("v"), dim, band_bits, n_bands,
     )
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "__bucket")
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "__bucket")
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                 "__band_id", "__band_val")
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                 "__band_id", "__band_val")
     return (
-        a.join(b, "__bucket")
+        a.join(b, ["__band_id", "__band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
