@@ -29,7 +29,15 @@ from pyspark.sql import functions as F
 
 EPS = 1e-6
 
-def _ALL():  # needs an active session, so built lazily
+def _ALL():
+    """Unpartitioned window, used ONLY over post-aggregation tables whose
+    row count is bounded by category/value cardinality (n_categories or
+    |distinct values| rows — kilobytes). Spark logs ``WindowExec: No
+    Partition Defined ... can cause serious performance degradation`` for
+    every use; over these tiny aggregated tables the warning is benign by
+    construction. If this ever appears over a NON-aggregated input, that
+    is a real regression — every caller below feeds it a groupBy output.
+    Needs an active session, so built lazily."""
     return Window.partitionBy()
 
 

@@ -17,6 +17,15 @@ Class set and semantics match ``error.py``:
   (error.py:60-87)
 - the ~30 typed subclasses (error.py:90-219), names preserved exactly so
   ``type(e).__name__`` round-trips through the ``error_type`` column.
+
+Attribution: the class hierarchy in the first half of this module
+deliberately reproduces the public exception API of voluptuous
+(https://github.com/alecthomas/voluptuous, BSD 3-Clause license,
+Copyright (c) Alec Thomas) — class names, docstrings, and
+``Invalid.__str__``/``MultipleInvalid`` behavior — so ``error_type``
+strings and ``str(exc)`` round-trip exactly for users migrating from the
+reference. The second half (``invalid_from_row``, ``raise_if_invalid``,
+``humanize_error_rows``, ``raises``) is original Spark bridging.
 """
 
 from __future__ import annotations
