@@ -253,3 +253,29 @@ def test_offending_truncated_with_marker(spark):
     off = res.violations.first().offending
     # repr cut to 497 chars + '...' (humanize.py:44-47)
     assert len(off) == 500 and off.endswith("...")
+
+
+def test_map_nested_in_struct(spark):
+    # a map column nested inside a struct validates per entry (was
+    # silently DictInvalid before round 2)
+    df = spark.createDataFrame(
+        [(1, ({"a": 5},)), (2, ({"a": 500},))],
+        "id long, s struct<m:map<string,long>>",
+    )
+    res = Schema(
+        {"s": {"m": {str: Range(min=0, max=100)}}}, extra=ALLOW_EXTRA
+    ).validate(df, id_cols=["id"])
+    bad = res.violations.collect()
+    assert [(r.id, list(r.path), r.message) for r in bad] == [
+        (2, ["s", "m", "a"], "value must be at most 100")
+    ]
+
+
+def test_dict_inside_combinator_raises_cleanly(spark):
+    with pytest.raises(dsl.UnsupportedSchema):
+        Schema(
+            {"v": dsl.Any({"a": int}, {"b": str})}, extra=ALLOW_EXTRA
+        ).validate(
+            spark.createDataFrame([(1, "x")], "id long, v string"),
+            id_cols=["id"],
+        )

@@ -126,3 +126,42 @@ def test_cosine_near_duplicates(spark, vectors):
     _, emb = vectors
     pairs = cosine_near_duplicates(emb, dim=8, threshold=0.95).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 50)}
+
+
+def test_minhash_basis_modes_agree_on_dups(docs):
+    # production (xxhash64) and oracle (rank-dictionary) bases must both
+    # surface the true duplicate pairs; signatures differ, semantics agree
+    for basis in ("hashed", "ranked"):
+        cands = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(docs, basis=basis).collect()
+        }
+        assert (0, 1) in cands and (0, 6) in cands, basis
+
+
+def test_simhash_hashed_mode(docs):
+    sh = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh[0] == sh[1] == sh[6]  # identical after normalization
+    near = bin(sh[0] ^ sh[2]).count("1")   # one word changed
+    far = bin(sh[0] ^ sh[5]).count("1")    # unrelated text
+    assert near < far
+
+
+def test_lsh_banding_bounds_candidates(spark, vectors):
+    # deeper bands shrink the candidate set (bucket population ~N/2^bits)
+    _, emb = vectors
+    shallow = cosine_near_duplicates(
+        emb, dim=8, threshold=-1.0, n_bits=2, n_bands=1
+    ).count()
+    deep = cosine_near_duplicates(
+        emb, dim=8, threshold=-1.0, n_bits=8, n_bands=2
+    ).count()
+    assert deep < shallow
+    # recall is preserved for the true near-dup pair at the deep setting
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_duplicates(
+            emb, dim=8, threshold=0.95, n_bits=8, n_bands=2
+        ).collect()
+    }
+    assert (0, 50) in pairs

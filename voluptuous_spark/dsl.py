@@ -136,6 +136,17 @@ def compile_validator(v, dtype: T.DataType) -> RowCheck:
         return _sequence_check(v, dtype)
     if isinstance(v, (set, frozenset)):
         return _set_check(v, dtype)
+    if isinstance(v, dict):
+        # dict schemas compile at the Schema level (struct/map columns);
+        # inside value combinators (Any({...}, {...})) they would need
+        # per-branch struct validation — not expressible as a single
+        # Column. Fail at compile time with a clear message instead of
+        # emitting a bogus literal-equality check.
+        raise UnsupportedSchema(
+            "dict schemas are compiled at the Schema level (use a dict as "
+            "the field's value in Schema({...})); dicts nested inside "
+            "value combinators are not supported"
+        )
     if callable(v):
         raise UnsupportedSchema(
             "bare Python callables are per-row; wrap in PandasValidator "

@@ -1,44 +1,141 @@
-"""Multimodal binary-column plumbing: image / video / generic media.
+"""Multimodal binary-column operators: image / video / generic media.
 
 A 100TB training-data pipeline carries media as opaque ``binary`` columns
 with typed metadata (this repo's audio pipeline — ``audio.py`` — is the
-fully-real instance: WAV decode, SNR cross-check). This module provides
-the same Spark-side plumbing for image and video payloads:
+audio instance: WAV decode, SNR cross-check). This module gives image and
+video payloads the same treatment, with the same honesty rule as audio:
 
-- schema convention: ``(id, bytes, <typed metadata...>)``
-- Arrow-batched ``mapInPandas`` operators with explicit output schemas
-  and bounded batch sizes (the same
-  ``spark.sql.execution.arrow.maxRecordsPerBatch`` discipline as audio —
-  batches of wide binary rows must fit worker memory)
-- the decode kernels themselves are STUBBED: no image/video codec
-  libraries exist in this environment, so each operator takes a
-  ``decode`` callable. The default is a deterministic fake (shape +
-  checksum derived from the bytes) so the plumbing — schema, batching,
-  partitioning, column pruning, drop-the-bytes-early — is real and
-  testable; swapping in PIL/ffmpeg is a one-argument change on a real
-  cluster.
+- REAL kernels for the formats decodable with numpy + stdlib alone —
+  BMP (24-bit uncompressed) and PPM (P6) images, and a raw-RGB frame
+  container for video (``RAWV``, defined below, the video analog of PCM
+  WAV). Decode, feature-extract, nearest-neighbor resize, and
+  frame-sample all run for real on these.
+- STUBS only for compressed codecs (JPEG/PNG/H.264…): no codec library
+  exists in this environment, so those payloads fail loudly with a clear
+  error (or pass a structural magic-number check), and every operator
+  takes a ``decode`` callable so PIL/ffmpeg slot in as a one-argument
+  change on a real cluster.
 
 Design rules carried over from audio.py:
-- the binary column crosses the JVM->Python boundary ONCE and is dropped
-  from the output batch (downstream plans never carry it again);
-- no per-row Python in Spark's row pipeline — everything is Arrow-batch;
+- the binary column crosses the JVM->Python boundary ONCE per operator
+  and is dropped from the output batch (downstream plans never carry it
+  again);
+- no per-row Python in Spark's row pipeline — everything is Arrow-batch
+  ``mapInPandas`` with explicit output schemas and bounded batch sizes
+  (``spark.sql.execution.arrow.maxRecordsPerBatch``);
 - outputs are narrow typed columns (features, dims, frame indexes).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 import typing
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+# ---------------------------------------------------------------------------
+# image codecs (pure numpy + stdlib): BMP 24-bit uncompressed, PPM P6
+
+
+def encode_bmp24(arr: np.ndarray) -> bytes:
+    """Minimal BMP (BITMAPINFOHEADER, 24bpp, uncompressed) encoder.
+    ``arr``: HxWx3 uint8 RGB. Rows are stored bottom-up, BGR, padded to
+    4-byte multiples, per the format."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    row_size = (w * 3 + 3) & ~3
+    data_size = row_size * h
+    # bottom-up, BGR, padded
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + data_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    return header + rows.tobytes()
+
+
+def decode_bmp24(buf) -> np.ndarray:
+    """Decode 24bpp uncompressed BMP -> HxWx3 uint8 RGB (numpy-only).
+    Raises ValueError on malformed or unsupported payloads."""
+    if buf is None or len(buf) < 54:
+        raise ValueError("truncated BMP header")
+    mv = memoryview(buf)
+    if bytes(mv[0:2]) != b"BM":
+        raise ValueError("bad BMP magic")
+    (data_off,) = struct.unpack("<I", mv[10:14])
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack(
+        "<IiiHHI", mv[14:34]
+    )
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise ValueError("unsupported BMP encoding (need 24bpp BI_RGB)")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    need = data_off + row_size * h
+    if len(mv) < need:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(
+        mv[data_off:need], dtype=np.uint8
+    ).reshape(h, row_size)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if bottom_up else img
+
+
+def decode_ppm(buf) -> np.ndarray:
+    """Decode binary PPM (P6, maxval 255) -> HxWx3 uint8 RGB."""
+    if buf is None or len(buf) < 10:
+        raise ValueError("truncated PPM header")
+    b = bytes(buf)
+    if not b.startswith(b"P6"):
+        raise ValueError("bad PPM magic")
+    # header: P6 <w> <h> <maxval> single-whitespace separated (no comments
+    # in our writer; tolerate arbitrary whitespace)
+    parts, pos, token = [], 2, b""
+    while len(parts) < 3 and pos < len(b):
+        ch = b[pos:pos + 1]
+        if ch.isspace():
+            if token:
+                parts.append(int(token))
+                token = b""
+        else:
+            token += ch
+        pos += 1
+    if len(parts) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("unsupported PPM maxval")
+    need = pos + w * h * 3
+    if len(b) < need:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(b, dtype=np.uint8, count=w * h * 3,
+                         offset=pos).reshape(h, w, 3)
+
+
+def decode_image(buf) -> np.ndarray:
+    """Dispatch on magic: BMP and PPM decode for real (numpy-only);
+    compressed codecs raise — swap in PIL on a cluster that has it."""
+    if buf is None or len(buf) < 2:
+        raise ValueError("truncated image payload")
+    magic = bytes(memoryview(buf)[0:2])
+    if magic == b"BM":
+        return decode_bmp24(buf)
+    if magic == b"P6":
+        return decode_ppm(buf)
+    raise ValueError(
+        "unsupported image codec (BMP24/PPM decode without libraries; "
+        "JPEG/PNG need PIL — pass decode=PIL-based callable)"
+    )
+
 
 def _fake_image_decode(buf: bytes) -> np.ndarray:
-    """Deterministic stand-in for an image codec: derives a small HxWx3
-    uint8 array purely from the payload bytes. Replace with a real
-    decoder (PIL.Image.open) on a cluster that has one."""
+    """Deterministic stand-in codec (shape + pixels derived from payload
+    hash) — kept for plumbing tests that don't care about pixels."""
     if buf is None or len(buf) < 4:
         raise ValueError("truncated image payload")
     d = hashlib.sha256(bytes(buf)).digest()
@@ -50,11 +147,24 @@ def _fake_image_decode(buf: bytes) -> np.ndarray:
     return rng[: h * w * 3].reshape(h, w, 3).copy()
 
 
+def resize_nearest(arr: np.ndarray, target: tuple[int, int]) -> np.ndarray:
+    """Nearest-neighbor resize (numpy index arrays; no libraries)."""
+    th, tw = target
+    h, w = arr.shape[0], arr.shape[1]
+    ri = (np.arange(th) * h // th).clip(0, h - 1)
+    ci = (np.arange(tw) * w // tw).clip(0, w - 1)
+    return arr[ri][:, ci]
+
+
+# ---------------------------------------------------------------------------
+# image operators
+
+
 def image_features(
     df: DataFrame,
     id_col: str = "id",
     bytes_col: str = "bytes",
-    decode: typing.Callable[[bytes], np.ndarray] = _fake_image_decode,
+    decode: typing.Callable[[bytes], np.ndarray] = decode_image,
 ) -> DataFrame:
     """(id, height, width, channels, mean_luma, err) via mapInPandas.
     ``err`` is NULL on success — the same violation convention as the
@@ -93,29 +203,87 @@ def image_features(
     return df.select(id_col, bytes_col).mapInPandas(gen, out_schema)
 
 
-def image_resize_stub(
+def image_resize(
     df: DataFrame,
     target: tuple[int, int],
     id_col: str = "id",
     bytes_col: str = "bytes",
+    decode: typing.Callable[[bytes], np.ndarray] = decode_image,
 ) -> DataFrame:
-    """Resize plumbing: (id, bytes) -> (id, resized binary, h, w). The
-    resample kernel requires a real image library — STUB: raises
-    NotImplementedError per batch so a misconfigured cluster fails loudly
-    rather than producing fake pixels. The schema and batch shape are the
-    real contract."""
-    out_schema = f"`{id_col}` string, resized binary, h int, w int"
+    """(id, resized binary BMP24, h, w, err): decode -> nearest-neighbor
+    resize -> re-encode. Real end-to-end for BMP/PPM payloads; compressed
+    codecs surface a per-row err instead of fake pixels."""
+    out_schema = (
+        f"`{id_col}` string, resized binary, h int, w int, err string"
+    )
 
     def gen(batches):
-        for _pdf in batches:
-            raise NotImplementedError(
-                "image resize requires an image codec library "
-                "(PIL/opencv); none is available in this environment"
+        for pdf in batches:
+            rows = []
+            for rid, buf in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    out = resize_nearest(decode(buf), target)
+                    rows.append(
+                        (rid, encode_bmp24(out), int(out.shape[0]),
+                         int(out.shape[1]), None)
+                    )
+                except Exception as exc:
+                    rows.append((rid, None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "resized", "h", "w", "err"]
             )
-        return
-        yield  # pragma: no cover — unreachable; makes gen a generator
 
     return df.select(id_col, bytes_col).mapInPandas(gen, out_schema)
+
+
+def image_resize_stub(df, target, id_col="id", bytes_col="bytes"):
+    """Back-compat alias for the round-1 stub name; now the real
+    ``image_resize`` (BMP/PPM kernels are numpy-decodable)."""
+    return image_resize(df, target, id_col, bytes_col)
+
+
+# ---------------------------------------------------------------------------
+# video: RAWV container (video analog of PCM WAV — real, library-free)
+#
+# layout: b"RAWV" | <HHHI: height, width, fps, n_frames> | frames as raw
+# RGB24 (h*w*3 bytes each, frame-major). Dumb on purpose: zero-copy
+# per-frame slicing, deterministic synthesis, exact round-trip.
+
+
+def encode_rawv(frames: np.ndarray, fps: int) -> bytes:
+    """frames: NxHxWx3 uint8."""
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    return (
+        b"RAWV"
+        + struct.pack("<HHHI", h, w, fps, n)
+        + frames.tobytes()
+    )
+
+
+def decode_rawv_header(buf) -> tuple[int, int, int, int]:
+    """-> (height, width, fps, n_frames); ValueError on bad payloads."""
+    if buf is None or len(buf) < 14:
+        raise ValueError("truncated RAWV header")
+    mv = memoryview(buf)
+    if bytes(mv[0:4]) != b"RAWV":
+        raise ValueError("bad RAWV magic")
+    h, w, fps, n = struct.unpack("<HHHI", mv[4:14])
+    if len(mv) < 14 + n * h * w * 3:
+        raise ValueError("truncated RAWV payload")
+    return h, w, fps, n
+
+
+def decode_rawv_frame(buf, idx: int) -> np.ndarray:
+    """Zero-copy view of frame ``idx`` -> HxWx3 uint8."""
+    h, w, fps, n = decode_rawv_header(buf)
+    if not 0 <= idx < n:
+        raise ValueError(f"frame {idx} out of range (n={n})")
+    fsize = h * w * 3
+    off = 14 + idx * fsize
+    return np.frombuffer(
+        memoryview(buf)[off:off + fsize], dtype=np.uint8
+    ).reshape(h, w, 3)
 
 
 def video_frame_sample(
@@ -125,30 +293,49 @@ def video_frame_sample(
     bytes_col: str = "bytes",
     dur_col: str = "dur_ms",
 ) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame index,
-    (id, frame_idx, ts_ms, frame binary NULL-stubbed). Frame timestamps
-    come from metadata (dur_ms), so the fan-out is real and testable;
-    the pixel payload needs ffmpeg — stubbed as NULL bytes."""
+    """One output row per sampled frame: (id, frame_idx, ts_ms, frame
+    binary BMP24, err). RAWV payloads yield REAL frames (sliced zero-copy,
+    re-encoded as standalone BMP images — the shape a frame-level training
+    pipeline wants); unknown codecs yield the timestamp fan-out from
+    metadata with ``frame`` NULL and ``err`` set (ffmpeg territory)."""
     out_schema = (
-        f"`{id_col}` string, frame_idx int, ts_ms int, frame binary"
+        f"`{id_col}` string, frame_idx int, ts_ms int, frame binary, "
+        "err string"
     )
 
     def gen(batches):
         for pdf in batches:
-            ids, idxs, tss = [], [], []
-            for rid, dur in zip(pdf[id_col], pdf[dur_col]):
-                n = 0 if pd.isna(dur) else int(dur) // every_ms + 1
-                for i in range(n):
-                    ids.append(rid)
-                    idxs.append(i)
-                    tss.append(i * every_ms)
+            rows = []
+            for rid, buf, dur in zip(
+                pdf[id_col], pdf[bytes_col], pdf[dur_col]
+            ):
+                try:
+                    h, w, fps, n = decode_rawv_header(buf)
+                    dur_total = (
+                        int(dur) if not pd.isna(dur)
+                        else int(n * 1000 / max(fps, 1))
+                    )
+                    for i in range(0, dur_total // every_ms + 1):
+                        fidx = min(i * every_ms * fps // 1000, n - 1)
+                        frame = decode_rawv_frame(buf, fidx)
+                        rows.append(
+                            (rid, fidx, i * every_ms,
+                             encode_bmp24(np.ascontiguousarray(frame)),
+                             None)
+                        )
+                except Exception as exc:
+                    n_meta = (
+                        0 if pd.isna(dur) else int(dur) // every_ms + 1
+                    )
+                    for i in range(n_meta):
+                        rows.append(
+                            (rid, i, i * every_ms, None, str(exc))
+                        )
             yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "frame_idx": idxs,
-                    "ts_ms": tss,
-                    "frame": [None] * len(ids),
-                }
+                rows,
+                columns=[id_col, "frame_idx", "ts_ms", "frame", "err"],
             )
 
-    return df.select(id_col, dur_col).mapInPandas(gen, out_schema)
+    return df.select(id_col, bytes_col, dur_col).mapInPandas(
+        gen, out_schema
+    )

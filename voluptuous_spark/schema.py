@@ -426,6 +426,7 @@ class Schema:
                     as_object=isinstance(v, dsl.Object),
                     root=self.schema,
                     msg_override=msg_override,
+                    arrays=err_arrays,
                 )
                 out_cols[fld.name] = out_col
                 err_entries.extend(sub_errs)
@@ -788,7 +789,8 @@ class Schema:
     def _validate_struct(self, col: Column, dtype: T.StructType,
                          prefix: tuple[str, ...], as_object: bool = False,
                          root: dict | None = None,
-                         msg_override: tuple[str, str] | None = None):
+                         msg_override: tuple[str, str] | None = None,
+                         arrays: list | None = None):
         """Validate a StructType column field-by-field; returns
         (output struct column, error entries with nested paths).
         ``as_object``: Object schema (schema_builder.py:413-441) — same
@@ -852,6 +854,16 @@ class Schema:
             val = root if val is dsl.Self else val
             if isinstance(val, dict):
                 sub_schema = Schema(val, required=self.required, extra=self.extra)
+                if isinstance(sub_t, T.MapType):
+                    # nested dynamic-key map inside a struct
+                    o, sub_singles, sub_arrs = sub_schema._validate_map(
+                        sub_col, sub_t, path
+                    )
+                    outs.append(o.alias(name))
+                    errs.extend(sub_singles)
+                    if arrays is not None:
+                        arrays.extend(sub_arrs)
+                    continue
                 if not isinstance(sub_t, T.StructType):
                     # the sub-gate error is depth 1 relative to a wrapping
                     # Msg -> own-level (overridable)
@@ -862,6 +874,7 @@ class Schema:
                 o, e = sub_schema._validate_struct(
                     sub_col, sub_t, path,
                     as_object=isinstance(val, dsl.Object), root=root,
+                    arrays=arrays,
                 )
                 outs.append(o.alias(name))
                 errs.extend(e)
