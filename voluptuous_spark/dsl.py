@@ -1076,34 +1076,48 @@ class ExactSequence(Validator):
             # first failing element's own error surfaces (the reference
             # re-raises the element validator's Invalid, e.g. 'expected
             # str', validators.py:941-953); length mismatch is the
-            # sequence-level error
-            elem_err = (
-                F.coalesce(
-                    *[
-                        ch.err(F.try_element_at(col, F.lit(i + 1)))
-                        for i, ch in enumerate(checks)
-                    ]
-                )
-                if checks
-                else F.lit(None).cast(
-                    "struct<message:string,error_type:string>"
-                )
+            # sequence-level error. Scalar message/error_type chains on
+            # purpose (struct built once at the top): struct-typed values
+            # in nested CASE/coalesce chains trip a Janino codegen bug
+            # ("isNull_N is not an rvalue") that drops the projection to
+            # interpreted mode. Catalyst's SimplifyExtractValueOps pushes
+            # the ["message"] extraction into the child CASE branches, so
+            # these stay single-evaluation scalar chains.
+            elem_errs = [
+                ch.err(F.try_element_at(col, F.lit(i + 1)))
+                for i, ch in enumerate(checks)
+            ]
+            msgs = [e["message"] for e in elem_errs]
+            if checks:
+                elem_msg = F.coalesce(*msgs)
+                elem_et = None
+                for m, e in zip(msgs, elem_errs):
+                    et = e["error_type"]
+                    elem_et = (F.when(m.isNotNull(), et) if elem_et is None
+                               else elem_et.when(m.isNotNull(), et))
+            else:
+                elem_msg = F.lit(None).cast("string")
+                elem_et = F.lit(None).cast("string")
+            msg = (
+                F.when(col.isNull(), F.lit(None).cast("string"))
+                .when(F.size(col) != F.lit(n),
+                      F.lit(self._m("not a valid value")))
+                .otherwise(elem_msg)
             )
-            e = (
-                F.when(col.isNull(), F.lit(None))
-                .when(
-                    F.size(col) != F.lit(n),
-                    err_struct(
-                        self._m("not a valid value"), "ExactSequenceInvalid"
-                    ),
-                )
-                .otherwise(elem_err)
+            et = (
+                F.when(col.isNull() | (F.size(col) != F.lit(n)),
+                       F.lit("ExactSequenceInvalid"))
+                .otherwise(elem_et)
             )
             if self.msg:
-                return F.when(e.isNull(), F.lit(None)).otherwise(
-                    err_struct(self.msg, "ExactSequenceInvalid")
-                )
-            return e
+                return F.when(msg.isNull(), F.lit(None).cast(
+                    RowCheck._ERR_T
+                )).otherwise(err_struct(self.msg, "ExactSequenceInvalid"))
+            return F.when(msg.isNull(), F.lit(None).cast(
+                RowCheck._ERR_T
+            )).otherwise(
+                F.struct(msg.alias("message"), et.alias("error_type"))
+            )
 
         return RowCheck(out, err, dtype)
 
@@ -1363,49 +1377,55 @@ class Unordered(Validator):
                 # 'Element #{index} ({value}) is not valid against any
                 # validator' (validators.py:1090-1100); str(value) form
                 if self.msg:
-                    return err_struct(self.msg, "Invalid")
-                return F.struct(
-                    F.format_string(
-                        f"Element #{i} (%s) is not valid against any "
-                        "validator",
-                        F.coalesce(elems[i].cast("string"), F.lit("None")),
-                    ).alias("message"),
-                    F.lit("Invalid").alias("error_type"),
+                    return F.lit(self.msg)
+                return F.format_string(
+                    f"Element #{i} (%s) is not valid against any "
+                    "validator",
+                    F.coalesce(elems[i].cast("string"), F.lit("None")),
                 )
 
             def greedy(i, consumed):
-                """First error produced by the reference's greedy matcher
-                (validators.py:1072-1088): element i consumes the FIRST
-                not-yet-consumed validator it satisfies; an element with
-                none is 'missing' and its error surfaces (MultipleInvalid
-                keeps accumulating but __str__/our violations use the
-                first, error.py:68-77)."""
+                """First error MESSAGE produced by the reference's greedy
+                matcher (validators.py:1072-1088): element i consumes the
+                FIRST not-yet-consumed validator it satisfies; an element
+                with none is 'missing' and its error surfaces
+                (MultipleInvalid keeps accumulating but __str__/our
+                violations use the first, error.py:68-77). String-typed
+                branches on purpose: struct-typed values in deep nested
+                CASE chains trip a Janino codegen bug ("isNull_N is not
+                an rvalue") that drops the whole projection to
+                interpreted mode; with strings the chain stays inside
+                whole-stage codegen and one struct is built at the top."""
                 if i == n:
-                    return F.lit(None).cast(err_t)
+                    return F.lit(None).cast("string")
                 avail = [j for j in range(n) if j not in consumed]
                 expr = None
                 for j in avail:
                     branch = greedy(i + 1, consumed | {j})
                     expr = (F.when(ok_bit[i][j], branch) if expr is None
                             else expr.when(ok_bit[i][j], branch))
-                return (missing(i).cast(err_t) if expr is None
-                        else expr.otherwise(missing(i)).cast(err_t))
+                return missing(i) if expr is None else expr.otherwise(
+                    missing(i)
+                )
 
-            return (
-                F.when(col.isNull(), F.lit(None).cast(err_t))
+            msg = (
+                F.when(col.isNull(), F.lit(None).cast("string"))
                 .when(
                     ~len_ok,
-                    F.struct(
-                        F.format_string(
-                            self.msg
-                            or "List lengths differ, value:%s != target:"
-                            + str(n),
-                            F.size(col).cast("string"),
-                        ).alias("message"),
-                        F.lit("Invalid").alias("error_type"),
-                    ).cast(err_t),
+                    F.format_string(
+                        self.msg
+                        or "List lengths differ, value:%s != target:"
+                        + str(n),
+                        F.size(col).cast("string"),
+                    ),
                 )
                 .otherwise(greedy(0, frozenset()))
+            )
+            return F.when(msg.isNull(), F.lit(None).cast(err_t)).otherwise(
+                F.struct(
+                    msg.alias("message"),
+                    F.lit("Invalid").alias("error_type"),
+                )
             )
 
         return RowCheck(lambda c: c, err, dtype)
