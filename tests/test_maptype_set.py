@@ -15,6 +15,7 @@ from voluptuous_spark import (
     REMOVE_EXTRA,
     Coerce,
     In,
+    Length,
     Match,
     Msg,
     Range,
@@ -279,3 +280,49 @@ def test_dict_inside_combinator_raises_cleanly(spark):
             spark.createDataFrame([(1, "x")], "id long, v string"),
             id_cols=["id"],
         )
+
+
+# ---------------------------------------------------------------------------
+# top-level wildcard column keys (dynamic keys over the static column set)
+
+
+def test_wildcard_type_key_matches_all_columns(spark):
+    # Schema({str: validator}): every column validates (reference
+    # {type: schema} dynamic keys, resolved against static column names)
+    df = spark.createDataFrame(
+        [(5, 20), (500, 7)], "a long, b long"
+    )
+    res = Schema({str: Range(min=0, max=100)}).validate(df, id_cols=[])
+    bad = sorted(
+        (list(r.path), r.message) for r in res.violations.collect()
+    )
+    assert bad == [(["a"], "value must be at most 100")]
+
+
+def test_wildcard_match_key_and_remove(spark):
+    from voluptuous_spark import Remove
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "x")], "id long, l_val double, tmp_scratch string"
+    )
+    res = Schema(
+        {
+            "id": int,
+            Match(r"^l_"): Range(min=0.0, max=10.0),
+            Remove(Match(r"^tmp_")): object,
+        }
+    ).validate(df, id_cols=["id"])
+    assert res.violations.count() == 0
+    assert "tmp_scratch" not in res.valid.columns  # Remove wildcard
+    assert "l_val" in res.valid.columns
+
+
+def test_wildcard_extra_key_allows_and_validates(spark):
+    from voluptuous_spark import dsl
+
+    df = spark.createDataFrame([(1, "ok"), (2, "")], "id long, note string")
+    res = Schema(
+        {"id": int, dsl.Extra: Length(min=1)}
+    ).validate(df, id_cols=["id"])
+    bad = res.violations.collect()
+    assert [(r.id, list(r.path)) for r in bad] == [(2, ["note"])]

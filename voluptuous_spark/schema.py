@@ -258,9 +258,36 @@ class Schema:
         return cls(out, **kwargs)
 
     # -- bind + validate -----------------------------------------------------
+    @staticmethod
+    def _wildcard_accepts(key_schema, name: str) -> bool:
+        """Does a wildcard key schema accept a COLUMN NAME? At the table
+        level the data keys are the (static, always-str) column names, so
+        the reference's dynamic-key matching (schema_builder.py:469-488)
+        resolves entirely at compile time, driver-side — zero runtime
+        cost. Supported wildcard kinds: Extra (matches everything),
+        Python types (str matches every column name), Match (regex on the
+        name), In (name membership)."""
+        import re as _re2
+
+        if key_schema is dsl.Extra or isinstance(key_schema, dsl.Extra):
+            return True
+        if isinstance(key_schema, type):
+            return isinstance(name, key_schema)
+        if isinstance(key_schema, dsl.Match):
+            return _re2.match(key_schema.pattern, name) is not None
+        if isinstance(key_schema, dsl.In):
+            return name in key_schema.container
+        raise UnsupportedSchema(
+            f"unsupported wildcard column-key schema: {key_schema!r} "
+            "(supported: Extra, Python types, Match, In)"
+        )
+
     def _bind_fields(self, struct: T.StructType, prefix: tuple[str, ...] = ()):
         fields: list[_Field] = []
         declared: set[str] = set()
+        # wildcard keys ({str: v}, {Extra: v}, {Match('^l_'): v}) matched
+        # against undeclared column names after the literal-key pass
+        wildcards: list[tuple] = []
         # complex required keys (schema_builder.py:311-325):
         # Required(Any('a','b')) = at-least-one-of; candidates are real
         # columns, each validated when present
@@ -283,7 +310,13 @@ class Schema:
                     )
                 continue
             if not isinstance(name, str):
-                raise UnsupportedSchema(f"non-string column key: {name!r}")
+                # wildcard column key (type / Extra / Match / In):
+                # resolved against the static column names after the
+                # literal keys claim theirs (reference candidate priority:
+                # values first, wildcards later, Extra last —
+                # schema_builder.py:844-861)
+                wildcards.append((key, name, val))
+                continue
             declared.add(name)
             required = self.required
             default = UNDEFINED
@@ -317,6 +350,32 @@ class Schema:
                 # statically-missing column: every row fails — keep as a
                 # field with no dtype; handled in _field_exprs
                 pass
+        if wildcards:
+            def _prio(kv):
+                key = kv[0]
+                if key is dsl.Extra or isinstance(key, dsl.Extra):
+                    return 5
+                if isinstance(key, Remove):
+                    return 1
+                if isinstance(key, Marker):
+                    return 2
+                if isinstance(key, type):
+                    return 4
+                return 3
+
+            wildcards.sort(key=_prio)
+            for cname in struct.fieldNames():
+                if cname in declared:
+                    continue
+                for key, kschema, val in wildcards:
+                    if self._wildcard_accepts(kschema, cname):
+                        declared.add(cname)
+                        fields.append(_Field(
+                            cname, prefix + (cname,), False, UNDEFINED,
+                            getattr(key, "msg", None), val,
+                            remove=isinstance(key, Remove),
+                        ))
+                        break
         return fields, declared, complex_req
 
     def validate(
