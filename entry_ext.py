@@ -240,10 +240,10 @@ EXTRA_ORACLES = {
             <> ((CASE WHEN user_id % 2 = 0 THEN user_id END) IS NULL)
     """,
     "maybe_value": """
-        SELECT event_id,
-               CASE WHEN NOT (value >= 5.0) THEN 'value must be at least 5.0'
-                    ELSE 'value must be at most 90.0' END AS message,
-               'RangeInvalid' AS error_type
+        -- Maybe == Any(None, v): the None branch's ScalarInvalid
+        -- 'not a valid value' surfaces (deepest-error/first-branch rule)
+        SELECT event_id, 'not a valid value' AS message,
+               'ScalarInvalid' AS error_type
         FROM events
         WHERE user_id % 3 <> 0 AND value IS NOT NULL
           AND NOT (value >= 5.0 AND value <= 90.0)

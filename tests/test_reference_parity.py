@@ -1,0 +1,185 @@
+"""Live differential parity vs the reference library.
+
+Each case builds the SAME schema twice — once with this engine's DSL,
+once with voluptuous itself (imported read-only from /root/reference) —
+and validates the same documents through both, comparing:
+
+- accept vs reject,
+- the transformed document on accept (validation is transformation),
+- the SET of rendered error strings (``str(Invalid)``) on reject.
+
+This is the strongest form of SURVEY.md §5's "reference pytest suite
+translated to DataFrame assertions": the expectation is computed by the
+reference itself at test time, so any drift in message/path/semantics
+surfaces immediately. Skipped when the reference checkout is absent
+(e.g. on a production cluster).
+
+Known documented divergences are excluded by construction:
+- a NULL cell means "key absent" here (DataFrames cannot omit a column),
+  so documents never carry explicit None values;
+- ``Any`` deepest-error over nested dict branches is unsupported
+  (UnsupportedSchema), so cases keep combinators scalar.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+REF_PATH = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref():
+    sys.path.insert(0, REF_PATH)
+    try:
+        import voluptuous as v
+    except ImportError:  # pragma: no cover
+        pytest.skip("reference checkout not available")
+    return v
+
+
+import voluptuous_spark as vs  # noqa: E402
+from voluptuous_spark import exceptions as vse  # noqa: E402
+
+
+# case-normalizing transformers are bare FUNCTIONS in the reference
+# (util.py:15-62) but zero-arg classes here
+_FUNC_STYLE = {"Lower", "Upper", "Capitalize", "Title", "Strip"}
+
+
+def _mk(v, spec):
+    """Build one schema node from a module-agnostic spec tree.
+
+    spec: (name, *args) tuples reference DSL classes by name in either
+    module; dicts/lists/scalars pass through recursively.
+    """
+    import inspect
+
+    if isinstance(spec, tuple) and spec and isinstance(spec[0], str):
+        name, *args = spec
+        obj = getattr(v, name)
+        if name in _FUNC_STYLE and not inspect.isclass(obj):
+            return obj  # reference: pass the function itself
+        return obj(*[_mk(v, a) for a in args])
+    if isinstance(spec, dict):
+        return {_mk(v, k): _mk(v, val) for k, val in spec.items()}
+    if isinstance(spec, list):
+        return [_mk(v, a) for a in spec]
+    return spec
+
+
+# (schema spec, docs...) — every doc is validated through both engines
+CASES = [
+    # scalar validators
+    ({"q": ("Range", 1, 49)}, {"q": 25}, {"q": 0}, {"q": 50}),
+    ({"q": ("Range",)}, {"q": float("nan")}),
+    ({"s": ("In", ["A", "N", "R"])}, {"s": "A"}, {"s": "X"}),
+    ({"s": ("NotIn", ["bad"])}, {"s": "ok"}, {"s": "bad"}),
+    ({"t": ("Length", 2, 5)}, {"t": "abc"}, {"t": "a"}, {"t": "abcdef"}),
+    ({"t": ("Match", r"^ab")}, {"t": "abc"}, {"t": "zzz"}),
+    ({"e": ("Email",)}, {"e": "u@example.com"}, {"e": "nope"}),
+    ({"u": ("Url",)}, {"u": "https://x.org/p"}, {"u": "no scheme"}),
+    ({"u": ("FqdnUrl",)}, {"u": "https://a.b.c/p"}, {"u": "https://localhost/x"}),
+    ({"d": ("Date",)}, {"d": "2024-02-29"}, {"d": "2024-13-01"}),
+    (
+        {"d": ("Datetime", "%Y-%m-%d %H:%M:%S")},
+        {"d": "2024-01-02 03:04:05"},
+        {"d": "nope"},
+    ),
+    ({"b": ("Boolean",)}, {"b": "yes"}, {"b": "off"}, {"b": "maybe"}),
+    ({"x": ("IsTrue",)}, {"x": True}, {"x": False}),
+    ({"x": ("IsFalse",)}, {"x": False}, {"x": True}),
+    ({"x": ("Equal", 7)}, {"x": 7}, {"x": 8}),
+    ({"x": ("Literal", "hi")}, {"x": "hi"}, {"x": "no"}),
+    ({"x": ("Contains", "a")}, {"x": ["a", "b"]}, {"x": ["b", "c"]}),
+    ({"x": ("Unique",)}, {"x": [1, 2, 3]}, {"x": [1, 1, 2]}),
+    (
+        {"x": ("ExactSequence", [("Range", 0, 5), ("Range", 10, 20)])},
+        {"x": [3, 15]},
+        {"x": [7, 15]},
+    ),
+    (
+        {"x": ("Unordered", [("Range", 0, 10), ("Range", 2, 10)])},
+        {"x": [3.0, 1.0]},  # greedy rejects (perfect matching would pass)
+        {"x": [1.0, 3.0]},
+        {"x": [11.0, 1.0]},
+    ),
+    ({"x": ("SomeOf", [("Range", 0, None), ("Range", None, 100)], 2)},
+     {"x": 50}),
+    # transformers (validation is transformation)
+    ({"t": ("Lower",)}, {"t": "MiXeD"}),
+    ({"t": ("Upper",)}, {"t": "MiXeD"}),
+    ({"t": ("Capitalize",)}, {"t": "hello world"}),
+    ({"t": ("Strip",)}, {"t": "  pad  "}),
+    ({"t": ("DefaultTo", "dflt")}, {"t": "have"}),
+    ({"t": ("SetTo", 42)}, {"t": 7}),
+    ({"q": ("Clamp", 2, 4)}, {"q": 1}, {"q": 3}, {"q": 9}),
+    ({"q": ("Coerce", int)}, {"q": "17"}, {"q": "x"}),
+    ({"t": ("Replace", "a", "b")}, {"t": "banana"}),
+    # combinators
+    ({"q": ("All", ("Coerce", int), ("Range", 1, 9))}, {"q": "5"}, {"q": "77"}),
+    ({"s": ("Any", ("In", ["a"]), ("Match", "^z"))},
+     {"s": "a"}, {"s": "zz"}, {"s": "q"}),
+    ({"s": ("Maybe", ("In", ["a"]))}, {"s": "a"}, {"s": "x"}),
+    ({"s": ("Msg", ("Range", 1, 5), "boom")}, {"s": 9}),
+    # markers / structure
+    ({("Required", "k"): str}, {"k": "v"}, {}),
+    ({("Optional", "k"): str, ("Required", "j"): int}, {"j": 3}),
+    ({"k": {"n": ("Range", 0, 5)}}, {"k": {"n": 3}}, {"k": {"n": 9}}),
+    ({"x": [("Range", 0, 5)]}, {"x": [1, 2]}, {"x": [1, 9]}),
+    ({"x": {1, 2, 3}}, {"x": {1, 2}}, {"x": {1, 7}}),
+]
+
+
+def _run_ref(ref, spec, doc, **kw):
+    schema = ref.Schema(_mk(ref, spec), **kw)
+    try:
+        return ("ok", schema(dict(doc)))
+    except ref.MultipleInvalid as e:
+        return ("err", sorted(str(x) for x in e.errors))
+    except ref.Invalid as e:
+        return ("err", [str(e)])
+
+
+def _run_engine(spark, spec, doc, **kw):
+    schema = vs.Schema(_mk(vs, spec), **kw)
+    try:
+        return ("ok", schema(dict(doc), spark=spark))
+    except vse.MultipleInvalid as e:
+        return ("err", sorted(str(x) for x in e.errors))
+    except vse.Invalid as e:
+        return ("err", [str(e)])
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: repr(c[0])[:60])
+def test_differential_parity(spark, ref, case):
+    spec, *docs = case
+    for doc in docs:
+        expected = _run_ref(ref, spec, doc)
+        got = _run_engine(spark, spec, doc)
+        if expected[0] == "ok":
+            assert got[0] == "ok", (doc, got)
+            assert _eq(got[1], expected[1]), (doc, got[1], expected[1])
+        else:
+            assert got == expected, (doc, got, expected)
+
+
+def _eq(a, b):
+    """Structural equality where NaN == NaN and set==list-of-same (a Row
+    round-trip returns lists for the set carrier)."""
+    import math
+
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_eq(a[k], b[k]) for k in a)
+    if isinstance(a, (list, tuple, set, frozenset)) and isinstance(
+        b, (list, tuple, set, frozenset)
+    ):
+        la, lb = sorted(a, key=repr), sorted(b, key=repr)
+        return len(la) == len(lb) and all(
+            _eq(x, y) for x, y in zip(la, lb)
+        )
+    return a == b

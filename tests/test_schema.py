@@ -164,7 +164,12 @@ def test_sequence_alternatives(spark):
         df, id_cols=[]
     )
     v = _viol(res)
-    assert v == {(("tags",), "not a valid value", "ValueInvalid")}
+    # element-level error with index path (schema_builder.py:609-625):
+    # the failing element's own message at data['tags'][1]
+    assert v == {
+        (("tags", "1"), "length of value must be at least 1",
+         "LengthInvalid")
+    }
 
 
 def test_multiple_errors_accumulate(spark):

@@ -621,7 +621,14 @@ Switch = Union
 
 
 class Maybe(Any):
-    """Any(None, validator): NULL passes (validators.py:622-635)."""
+    """Any(None, validator): NULL passes (validators.py:622-635).
+
+    Failure message: Maybe compiles to ``Any(None, validator)``, and the
+    reference's deepest-error rule keeps the FIRST branch's error among
+    equal depths — the ``None`` literal comparison — so a failing
+    non-null value surfaces ScalarInvalid 'not a valid value'
+    (schema_builder.py:812-816), NOT the inner validator's message.
+    """
 
     def __init__(self, validator, msg=None):
         super().__init__(validator, msg=msg)
@@ -632,11 +639,12 @@ class Maybe(Any):
 
         def err(col):
             e = inner.err(col)
-            base = F.when(col.isNull(), F.lit(None)).otherwise(e)
-            if self.msg:
-                return F.when(base.isNull(), F.lit(None)).otherwise(
-                    err_struct(self.msg, "AnyInvalid")
+            base = F.when(col.isNull() | e.isNull(), F.lit(None)).otherwise(
+                err_struct(
+                    self.msg or "not a valid value",
+                    "AnyInvalid" if self.msg else "ScalarInvalid",
                 )
+            )
             return base
 
         return RowCheck(

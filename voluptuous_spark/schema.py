@@ -491,6 +491,26 @@ class Schema:
                 err_entries.extend(sub_errs)
                 continue
 
+            if isinstance(v, list) and isinstance(dtype, T.ArrayType):
+                # element-level errors with index paths
+                out_col, seq_singles, seq_arrs = self._validate_sequence(
+                    v, col, dtype, fld.path
+                )
+                if fld.required:
+                    err_entries.append(
+                        _violation(
+                            fld.path,
+                            F.lit(fld.marker_msg
+                                  or "required key not provided"),
+                            "RequiredFieldInvalid", F.lit("None"),
+                            col.isNull(),
+                        )
+                    )
+                out_cols[fld.name] = out_col
+                err_entries.extend(seq_singles)
+                err_arrays.extend(seq_arrs)
+                continue
+
             check = compile_validator(
                 _unwrap_marker(fld.validator), dtype
             )
@@ -845,6 +865,77 @@ class Schema:
             )
         return out, single_errs, err_arrays
 
+    def _validate_sequence(self, alternatives: list, col: Column,
+                           dtype: T.ArrayType, prefix: tuple[str, ...]):
+        """Element-level sequence validation (reference _compile_sequence,
+        schema_builder.py:578-631): each element must match >=1
+        alternative in order; elements matching a Remove alternative are
+        dropped; a failing element contributes ONE violation at
+        ``path + [index]`` carrying the LAST alternative's error (the
+        reference overwrites ``invalid`` per failed alternative and keeps
+        the final one) with no mapping ctx (depth > key depth, so
+        ``error_type`` is never set to 'dictionary value' —
+        schema_builder.py:369-371).
+
+        Returns (out_col, single_errs, err_arrays)."""
+        from .errors import truncate_repr
+
+        elem_t = dtype.elementType
+        removes = [compile_validator(a.schema, elem_t)
+                   for a in alternatives if isinstance(a, Remove)]
+        keeps = [compile_validator(a, elem_t)
+                 for a in alternatives if not isinstance(a, Remove)]
+        out_col = compile_validator(alternatives, dtype).out(col)
+        prefix_lits = [F.lit(str(p)) for p in prefix]
+
+        if not alternatives:
+            # empty schema rejects any non-empty sequence
+            # (schema_builder.py:598-603)
+            return out_col, [
+                _violation(prefix, F.lit("not a valid value"),
+                           "ValueInvalid", F.lit("None"),
+                           col.isNotNull() & (F.size(col) > 0))
+            ], []
+
+        def per_elem(i):
+            x = F.try_element_at(col, (i + 1).cast("int"))
+            removed = F.lit(False)
+            for rc in removes:
+                removed = removed | rc.err(x).isNull()
+            matched = F.lit(False)
+            for kc in keeps:
+                matched = matched | kc.err(x).isNull()
+            if keeps:
+                last = keeps[-1].err(x)
+                msg, et = last["message"], last["error_type"]
+            else:
+                msg = F.lit("not a valid value")
+                et = F.lit("ValueInvalid")
+            failing = ~F.coalesce(removed, F.lit(False)) & ~F.coalesce(
+                matched, F.lit(False)
+            )
+            return F.when(
+                failing,
+                F.struct(
+                    F.array(*prefix_lits, i.cast("string")).alias("path"),
+                    msg.alias("message"),
+                    et.alias("error_type"),
+                    truncate_repr(py_repr_col(x, elem_t)).alias("offending"),
+                    F.lit(None).cast("string").alias("ctx"),
+                ),
+            ).otherwise(F.lit(None))
+
+        arr = F.when(
+            col.isNotNull() & (F.size(col) > 0),
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(col) - 1), per_elem
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+        return out_col, [], [arr]
+
     def _validate_struct(self, col: Column, dtype: T.StructType,
                          prefix: tuple[str, ...], as_object: bool = False,
                          root: dict | None = None,
@@ -937,6 +1028,15 @@ class Schema:
                 )
                 outs.append(o.alias(name))
                 errs.extend(e)
+                continue
+            if isinstance(val, list) and isinstance(sub_t, T.ArrayType):
+                o, seq_singles, seq_arrs = self._validate_sequence(
+                    val, sub_col, sub_t, path
+                )
+                outs.append(o.alias(name))
+                errs.extend(seq_singles)
+                if arrays is not None:
+                    arrays.extend(seq_arrs)
                 continue
             check = compile_validator(_unwrap_marker(val), sub_t)
             base = (
