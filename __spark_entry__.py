@@ -684,9 +684,14 @@ def oracle_sql() -> dict[str, str]:
               AND NOT regexp_matches(event_type, '^err')
         """,
         "someof_acctbal": """
+            -- SomeOf default message = ', '.join(str(sub_error)) with the
+            -- sub-errors' own '@ data[path]' rendering embedded
+            -- (validators.py:1255-1257)
             SELECT c_custkey,
-                   CASE WHEN NOT (c_acctbal >= 0) THEN 'value must be at least 0'
-                        ELSE 'value must be at most 5000' END AS message,
+                   CASE WHEN NOT (c_acctbal >= 0)
+                        THEN 'value must be at least 0 @ data[''c_acctbal'']'
+                        ELSE 'value must be at most 5000 @ data[''c_acctbal'']'
+                   END AS message,
                    'NotEnoughValid' AS error_type
             FROM customer
             WHERE c_acctbal IS NOT NULL

@@ -130,6 +130,56 @@ CASES = [
     ({"k": {"n": ("Range", 0, 5)}}, {"k": {"n": 3}}, {"k": {"n": 9}}),
     ({"x": [("Range", 0, 5)]}, {"x": [1, 2]}, {"x": [1, 9]}),
     ({"x": {1, 2, 3}}, {"x": {1, 2}}, {"x": {1, 7}}),
+    # batch 2: bounds/edges, multi-error, groups, policies
+    ({"q": ("Range", 1, 49, False, False)}, {"q": 1}, {"q": 25}, {"q": 49}),
+    ({"q": ("Range", None, 10)}, {"q": 11}),
+    ({"q": ("Clamp", None, 4)}, {"q": 9}),
+    ({"q": ("Clamp", 2, None)}, {"q": 0}),
+    ({"t": ("Length", None, 2)}, {"t": [1, 2, 3]}),
+    ({"t": ("Length", 2, None)}, {"t": "a"}),
+    ({"b": ("Boolean",)}, {"b": "TRUE"}, {"b": "No"}, {"b": "enable"}),
+    ({"s": ("In", [])}, {"s": "x"}),
+    ({"q": ("Msg", ("Range", 1, 5), "boom")}, {"q": 3}),
+    ({"t": ("Title",)}, {"t": "hello world"}),
+    ({"t": ("Set",)}, {"t": [1, 1, 2]}),
+    # multiple failing fields accumulate (error SET compare)
+    (
+        {"a": ("Range", 0, 5), "b": ("In", ["x"]), "c": ("Length", 1, 2)},
+        {"a": 9, "b": "z", "c": "toolong"},
+        {"a": 3, "b": "x", "c": "ok"},
+    ),
+    # nested dict two levels + error deep path
+    (
+        {"o": {"p": {"q": ("Range", 0, 1)}}},
+        {"o": {"p": {"q": 1}}},
+        {"o": {"p": {"q": 5}}},
+    ),
+    # sequence of scalar literal alternatives (homogeneous element type:
+    # Spark arrays are single-typed)
+    ({"x": ["one", "two"]}, {"x": ["one", "two", "one"]},
+     {"x": ["three"]}),
+    # All threading transformed values
+    ({"q": ("All", ("Clamp", 0, 10), ("Range", 0, 5))}, {"q": 7}),
+    # SomeOf failures
+    (
+        {"q": ("SomeOf", [("Range", 0, 5), ("Range", 3, 9)], 2)},
+        {"q": 4},
+        {"q": 8},
+    ),
+    # Coerce float
+    ({"q": ("Coerce", float)}, {"q": "3.5"}, {"q": "zz"}),
+    # Replace regex groups
+    ({"t": ("Replace", "(a+)", "<")}, {"t": "baaad"}),
+    # Equal on strings, Literal on ints
+    ({"x": ("Equal", "s")}, {"x": "s"}, {"x": "t"}),
+    ({"x": ("Literal", 5)}, {"x": 5}, {"x": 6}),
+]
+
+# (schema spec, schema kwargs, docs...) — policy/flag cases
+KW_CASES = [
+    ({"a": int}, {"extra": 1}, {"a": 3, "zzz": "keep"}),
+    ({"a": int}, {"extra": 0}, {"a": 3, "zzz": "nope"}),
+    ({"a": int, "b": str}, {"required": True}, {"a": 3}),
 ]
 
 
@@ -159,6 +209,21 @@ def test_differential_parity(spark, ref, case):
     for doc in docs:
         expected = _run_ref(ref, spec, doc)
         got = _run_engine(spark, spec, doc)
+        if expected[0] == "ok":
+            assert got[0] == "ok", (doc, got)
+            assert _eq(got[1], expected[1]), (doc, got[1], expected[1])
+        else:
+            assert got == expected, (doc, got, expected)
+
+
+@pytest.mark.parametrize(
+    "case", KW_CASES, ids=lambda c: repr((c[0], c[1]))[:60]
+)
+def test_differential_parity_flags(spark, ref, case):
+    spec, kw, *docs = case
+    for doc in docs:
+        expected = _run_ref(ref, spec, doc, **kw)
+        got = _run_engine(spark, spec, doc, **kw)
         if expected[0] == "ok":
             assert got[0] == "ok", (doc, got)
             assert _eq(got[1], expected[1]), (doc, got[1], expected[1])

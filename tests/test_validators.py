@@ -211,7 +211,12 @@ def test_someof(validate_one):
         SomeOf([Range(min=1, max=5), Coerce(float)], min_valid=2), [6.2, 3.0],
         "double",
     )
-    assert r[0] == one_err("value must be at most 5", "NotEnoughValid")
+    # reference message embeds the sub-error's '@ data[path]' rendering
+    # and the NotEnoughValid itself carries an EMPTY path
+    # (validators.py:1255-1262 + the __voluptuous_compile__ no-prepend)
+    assert r[0] == one_err(
+        "value must be at most 5 @ data['v']", "NotEnoughValid", path=()
+    )
     assert r[1] == ok(3.0)
 
 

@@ -48,15 +48,21 @@ class UnsupportedSchema(ValueError):
 class RowCheck:
     """A compiled row-level validator over a single Column."""
 
-    __slots__ = ("out", "err", "out_type")
+    __slots__ = ("out", "err", "out_type", "drop_path")
 
     _ERR_T = "struct<message:string,error_type:string>"
 
-    def __init__(self, out, err, out_type: T.DataType | None = None):
+    def __init__(self, out, err, out_type: T.DataType | None = None,
+                 drop_path: bool = False):
         self.out = out  # Column -> Column
         # always typed: a bare lit(None) is VOID and breaks field extraction
         self.err = lambda c: err(c).cast(self._ERR_T)
         self.out_type = out_type
+        # reference _WithSubValidators combinators raise their own error
+        # with an EMPTY path (no prepend through the compile hook,
+        # schema_builder.py:217-218 + validators.py:286-294); the schema
+        # layer emits path=[] for such checks to render identically
+        self.drop_path = drop_path
 
     @staticmethod
     def passing(out_type=None):
@@ -119,16 +125,20 @@ def _lit_for(value):
 # compile dispatch (reference `_compile_scalar`, schema_builder.py:770-818)
 
 
-def compile_validator(v, dtype: T.DataType) -> RowCheck:
+def compile_validator(v, dtype: T.DataType, path: tuple = ()) -> RowCheck:
     """Dispatch a schema node to a RowCheck, given the column's Spark type.
 
     Mirrors ``Schema._compile`` / ``_compile_scalar``
     (schema_builder.py:212-234, 770-818): Validator objects compile
     themselves, Python types become type checks, lists become sequence
     alternatives, anything else is an equality check
-    (``'not a valid value'``, ScalarInvalid).
+    (``'not a valid value'``, ScalarInvalid). ``path`` is the field's
+    compile-time path, consumed by validators whose reference semantics
+    embed rendered sub-error paths in their message (SomeOf).
     """
     if isinstance(v, Validator):
+        if getattr(v, "_wants_path", False):
+            return v.bind(dtype, path=path)
         return v.bind(dtype)
     if isinstance(v, type):
         return _type_check(v, dtype)
@@ -1286,7 +1296,18 @@ class Number(Validator):
 class SomeOf(Validator):
     """Count of passing validators within [min_valid, max_valid]
     (validators.py:1201-1270); NotEnoughValid / TooManyValid; pipes the
-    value through passing validators like All."""
+    value through passing validators like All.
+
+    Default message parity (validators.py:1255-1257): the reference joins
+    the FULL ``str()`` of each failing sub-error — including its
+    ``@ data[path]`` rendering, since sub-validators receive the field
+    path — and raises NotEnoughValid/TooManyValid with an EMPTY own path
+    (no prepend through the __voluptuous_compile__ hook). ``bind`` takes
+    the compile-time path to reproduce that embedded rendering, and the
+    RowCheck is marked ``drop_path`` so the schema layer emits path=[].
+    """
+
+    _wants_path = True
 
     def __init__(self, validators, min_valid=None, max_valid=None, msg=None):
         assert min_valid is not None or max_valid is not None
@@ -1295,7 +1316,10 @@ class SomeOf(Validator):
         self.max_valid = max_valid if max_valid is not None else len(self.validators)
         self.msg = msg
 
-    def bind(self, dtype):
+    def bind(self, dtype, path: tuple = ()):
+        suffix = (
+            " @ data" + "".join(f"[{p!r}]" for p in path) if path else ""
+        )
         checks = [compile_validator(v, dtype) for v in self.validators]
 
         def thread(col):
@@ -1318,9 +1342,18 @@ class SomeOf(Validator):
             if self.msg:
                 m = F.lit(self.msg)
             else:
+                # ', '.join(str(e)) of failing sub-errors — each str()
+                # carries the field path (validators.py:1255-1257)
                 m = F.array_join(
                     F.filter(
-                        F.array(*[e["message"] for e in errs]), lambda x: x.isNotNull()
+                        F.array(*[
+                            F.when(
+                                e["message"].isNotNull(),
+                                F.concat(e["message"], F.lit(suffix)),
+                            )
+                            for e in errs
+                        ]),
+                        lambda x: x.isNotNull(),
                     ),
                     ", ",
                 )
@@ -1334,7 +1367,7 @@ class SomeOf(Validator):
                 )
             )
 
-        return RowCheck(out, err, dtype)
+        return RowCheck(out, err, dtype, drop_path=True)
 
 
 class Unordered(Validator):

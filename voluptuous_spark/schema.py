@@ -512,7 +512,7 @@ class Schema:
                 continue
 
             check = compile_validator(
-                _unwrap_marker(fld.validator), dtype
+                _unwrap_marker(fld.validator), dtype, path=fld.path
             )
             defaulted = (
                 F.coalesce(col, F.lit(_resolve_default(fld.default)))
@@ -542,7 +542,8 @@ class Schema:
             e = F.col(e_alias)
             err_entries.append(
                 _violation(
-                    fld.path, e["message"], e["error_type"], repr_c,
+                    () if check.drop_path else fld.path,
+                    e["message"], e["error_type"], repr_c,
                     e.isNotNull(), ctx="dictionary value",
                 )
             )
@@ -1038,7 +1039,7 @@ class Schema:
                 if arrays is not None:
                     arrays.extend(seq_arrs)
                 continue
-            check = compile_validator(_unwrap_marker(val), sub_t)
+            check = compile_validator(_unwrap_marker(val), sub_t, path=path)
             base = (
                 F.coalesce(sub_col, F.lit(_resolve_default(default)))
                 if default is not UNDEFINED else sub_col
@@ -1050,7 +1051,8 @@ class Schema:
                      "RequiredFieldInvalid", F.lit("None"),
                      col.isNotNull() & ~present)
             e = check.err(base)
-            emit(path, e["message"], e["error_type"],
+            emit(() if check.drop_path else path,
+                 e["message"], e["error_type"],
                  py_repr_col(base, sub_t),
                  col.isNotNull() & present & e.isNotNull(),
                  ctx="object value" if as_object else "dictionary value")
