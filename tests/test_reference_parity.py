@@ -173,6 +173,31 @@ CASES = [
     # Equal on strings, Literal on ints
     ({"x": ("Equal", "s")}, {"x": "s"}, {"x": "t"}),
     ({"x": ("Literal", 5)}, {"x": 5}, {"x": 6}),
+    # batch 3: msg overrides, Unique rendering, groups
+    ({"q": ("Range", 1, 5, True, True, "custom range msg")}, {"q": 9}),
+    ({"s": ("In", ["a"], "pick a")}, {"s": "b"}),
+    ({"s": ("Match", "^a", "must start with a")}, {"s": "b"}),
+    ({"q": ("All", ("Coerce", int), ("Range", 1, 5))}, {"q": "0"}),
+    # single duplicate only: the reference renders ``list(set(dupes))``
+    # whose order is hash-randomized for >1 distinct string dupes
+    ({"x": ("Unique",)}, {"x": ["b", "a", "b", "c"]}),
+    ({"x": ("Unique",)}, {"x": [2.5, 2.5]}),
+    (
+        {
+            ("Exclusive", "x", "grp"): object,
+            ("Exclusive", "y", "grp"): object,
+        },
+        {"x": 1, "y": 2},
+        {"x": 1},
+    ),
+    (
+        {
+            ("Inclusive", "a", "pair"): object,
+            ("Inclusive", "b", "pair"): object,
+        },
+        {"a": 1, "b": 2},
+        {"a": 1},
+    ),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

@@ -142,8 +142,10 @@ def compile_validator(v, dtype: T.DataType, path: tuple = ()) -> RowCheck:
         return v.bind(dtype)
     if isinstance(v, type):
         return _type_check(v, dtype)
-    if isinstance(v, list):
-        return _sequence_check(v, dtype)
+    if isinstance(v, (list, tuple)):
+        # tuples are sequences too (reference _compile_tuple,
+        # schema_builder.py:635-646)
+        return _sequence_check(list(v), dtype)
     if isinstance(v, (set, frozenset)):
         return _set_check(v, dtype)
     if isinstance(v, dict):

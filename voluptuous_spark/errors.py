@@ -149,11 +149,13 @@ def render_violation(path: Column, message: Column, error_type: Column) -> Colum
     """
     # repr each component: int-like indexes stay bare, keys get quotes
     # (matches ``map(repr, self.path)`` for the str/int keys a DataFrame has)
+    # int-like indexes and VirtualPathComponents ('<group>',
+    # schema_builder.py:963-968) render bare; string keys get quotes
     reprd = F.transform(
         path,
-        lambda p: F.when(p.rlike("^-?[0-9]+$"), p).otherwise(
-            F.concat(F.lit("'"), p, F.lit("'"))
-        ),
+        lambda p: F.when(
+            p.rlike("^-?[0-9]+$") | p.rlike("^<.*>$"), p
+        ).otherwise(F.concat(F.lit("'"), p, F.lit("'"))),
     )
     path_part = F.when(
         F.size(path) > 0,

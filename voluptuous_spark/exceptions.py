@@ -258,16 +258,29 @@ _BY_NAME = {
 }
 
 
+class VirtualPathComponent(str):
+    """Group-check path component (reference schema_builder.py:963-968):
+    renders WITHOUT quotes — str(e) gives "... @ data[<group>]"."""
+
+    def __repr__(self):  # pragma: no cover - trivial
+        return str(self)
+
+
 def invalid_from_row(row) -> Invalid:
     """Build a typed Invalid from one violations-DataFrame row
     (columns path/message/error_type as produced by
     ``ValidationResult.violations``). Path components that look like ints
     are restored to ints so ``repr`` in ``__str__`` matches the reference."""
     cls = _BY_NAME.get(row["error_type"], Invalid)
-    path = [
-        int(p) if isinstance(p, str) and p.lstrip('-').isdigit() else p
-        for p in (row["path"] or [])
-    ]
+
+    def _component(p):
+        if isinstance(p, str) and p.lstrip('-').isdigit():
+            return int(p)
+        if isinstance(p, str) and p.startswith('<') and p.endswith('>'):
+            return VirtualPathComponent(p)  # group marker: repr is bare
+        return p
+
+    path = [_component(p) for p in (row["path"] or [])]
     if cls is MultipleInvalid:  # never stored, but stay safe
         cls = Invalid
     e = cls(row["message"], path=path)

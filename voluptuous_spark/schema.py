@@ -549,28 +549,39 @@ class Schema:
             )
             out_cols[fld.name] = out
 
-        # Exclusive groups (schema_builder.py:536-553)
+        # Exclusive groups (schema_builder.py:536-553); a column absent
+        # from the DataFrame counts as an absent key, not an error
         for label, grp in ex_groups.items():
             cnt = sum(
-                (F.col(f.name).isNotNull().cast("int") for f in grp), F.lit(0)
+                (
+                    F.col(f.name).isNotNull().cast("int")
+                    if f.name in by_name else F.lit(0)
+                    for f in grp
+                ),
+                F.lit(0),
             )
             msg = next((f.marker_msg for f in grp if f.marker_msg), None) or (
                 f"two or more values in the same group of exclusion '{label}'"
             )
             err_entries.append(
-                _violation((label,), F.lit(msg), "ExclusiveInvalid",
+                _violation((f"<{label}>",), F.lit(msg), "ExclusiveInvalid",
                            F.lit("None"), cnt > 1)
             )
         # Inclusive groups (schema_builder.py:555-571)
         for label, grp in in_groups.items():
             cnt = sum(
-                (F.col(f.name).isNotNull().cast("int") for f in grp), F.lit(0)
+                (
+                    F.col(f.name).isNotNull().cast("int")
+                    if f.name in by_name else F.lit(0)
+                    for f in grp
+                ),
+                F.lit(0),
             )
             msg = next((f.marker_msg for f in grp if f.marker_msg), None) or (
                 f"some but not all values in the same group of inclusion '{label}'"
             )
             err_entries.append(
-                _violation((label,), F.lit(msg), "InclusiveInvalid",
+                _violation((f"<{label}>",), F.lit(msg), "InclusiveInvalid",
                            F.lit("None"), (cnt > 0) & (cnt < len(grp)))
             )
 
