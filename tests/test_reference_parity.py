@@ -182,6 +182,14 @@ CASES = [
     # whose order is hash-randomized for >1 distinct string dupes
     ({"x": ("Unique",)}, {"x": ["b", "a", "b", "c"]}),
     ({"x": ("Unique",)}, {"x": [2.5, 2.5]}),
+    # Msg depth rule (schema_builder.py:941-949): override applies to
+    # errors whose path depth is <=1 below the Msg; deeper errors keep
+    # their own message and path
+    ({"k": ("Msg", ("Range", 1, 5), "custom msg")}, {"k": 9}, {"k": 3}),
+    ({"k": ("Msg", [int], "want ints")}, {"k": ["x"]}, {"k": [7]}),
+    ({"k": ("Msg", {"a": ("Range", 1, 5)}, "boom")}, {"k": {"a": 9}}),
+    ({"k": ("Msg", {"a": {"b": int}}, "depth2")}, {"k": {"a": {"b": "s"}}},
+     {"k": {"a": {"b": 2}}}),
     (
         {
             ("Exclusive", "x", "grp"): object,

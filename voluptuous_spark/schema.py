@@ -977,9 +977,11 @@ class Schema:
                 cond = F.lit(False)
                 for c in own_conds:
                     cond = cond | c
+                # the enclosing mapping stamps the Msg-raised Invalid with
+                # the 'dictionary value' context (schema_builder.py:369-371)
                 errs.insert(0, _violation(
                     prefix, F.lit(msg_override[0]), msg_override[1],
-                    F.lit("None"), cond,
+                    F.lit("None"), cond, ctx="dictionary value",
                 ))
             return out_col, errs
 

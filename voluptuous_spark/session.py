@@ -56,6 +56,18 @@ def get_spark(
         # rvalue") on ExactSequence/Unordered element checks, forcing
         # those stages into interpreted fallback
         "spark.sql.subexpressionElimination.enabled": "false",
+        # InferFiltersFromGenerate copies the ENTIRE violations-array
+        # expression (every field's error CASE chain) into a
+        # Filter(size(__errors) > 0) below the explode. The generate
+        # input is always a computed array here — never a source column —
+        # so the inferred filter cannot push down to the scan; it only
+        # re-evaluates the whole chain a second time, and its generated
+        # code trips the same Janino bug ("isNull_N is not an rvalue"),
+        # dropping the stage to interpreted mode. Excluding the rule is
+        # both the codegen fix and a ~2x saving on the violations path.
+        "spark.sql.optimizer.excludedRules":
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
         # local mode: the driver heap IS the executor heap; 32 concurrent
         # tasks each buffering multi-MB audio batches need real headroom
         # (8g produced GCLocker allocation stalls at local[32])
