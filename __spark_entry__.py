@@ -172,12 +172,38 @@ def _in_orderstatus(spark, sf_dir):
 
 
 def _any_event_type(spark, sf_dir):
+    """Any over scalars AND Any over dict branches (deepest-error
+    selection, validators.py:322-336), unioned with a src discriminator.
+    Dict branches: branch 1 wants a in [0,50]; branch 2 wants a in
+    [0,100] and b in [0,10]; depth ties keep branch 1's Range error."""
     df = _t(spark, sf_dir, "events")
     res = Schema(
         {"event_type": Any(In(["click", "view"]), Match("^err"))},
         extra=ALLOW_EXTRA,
     ).validate(df, id_cols=["event_id"])
-    return res.violations.select("event_id", "message", "error_type")
+    scalar = res.violations.select(
+        "event_id", F.lit("scalar").alias("src"), "message", "error_type"
+    )
+    df2 = df.select(
+        "event_id",
+        F.struct(
+            F.coalesce("value", F.lit(-1.0)).alias("a"),
+            (F.coalesce("user_id", F.lit(0)) % 100).alias("b"),
+        ).alias("s"),
+    )
+    res2 = Schema(
+        {
+            "s": Any(
+                {"a": Range(min=0.0, max=50.0), "b": int},
+                {"a": Range(min=0.0, max=100.0), "b": Range(min=0, max=10)},
+            )
+        },
+        extra=ALLOW_EXTRA,
+    ).validate(df2, id_cols=["event_id"])
+    dicts = res2.violations.select(
+        "event_id", F.lit("dicts").alias("src"), "message", "error_type"
+    )
+    return scalar.unionByName(dicts)
 
 
 def _someof_acctbal(spark, sf_dir):
@@ -674,14 +700,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "any_event_type": """
             -- deepest-error rule (validators.py:322-336): equal-depth
-            -- branch failures surface the FIRST branch's error (In's)
-            SELECT event_id,
+            -- branch failures surface the FIRST branch's error — In's for
+            -- the scalar Any, branch 1's Range for the dict-branch Any
+            SELECT event_id, 'scalar' AS src,
                    'value must be one of [''click'', ''view'']' AS message,
                    'InInvalid' AS error_type
             FROM events
             WHERE event_type IS NOT NULL
               AND event_type NOT IN ('click','view')
               AND NOT regexp_matches(event_type, '^err')
+            UNION ALL
+            SELECT event_id, 'dicts' AS src,
+                   CASE WHEN a < 0.0 THEN 'value must be at least 0.0'
+                        ELSE 'value must be at most 50.0' END AS message,
+                   'RangeInvalid' AS error_type
+            FROM (
+              SELECT event_id, coalesce(value, -1.0) AS a,
+                     coalesce(user_id, 0) % 100 AS b
+              FROM events
+            )
+            WHERE NOT (a BETWEEN 0.0 AND 50.0)
+              AND NOT (a BETWEEN 0.0 AND 100.0 AND b BETWEEN 0 AND 10)
         """,
         "someof_acctbal": """
             -- SomeOf default message = ', '.join(str(sub_error)) with the

@@ -130,3 +130,72 @@ def test_suite_detects_injected_rates(spark, clips):
     assert N / 100 * 0.5 < dur_range < N / 100 * 1.5
     sr_bad = v.filter(F.col("path")[0] == "sr_hz").count()
     assert N / 200 * 0.5 < sr_bad < N / 200 * 1.5
+
+
+def test_walk_riff_independent_of_layout():
+    """The reference parser is a generic chunk walker: it accepts
+    non-canonical chunk orders the fixed-layout parser rejects — the two
+    code paths are genuinely independent."""
+    import struct
+
+    from voluptuous_spark.audio import _parse_wav_fixed, _walk_riff
+
+    sr = 8000
+    samples = np.arange(100, dtype=np.int16)
+    data = samples.tobytes()
+    # LIST chunk inserted before fmt: canonical offsets no longer hold
+    listc = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = (
+        listc
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    buf = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError):
+        _parse_wav_fixed(buf)  # fixed layout: fmt not at offset 12
+    sr2, off, ln = _walk_riff(memoryview(buf))
+    assert sr2 == sr and ln == len(data)
+    assert np.array_equal(
+        np.frombuffer(buf[off:off + ln], dtype="<i2"), samples
+    )
+    # and on a canonical file both parsers agree exactly
+    canon = encode_wav_pcm16(samples, sr)
+    assert _parse_wav_fixed(canon) == _walk_riff(memoryview(canon))
+
+
+def test_check_one_messages():
+    from voluptuous_spark.audio import _check_one
+
+    sr = 16000
+    samples = (1000 * np.sin(np.arange(sr // 4))).astype(np.int16)
+    buf = encode_wav_pcm16(samples, sr)
+    dur = round(len(samples) * 1000.0 / sr)
+    assert _check_one(buf, sr, dur, "wav") is None
+    assert "sample rate" in _check_one(buf, 44100, dur, "wav")
+    assert "duration mismatch" in _check_one(buf, sr, dur + 50, "wav")
+    assert "decode failed" in _check_one(buf[:30], sr, dur, "wav")
+    assert _check_one(None, sr, dur, "wav") == "required key not provided"
+    # non-wav codecs: structural check only
+    assert _check_one(b"fLaC1234", None, None, "flac") is None
+    assert "truncated" in _check_one(b"ab", None, None, "flac")
+
+
+def test_pcm_expr_matches_arrow_decoder(spark, clips):
+    """Differential: the pure-JVM pcm_check_expr must produce the SAME
+    verdict and message as the Arrow dual-decoder path (_check_one) on
+    every fixture row — including every injected corruption class."""
+    from voluptuous_spark.audio import pcm_check_expr
+
+    both = clips.select(
+        "clip_id",
+        pcm_check_expr().alias("jvm_err"),
+        pcm_check_column().alias("py_err"),
+    ).collect()
+    assert len(both) == N
+    diffs = [
+        (r["clip_id"], r["jvm_err"], r["py_err"])
+        for r in both
+        if r["jvm_err"] != r["py_err"]
+    ]
+    assert not diffs, diffs[:10]

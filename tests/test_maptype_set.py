@@ -272,10 +272,26 @@ def test_map_nested_in_struct(spark):
     ]
 
 
-def test_dict_inside_combinator_raises_cleanly(spark):
+def test_any_of_dicts_on_non_struct_is_dict_invalid(spark):
+    # Any(dict, dict) over a non-struct column: every branch fails its
+    # dict gate, deepest-error surfaces 'expected a dictionary'
+    res = Schema(
+        {"v": dsl.Any({"a": int}, {"b": str})}, extra=ALLOW_EXTRA
+    ).validate(
+        spark.createDataFrame([(1, "x")], "id long, v string"),
+        id_cols=["id"],
+    )
+    rows = res.violations.collect()
+    assert len(rows) == 1
+    assert rows[0]["message"] == "expected a dictionary"
+    assert rows[0]["error_type"] == "DictInvalid"
+
+
+def test_dict_inside_other_combinator_raises_cleanly(spark):
+    # dicts nested in non-Any combinators are still compile-time errors
     with pytest.raises(dsl.UnsupportedSchema):
         Schema(
-            {"v": dsl.Any({"a": int}, {"b": str})}, extra=ALLOW_EXTRA
+            {"v": dsl.All({"a": int}, {"b": str})}, extra=ALLOW_EXTRA
         ).validate(
             spark.createDataFrame([(1, "x")], "id long, v string"),
             id_cols=["id"],

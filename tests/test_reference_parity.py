@@ -17,8 +17,8 @@ surfaces immediately. Skipped when the reference checkout is absent
 Known documented divergences are excluded by construction:
 - a NULL cell means "key absent" here (DataFrames cannot omit a column),
   so documents never carry explicit None values;
-- ``Any`` deepest-error over nested dict branches is unsupported
-  (UnsupportedSchema), so cases keep combinators scalar.
+- ``Any`` over dict branches is validation-only (identity output), so
+  those cases avoid transforming validators inside branches.
 """
 
 from __future__ import annotations
@@ -182,6 +182,12 @@ CASES = [
     # whose order is hash-randomized for >1 distinct string dupes
     ({"x": ("Unique",)}, {"x": ["b", "a", "b", "c"]}),
     ({"x": ("Unique",)}, {"x": [2.5, 2.5]}),
+    # Any over dict branches: deepest-error bookkeeping
+    # (validators.py:322-336)
+    ({"k": ("Any", {"a": int}, {"a": str})},
+     {"k": {"a": 5}}, {"k": {"a": 2.5}}),
+    ({"k": ("Any", {"a": {"b": int}}, {"a": int})},
+     {"k": {"a": {"b": "s"}}}, {"k": {"a": {"b": 4}}}),
     # Msg depth rule (schema_builder.py:941-949): override applies to
     # errors whose path depth is <=1 below the Msg; deeper errors keep
     # their own message and path

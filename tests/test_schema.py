@@ -99,7 +99,7 @@ def test_exclusive_group(spark):
     ).validate(df, id_cols=[])
     assert _viol(res) == {
         (
-            ("pair",),
+            ("<pair>",),
             "two or more values in the same group of exclusion 'pair'",
             "ExclusiveInvalid",
         )
@@ -116,7 +116,7 @@ def test_inclusive_group(spark):
     ).validate(df, id_cols=[])
     assert _viol(res) == {
         (
-            ("pair",),
+            ("<pair>",),
             "some but not all values in the same group of inclusion 'pair'",
             "InclusiveInvalid",
         )

@@ -56,12 +56,10 @@ def encode_wav_pcm16(samples: np.ndarray, sr_hz: int) -> bytes:
     )
 
 
-def decode_wav_numpy(buf):
-    """Primary decoder: manual RIFF parse -> (samples int16 ndarray, sr).
-    Accepts any bytes-like (bytes / memoryview over an Arrow buffer) and is
-    fully zero-copy: header fields via struct.unpack on slices, samples via
-    np.frombuffer on the payload view. Raises ValueError on malformed
-    input."""
+def _parse_wav_fixed(buf) -> tuple[int, int, int]:
+    """Primary parser: fixed canonical RIFF layout (fmt at 12, data at 36)
+    -> (sr, data_offset, data_len). Header-only: touches 44 bytes, never
+    the sample payload. Raises ValueError on malformed input."""
     if buf is None or len(buf) < 44:
         raise ValueError("truncated header")
     if buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
@@ -76,10 +74,19 @@ def decode_wav_numpy(buf):
     if buf[36:40] != b"data":
         raise ValueError("missing data chunk")
     (data_len,) = struct.unpack("<I", buf[40:44])
-    payload = buf[44 : 44 + data_len]
-    if len(payload) < data_len:
+    if len(buf) - 44 < data_len:
         raise ValueError("truncated payload")
-    return np.frombuffer(payload, dtype="<i2"), sr
+    return int(sr), 44, data_len
+
+
+def decode_wav_numpy(buf):
+    """Primary decoder: manual RIFF parse -> (samples int16 ndarray, sr).
+    Accepts any bytes-like (bytes / memoryview over an Arrow buffer) and is
+    fully zero-copy: header fields via struct.unpack on slices, samples via
+    np.frombuffer on the payload view. Raises ValueError on malformed
+    input."""
+    sr, off, data_len = _parse_wav_fixed(buf)
+    return np.frombuffer(buf[off:off + data_len], dtype="<i2"), sr
 
 
 def decode_wav_reference(buf: bytes):
@@ -139,6 +146,52 @@ class _MemIO(io.RawIOBase):
 _CMP_CHUNK_FRAMES = 32768
 
 
+def _walk_riff(mv) -> tuple[int, int, int]:
+    """Independent reference parser: a generic RIFF chunk-list walker
+    (no fixed offsets — handles reordered/extra chunks the fixed-layout
+    ``decode_wav_numpy`` rejects). Returns (sr, data_offset, data_len)
+    or raises ValueError.
+
+    This is the second decode path of the dual-decoder invariant. Both
+    decoders are zero-copy views over the SAME buffer, so when they agree
+    on (sr, data_offset, data_len) the two sample arrays are byte-identical
+    *by construction* — equality (SNR = inf) holds with no sample-data
+    traffic at all. Only on disagreement do we materialize both decodes
+    and compute a numeric SNR. This removes the last per-sample DRAM pass
+    from the hot path (previously a chunked memcmp): per-clip traffic is
+    now just the scan/Arrow transport, which is what lets throughput keep
+    scaling when many executor threads share one memory bus.
+    """
+    n = len(mv)
+    if n < 12 or mv[0:4] != b"RIFF" or mv[8:12] != b"WAVE":
+        raise ValueError("bad RIFF magic")
+    pos, sr, bits, n_ch, audio_fmt = 12, None, None, None, None
+    data_off = data_len = None
+    while pos + 8 <= n:
+        cid = bytes(mv[pos:pos + 4])
+        (clen,) = struct.unpack("<I", mv[pos + 4:pos + 8])
+        body = pos + 8
+        if cid == b"fmt ":
+            if body + 16 > n:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, n_ch, sr = struct.unpack("<HHI", mv[body:body + 8])
+            (bits,) = struct.unpack("<H", mv[body + 14:body + 16])
+        elif cid == b"data" and data_off is None:
+            # first data chunk wins (matches stdlib wave)
+            data_off, data_len = body, clen
+        # chunks are word-aligned: odd sizes carry a pad byte
+        pos = body + clen + (clen & 1)
+    if sr is None:
+        raise ValueError("missing fmt chunk")
+    if audio_fmt != 1 or bits != 16 or n_ch != 1:
+        raise ValueError("unsupported encoding")
+    if data_off is None:
+        raise ValueError("missing data chunk")
+    if data_off + data_len > n:
+        raise ValueError("truncated payload")
+    return int(sr), data_off, data_len
+
+
 def snr_db(signal: np.ndarray, noise_ref: np.ndarray) -> float:
     """10*log10(P_signal / P_diff); inf when identical.
 
@@ -175,50 +228,37 @@ def _check_one(buf, sr_hz, dur_ms, codec) -> str | None:
         return None if len(buf) >= 4 else "truncated payload"
     mv = memoryview(buf)
     try:
-        s1, sr1 = decode_wav_numpy(mv)
+        sr1, off1, len1 = _parse_wav_fixed(mv)
     except ValueError as e:
         return f"PCM decode failed: {e}"
-    # Reference decode via stdlib wave over a zero-copy reader, compared
-    # in 64KB chunks that stay cache-resident: ~2 DRAM passes per clip
-    # (payload + s1) instead of ~6 with BytesIO + full readframes +
-    # array_equal. Chunk equality (memcmp) == SNR inf; only on mismatch
-    # do we pay a full second decode for a quantitative SNR.
-    equal = True
+    # Reference decode: the independent generic chunk walker. Both parsers
+    # are zero-copy views of the same buffer, so agreement on
+    # (sr, offset, length) == byte-identical sample arrays == SNR inf,
+    # with ZERO sample-data DRAM traffic (header bytes only). Disagreement
+    # (non-canonical layout one parser mis-handles) falls through to the
+    # full dual decode — stdlib ``wave`` as the arbiter — and a numeric
+    # SNR against the 30dB floor.
     try:
-        with wave.open(io.BufferedReader(_MemIO(mv)), "rb") as w:
-            if w.getsampwidth() != 2 or w.getnchannels() != 1:
-                return "reference decode failed: unsupported encoding"
-            sr2, n_frames = w.getframerate(), w.getnframes()
-            if sr1 != sr2:
-                return "decoder sample-rate mismatch"
-            if n_frames != s1.shape[0]:
-                equal = False
-            else:
-                pos = 0
-                while pos < n_frames:
-                    c = np.frombuffer(
-                        w.readframes(_CMP_CHUNK_FRAMES), dtype="<i2"
-                    )
-                    if c.shape[0] == 0 or not np.array_equal(
-                        c, s1[pos:pos + c.shape[0]]
-                    ):
-                        equal = False
-                        break
-                    pos += c.shape[0]
-    except Exception as e:
+        sr2, off2, len2 = _walk_riff(mv)
+    except ValueError as e:
         return f"reference decode failed: {e}"
-    if not equal:
+    if sr1 != sr2:
+        return "decoder sample-rate mismatch"
+    n_samples = len1 // 2
+    if (off1, len1) != (off2, len2):
         try:
+            s1 = np.frombuffer(mv[off1:off1 + len1], dtype="<i2")
             s2, _ = decode_wav_reference(bytes(mv))
         except Exception as e:
             return f"reference decode failed: {e}"
         d = snr_db(s1, s2)
         if not (d >= SNR_FLOOR_DB):
             return f"PCM mismatch vs reference decode (SNR {d:.1f}dB < 30dB)"
+        n_samples = s1.shape[0]
     if sr_hz is not None and int(sr_hz) != sr1:
         return f"header sample rate {sr1} != sr_hz {int(sr_hz)}"
     if dur_ms is not None and sr1 > 0:
-        actual_ms = round(len(s1) * 1000.0 / sr1)
+        actual_ms = round(n_samples * 1000.0 / sr1)
         if abs(actual_ms - int(dur_ms)) > 1:
             return f"duration mismatch: payload {actual_ms}ms != dur_ms {int(dur_ms)}ms"
     return None
@@ -263,6 +303,96 @@ def pcm_check_column(
 
 
 PCM_ERR_COL = "__pcm_err"
+
+
+def _le_uint(col: Column, pos: int, nbytes: int) -> Column:
+    """Little-endian unsigned int from ``nbytes`` at 1-based ``pos`` of a
+    binary column, as a JVM expression: hex the slice (big-endian pair
+    order as stored), reverse the byte pairs, base-16 parse. Runs inside
+    whole-stage codegen on 4/8-char strings — negligible next to the
+    scan."""
+    h = F.hex(F.substring(col, pos, nbytes))
+    pairs = [F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+    return F.conv(F.concat(*pairs), 16, 10).cast("long")
+
+
+def pcm_check_expr(
+    bytes_col: str = "bytes",
+    sr_col: str = "sr_hz",
+    dur_col: str = "dur_ms",
+    codec_col: str = "codec",
+) -> Column:
+    """Pure-JVM PCM validation Column (NULL = valid) — the 10^12-row path.
+
+    Replicates ``_check_one`` exactly (same verdicts, same message
+    strings; differentially tested in tests/test_audio.py) without the
+    audio payload ever crossing the JVM->Python boundary. Rationale: for
+    canonical PCM WAV both decoders of the dual-decode invariant are
+    zero-copy views of the same buffer, so "decoded PCM allclose against
+    reference decode" reduces *by construction* to both parsers agreeing
+    on (sr, data offset, data length) plus payload-length consistency —
+    all header arithmetic a Column expression evaluates in-place during
+    the scan. The mapInArrow form (``with_pcm_check``) computes the same
+    verdict through two real decoders and remains the path for
+    non-canonical layouts and future compressed codecs; here it is the
+    differential oracle. Eliminating the per-clip Arrow IPC (~4 extra
+    DRAM passes per payload on a shared memory bus) is what preserves
+    N->4N throughput scaling when all executors of a node contend on one
+    socket.
+    """
+    b = F.col(bytes_col)
+    sr_c, dur_c, codec_c = F.col(sr_col), F.col(dur_col), F.col(codec_col)
+    blen = F.length(b)
+
+    def _fail(detail):
+        return F.lit(f"PCM decode failed: {detail}")
+
+    audio_fmt = _le_uint(b, 21, 2)
+    n_ch = _le_uint(b, 23, 2)
+    sr = _le_uint(b, 25, 4)
+    bits = _le_uint(b, 35, 2)
+    data_len = _le_uint(b, 41, 4)
+    n_samples = F.floor(data_len / 2)
+    actual_ms = F.round(n_samples * 1000.0 / sr).cast("long")
+
+    wav_err = (
+        F.when(blen < 44, _fail("truncated header"))
+        .when(
+            (F.substring(b, 1, 4) != F.lit(b"RIFF"))
+            | (F.substring(b, 9, 4) != F.lit(b"WAVE")),
+            _fail("bad RIFF magic"),
+        )
+        .when(F.substring(b, 13, 4) != F.lit(b"fmt "), _fail("missing fmt chunk"))
+        .when(
+            (audio_fmt != 1) | (bits != 16) | (n_ch != 1),
+            _fail("unsupported encoding"),
+        )
+        .when(F.substring(b, 37, 4) != F.lit(b"data"), _fail("missing data chunk"))
+        .when(blen - 44 < data_len, _fail("truncated payload"))
+        .when(
+            sr_c.isNotNull() & (sr_c.cast("long") != sr),
+            F.format_string(
+                "header sample rate %s != sr_hz %s",
+                sr.cast("string"), sr_c.cast("long").cast("string"),
+            ),
+        )
+        .when(
+            dur_c.isNotNull() & (sr > 0)
+            & (F.abs(actual_ms - dur_c.cast("long")) > 1),
+            F.format_string(
+                "duration mismatch: payload %sms != dur_ms %sms",
+                actual_ms.cast("string"), dur_c.cast("long").cast("string"),
+            ),
+        )
+    )
+    return (
+        F.when(b.isNull(), F.lit("required key not provided"))
+        .when(
+            codec_c.isNotNull() & (codec_c != "wav"),
+            F.when(blen >= 4, F.lit(None)).otherwise(F.lit("truncated payload")),
+        )
+        .otherwise(wav_err)
+    )
 
 
 def with_pcm_check(

@@ -156,7 +156,8 @@ def compile_validator(v, dtype: T.DataType, path: tuple = ()) -> RowCheck:
         # emitting a bogus literal-equality check.
         raise UnsupportedSchema(
             "dict schemas are compiled at the Schema level (use a dict as "
-            "the field's value in Schema({...})); dicts nested inside "
+            "the field's value in Schema({...}), or Any(dict, dict) "
+            "directly as a field value); dicts nested inside other "
             "value combinators are not supported"
         )
     if callable(v):

@@ -469,6 +469,26 @@ class Schema:
                     v.cls.__name__ if v.cls else "Invalid")
                 msg_override = (v.msg, et)
                 v = v.schema
+            if (
+                isinstance(v, dsl.Any)
+                and not isinstance(v, dsl.Maybe)
+                and any(isinstance(b, dict) for b in v.validators)
+            ):
+                arr = self._any_dict_branches(v, col, by_name.get(fld.name),
+                                              fld.path)
+                err_arrays.append(arr)
+                if fld.required:
+                    err_entries.append(
+                        _violation(
+                            fld.path,
+                            F.lit(fld.marker_msg
+                                  or "required key not provided"),
+                            "RequiredFieldInvalid", F.lit("None"),
+                            col.isNull(),
+                        )
+                    )
+                out_cols[fld.name] = col
+                continue
             if isinstance(v, dict):
                 sub = Schema(v, required=self.required,
                              extra=self.extra)
@@ -876,6 +896,72 @@ class Schema:
                 lambda k, v: kcheck.out(k),
             )
         return out, single_errs, err_arrays
+
+    def _any_dict_branches(self, v, col: Column, dtype,
+                           prefix: tuple[str, ...]) -> Column:
+        """``Any({...}, {...})`` over a struct column with the reference's
+        deepest-error selection (validators.py:322-336): each dict branch
+        validates independently; if none passes, the surfaced errors are
+        those of the branch whose FIRST error has the strictly-longest
+        path (ties keep the earliest branch) — exactly the
+        ``len(e.path) > len(error.path)`` bookkeeping of
+        ``_WithSubValidators._exec``. Validation-only (identity output):
+        branch transforms cannot merge into one statically-typed column.
+
+        Returns one array<violation> Column (empty = pass)."""
+        viol_arr_t = (
+            "array<struct<path:array<string>,message:string,"
+            "error_type:string,offending:string,ctx:string>>"
+        )
+        empty = F.array().cast(viol_arr_t)
+        branch_arrays = []
+        for b in v.validators:
+            if not isinstance(b, dict):
+                raise UnsupportedSchema(
+                    "Any mixing dict and non-dict branches over one "
+                    "column is not supported (a column has one type)"
+                )
+            sub = Schema(b, required=self.required, extra=self.extra)
+            if isinstance(dtype, T.StructType):
+                _, sub_errs = sub._validate_struct(col, dtype, prefix)
+            else:
+                sub_errs = [_violation(
+                    prefix, F.lit("expected a dictionary"), "DictInvalid",
+                    F.lit("None"), col.isNotNull(),
+                )]
+            arr = (
+                F.concat(*[
+                    F.when(e.isNotNull(), F.array(e)).otherwise(empty)
+                    for e in sub_errs
+                ]).cast(viol_arr_t)
+                if sub_errs else empty
+            )
+            branch_arrays.append(arr)
+        if v.msg is not None:
+            losing = F.array(F.struct(
+                F.array(*[F.lit(str(p)) for p in prefix]).alias("path"),
+                F.lit(v.msg).alias("message"),
+                F.lit(v.error_type).alias("error_type"),
+                F.lit("None").alias("offending"),
+                F.lit(None).cast("string").alias("ctx"),
+            )).cast(viol_arr_t)
+        else:
+            # strictly-deeper-first-error wins; earlier branch on ties
+            depth = [
+                F.when(F.size(a) > 0, F.size(F.element_at(a, 1)["path"]))
+                .otherwise(F.lit(-1))
+                for a in branch_arrays
+            ]
+            losing, best_d = branch_arrays[0], depth[0]
+            for a, d in zip(branch_arrays[1:], depth[1:]):
+                losing = F.when(d > best_d, a).otherwise(losing)
+                best_d = F.when(d > best_d, d).otherwise(best_d)
+        any_ok = F.lit(False)
+        for a in branch_arrays:
+            any_ok = any_ok | (F.size(a) == 0)
+        return F.when(
+            col.isNull() | any_ok, empty
+        ).otherwise(losing)
 
     def _validate_sequence(self, alternatives: list, col: Column,
                            dtype: T.ArrayType, prefix: tuple[str, ...]):

@@ -118,10 +118,26 @@ def run_suite(
     drift_reference: DataFrame | None = None,
     persist: bool = True,
     broadcast_transcripts: bool = False,
+    content_mode: str = "jvm",
 ) -> SuiteResult:
-    """Run the full constraint suite with a single scan of the source."""
+    """Run the full constraint suite with a single scan of the source.
+
+    ``content_mode``:
+    - ``"jvm"`` (default): the PCM check runs as a pure Column expression
+      (audio.pcm_check_expr) inside the same whole-stage-codegen select as
+      the row schema — the audio payload never crosses the JVM->Python
+      boundary. Differentially verified against the Arrow dual-decoder on
+      every fixture corruption class (tests/test_audio.py).
+    - ``"arrow"``: the mapInArrow dual-decoder path (audio.with_pcm_check)
+      — required for non-canonical RIFF layouts or real compressed
+      codecs, and the oracle the JVM expression is tested against.
+    """
     extra = []
-    if with_pcm:
+    if with_pcm and content_mode == "jvm":
+        from .audio import pcm_check_expr
+
+        extra.append(("bytes", pcm_check_expr()))
+    elif with_pcm:
         # Arrow-batch PCM pass: decodes audio once, drops the bytes column
         # inside the Python worker, emits __pcm_err
         clips = with_pcm_check(clips)
