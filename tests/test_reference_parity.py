@@ -182,6 +182,12 @@ CASES = [
     # whose order is hash-randomized for >1 distinct string dupes
     ({"x": ("Unique",)}, {"x": ["b", "a", "b", "c"]}),
     ({"x": ("Unique",)}, {"x": [2.5, 2.5]}),
+    # batch 4: Number precision/scale, Union, NotIn
+    ({"n": ("Number", 6, 2)}, {"n": "1234.56"}, {"n": "1.2"}),
+    ({"n": ("Number", None, 2)}, {"n": "7.25"}, {"n": "7.125"}),
+    ({"s": ("Union", ("In", ["a"]), ("Match", "^z"))},
+     {"s": "a"}, {"s": "zebra"}, {"s": "q"}),
+    ({"s": ("NotIn", ["x", "y"])}, {"s": "x"}),
     # Any over dict branches: deepest-error bookkeeping
     # (validators.py:322-336)
     ({"k": ("Any", {"a": int}, {"a": str})},
