@@ -108,6 +108,15 @@ CASES = [
     ),
     ({"x": ("SomeOf", [("Range", 0, None), ("Range", None, 100)], 2)},
      {"x": 50}),
+    # Unordered beyond the old n<=4 cap: greedy fold over 6 validators
+    (
+        {"x": ("Unordered", [("Range", 0, 10), ("Range", 10, 20),
+                             ("Range", 20, 30), ("Range", 30, 40),
+                             ("Range", 40, 50), ("Range", 50, 60)])},
+        {"x": [55.0, 45.0, 35.0, 25.0, 15.0, 5.0]},
+        {"x": [5.0, 5.0, 5.0, 25.0, 15.0, 45.0]},  # greedy starves
+        {"x": [5.0, 15.0, 25.0, 35.0, 45.0, 99.0]},
+    ),
     # transformers (validation is transformation)
     ({"t": ("Lower",)}, {"t": "MiXeD"}),
     ({"t": ("Upper",)}, {"t": "MiXeD"}),

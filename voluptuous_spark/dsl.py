@@ -48,15 +48,25 @@ class UnsupportedSchema(ValueError):
 class RowCheck:
     """A compiled row-level validator over a single Column."""
 
-    __slots__ = ("out", "err", "out_type", "drop_path")
+    __slots__ = ("out", "err", "out_type", "drop_path", "multi")
 
     _ERR_T = "struct<message:string,error_type:string>"
+    _MULTI_T = "array<struct<message:string,error_type:string>>"
 
     def __init__(self, out, err, out_type: T.DataType | None = None,
-                 drop_path: bool = False):
+                 drop_path: bool = False, multi=None):
         self.out = out  # Column -> Column
         # always typed: a bare lit(None) is VOID and breaks field extraction
         self.err = lambda c: err(c).cast(self._ERR_T)
+        # optional multi-error channel (validators that accumulate a
+        # MultipleInvalid with >1 entry per cell, e.g. Unordered,
+        # validators.py:1099-1108): Column -> array of err structs,
+        # NULL/empty = valid. The schema layer prefers it when present so
+        # every accumulated error becomes its own violation row.
+        self.multi = (
+            (lambda c: multi(c).cast(self._MULTI_T))
+            if multi is not None else None
+        )
         self.out_type = out_type
         # reference _WithSubValidators combinators raise their own error
         # with an EMPTY path (no prepend through the compile hook,
@@ -1375,18 +1385,24 @@ class SomeOf(Validator):
 
 class Unordered(Validator):
     """Sequence matches validators in any order via greedy matching
-    (validators.py:1035-1113). Supported for small fixed n (expression
-    blow-up is factorial); larger n raises UnsupportedSchema."""
+    (validators.py:1035-1113).
 
-    MAX_N = 4
+    Greedy consumption is a LINEAR fold, not a combinatorial search: each
+    element consumes the first not-yet-consumed validator it satisfies,
+    so the whole check is one ``F.aggregate`` over the array carrying a
+    consumed-validator bitmask — O(n^2) expressions (n validators tested
+    per element), any n up to the 64-bit mask. (Round 1 expanded the
+    consumption tree into nested CASEs, capping n at 4.)"""
+
+    MAX_N = 64
 
     def __init__(self, validators, msg=None):
         self.validators = list(validators)
         self.msg = msg
         if len(self.validators) > self.MAX_N:
             raise UnsupportedSchema(
-                f"Unordered with n>{self.MAX_N} is combinatorial; use an "
-                "Arrow-batch validator"
+                f"Unordered supports up to {self.MAX_N} validators "
+                "(consumed-set bitmask is a long)"
             )
 
     def bind(self, dtype):
@@ -1408,71 +1424,91 @@ class Unordered(Validator):
         n = len(checks)
         err_t = RowCheck._ERR_T
 
-        def err(col):
+        def msgs(col):
+            """All missing-element messages, element order, as
+            array<string>; NULL = absent cell, empty = valid. One fold;
+            the reference accumulates one Invalid per unmatched element
+            into a MultipleInvalid (validators.py:1089-1108)."""
             len_ok = F.size(col) == F.lit(n)
-            elems = [F.try_element_at(col, F.lit(i + 1)) for i in range(n)]
-            # element i passes validator j? (greedy consults these in order)
-            ok_bit = [
-                [checks[j].err(elems[i]).isNull() for j in range(n)]
-                for i in range(n)
-            ]
 
-            def missing(i):
+            def step(st, i):
+                """One greedy step (validators.py:1072-1088): element i
+                consumes the FIRST not-yet-consumed validator it
+                satisfies (``mask`` bit set); an element satisfying none
+                is 'missing' and appends its message. Scalar mask +
+                array-of-strings state on purpose: struct-typed values in
+                nested CASE chains trip a Janino codegen bug ("isNull_N
+                is not an rvalue"); err structs are built at the top."""
+                x = F.try_element_at(col, (i + 1).cast("int"))
+                mask = st["mask"]
+                matched = F.lit(False)
+                mask_expr = None
+                for j in range(n):
+                    ok = (
+                        (mask.bitwiseAND(F.lit(1 << j)) == 0)
+                        & checks[j].err(x).isNull()
+                    )
+                    upd = mask.bitwiseOR(F.lit(1 << j))
+                    mask_expr = (F.when(ok, upd) if mask_expr is None
+                                 else mask_expr.when(ok, upd))
+                    matched = matched | ok
+                mask_expr = (mask_expr.otherwise(mask)
+                             if mask_expr is not None else mask)
                 # 'Element #{index} ({value}) is not valid against any
                 # validator' (validators.py:1090-1100); str(value) form
-                if self.msg:
-                    return F.lit(self.msg)
-                return F.format_string(
-                    f"Element #{i} (%s) is not valid against any "
-                    "validator",
-                    F.coalesce(elems[i].cast("string"), F.lit("None")),
+                fail_msg = F.lit(self.msg) if self.msg else F.format_string(
+                    "Element #%s (%s) is not valid against any validator",
+                    i.cast("string"),
+                    F.coalesce(x.cast("string"), F.lit("None")),
+                )
+                return F.struct(
+                    mask_expr.cast("long").alias("mask"),
+                    F.when(matched, st["msgs"])
+                    .otherwise(F.array_append(st["msgs"], fail_msg))
+                    .alias("msgs"),
                 )
 
-            def greedy(i, consumed):
-                """First error MESSAGE produced by the reference's greedy
-                matcher (validators.py:1072-1088): element i consumes the
-                FIRST not-yet-consumed validator it satisfies; an element
-                with none is 'missing' and its error surfaces
-                (MultipleInvalid keeps accumulating but __str__/our
-                violations use the first, error.py:68-77). String-typed
-                branches on purpose: struct-typed values in deep nested
-                CASE chains trip a Janino codegen bug ("isNull_N is not
-                an rvalue") that drops the whole projection to
-                interpreted mode; with strings the chain stays inside
-                whole-stage codegen and one struct is built at the top."""
-                if i == n:
-                    return F.lit(None).cast("string")
-                avail = [j for j in range(n) if j not in consumed]
-                expr = None
-                for j in avail:
-                    branch = greedy(i + 1, consumed | {j})
-                    expr = (F.when(ok_bit[i][j], branch) if expr is None
-                            else expr.when(ok_bit[i][j], branch))
-                return missing(i) if expr is None else expr.otherwise(
-                    missing(i)
-                )
-
-            msg = (
-                F.when(col.isNull(), F.lit(None).cast("string"))
+            folded = F.aggregate(
+                F.sequence(F.lit(0), F.size(col) - 1),
+                F.struct(
+                    F.lit(0).cast("long").alias("mask"),
+                    F.array().cast("array<string>").alias("msgs"),
+                ),
+                step,
+            )
+            return (
+                F.when(col.isNull(), F.lit(None).cast("array<string>"))
                 .when(
                     ~len_ok,
-                    F.format_string(
+                    F.array(F.format_string(
                         self.msg
                         or "List lengths differ, value:%s != target:"
                         + str(n),
                         F.size(col).cast("string"),
-                    ),
+                    )),
                 )
-                .otherwise(greedy(0, frozenset()))
-            )
-            return F.when(msg.isNull(), F.lit(None).cast(err_t)).otherwise(
-                F.struct(
-                    msg.alias("message"),
-                    F.lit("Invalid").alias("error_type"),
-                )
+                # n == 0 with an empty array: valid; also keeps the fold
+                # off sequence(0, -1), which Spark generates DESCENDING
+                .when(F.size(col) == 0, F.array().cast("array<string>"))
+                .otherwise(folded["msgs"])
             )
 
-        return RowCheck(lambda c: c, err, dtype)
+        def as_structs(m):
+            return F.transform(m, lambda s: F.struct(
+                s.alias("message"), F.lit("Invalid").alias("error_type"),
+            ))
+
+        def err(col):
+            first = F.try_element_at(msgs(col), F.lit(1))
+            return F.when(
+                first.isNull(), F.lit(None).cast(err_t)
+            ).otherwise(F.struct(
+                first.alias("message"),
+                F.lit("Invalid").alias("error_type"),
+            ))
+
+        return RowCheck(lambda c: c, err, dtype,
+                        multi=lambda c: as_structs(msgs(c)))
 
 
 # -- transformers (util.py:15-149) -------------------------------------------

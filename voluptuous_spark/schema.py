@@ -554,6 +554,30 @@ class Schema:
                         ~present,
                     )
                 )
+            if check.multi is not None:
+                # multi-error channel (e.g. Unordered): one violation per
+                # accumulated entry, all at the field path with the
+                # mapping ctx (schema_builder.py:369-371)
+                from .errors import truncate_repr
+
+                m_alias = f"__e_{len(hidden)}"
+                hidden.append(
+                    F.when(present, check.multi(defaulted)).alias(m_alias)
+                )
+                m = F.col(m_alias)
+                path_lits = [F.lit(str(p)) for p in fld.path]
+                err_arrays.append(F.when(
+                    m.isNotNull(),
+                    F.transform(m, lambda s: F.struct(
+                        F.array(*path_lits).alias("path"),
+                        s["message"].alias("message"),
+                        s["error_type"].alias("error_type"),
+                        truncate_repr(repr_c).alias("offending"),
+                        F.lit("dictionary value").alias("ctx"),
+                    )),
+                ))
+                out_cols[fld.name] = out
+                continue
             # expensive err CASE chain -> hidden stage-1 column, single-use
             e_alias = f"__e_{len(hidden)}"
             hidden.append(
@@ -1149,6 +1173,28 @@ class Schema:
                      F.lit(marker_msg or "required key not provided"),
                      "RequiredFieldInvalid", F.lit("None"),
                      col.isNotNull() & ~present)
+            if (check.multi is not None and arrays is not None
+                    and msg_override is None):
+                # multi-error channel (e.g. Unordered): one violation per
+                # accumulated entry at this field's path
+                from .errors import truncate_repr
+
+                m = check.multi(base)
+                path_lits = [F.lit(str(p)) for p in path]
+                ctx_s = "object value" if as_object else "dictionary value"
+                arrays.append(F.when(
+                    col.isNotNull() & present & m.isNotNull(),
+                    F.transform(m, lambda s: F.struct(
+                        F.array(*path_lits).alias("path"),
+                        s["message"].alias("message"),
+                        s["error_type"].alias("error_type"),
+                        truncate_repr(py_repr_col(base, sub_t))
+                        .alias("offending"),
+                        F.lit(ctx_s).alias("ctx"),
+                    )),
+                ))
+                outs.append(check.out(base).alias(name))
+                continue
             e = check.err(base)
             emit(() if check.drop_path else path,
                  e["message"], e["error_type"],
