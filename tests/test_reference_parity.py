@@ -227,6 +227,35 @@ CASES = [
         {"a": 1, "b": 2},
         {"a": 1},
     ),
+    # batch 5: SomeOf max_valid (TooManyValid), exclusive-bound Range,
+    # default-format Datetime, Boolean over ints, sequence-of-dict
+    # element schemas, Equal on arrays, Maybe transform threading,
+    # Unordered msg override repeated per missing element, exact Length
+    (
+        {"x": ("SomeOf", [("Range", 0, 5), ("Range", 3, 9),
+                          ("Range", 8, 12)], None, 1)},
+        {"x": 4},
+        {"x": 10},
+    ),
+    ({"q": ("Range", 1, None, False)}, {"q": 1}, {"q": 2}),
+    ({"d": ("Datetime",)}, {"d": "2024-01-02T03:04:05.000Z"},
+     {"d": "nope"}),
+    ({"b": ("Boolean",)}, {"b": 1}, {"b": 0}),
+    ({"x": [{"a": ("Range", 0, 5)}]}, {"x": [{"a": 3}]},
+     {"x": [{"a": 9}]}),
+    # sequence-of-dict: multi-key elements, extra keys, dict/array nesting
+    ({"x": [{"a": ("Range", 0, 5), "b": str}]},
+     {"x": [{"a": 3, "b": "s"}, {"a": 9, "b": "t"}]}),
+    ({"x": [{"a": {"b": ("Range", 0, 5)}}]},
+     {"x": [{"a": {"b": 2}}]}, {"x": [{"a": {"b": 9}}]}),
+    ({"x": [{"a": [("Range", 0, 5)]}]},
+     {"x": [{"a": [1, 2]}]}, {"x": [{"a": [1, 9]}]}),
+    ({"x": ("Equal", [1, 2])}, {"x": [1, 2]}, {"x": [1, 3]}),
+    ({"s": ("Maybe", ("Coerce", int))}, {"s": "5"}),
+    ({"x": ("Unordered", [("Range", 0, 10), ("Range", 10, 20)],
+            "custom")},
+     {"x": [55.0, 66.0]}),
+    ({"t": ("Length", 3, 3)}, {"t": "abc"}, {"t": "ab"}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases
@@ -234,6 +263,8 @@ KW_CASES = [
     ({"a": int}, {"extra": 1}, {"a": 3, "zzz": "keep"}),
     ({"a": int}, {"extra": 0}, {"a": 3, "zzz": "nope"}),
     ({"a": int, "b": str}, {"required": True}, {"a": 3}),
+    ({"a": int}, {"extra": 2}, {"a": 3, "zzz": "drop"}),
+    ({"a": int, ("Optional", "b"): str}, {"required": True}, {"a": 3}),
 ]
 
 

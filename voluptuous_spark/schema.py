@@ -565,7 +565,7 @@ class Schema:
                     F.when(present, check.multi(defaulted)).alias(m_alias)
                 )
                 m = F.col(m_alias)
-                path_lits = [F.lit(str(p)) for p in fld.path]
+                path_lits = _path_lits(fld.path)
                 err_arrays.append(F.when(
                     m.isNotNull(),
                     F.transform(m, lambda s: F.struct(
@@ -789,7 +789,7 @@ class Schema:
             cands.append((key, vcheck, is_remove))
 
         # -- per-entry violations -------------------------------------------
-        prefix_lits = [F.lit(str(p)) for p in prefix]
+        prefix_lits = _path_lits(prefix)
 
         def entry_violation(k: Column, v: Column) -> Column:
             # first matching candidate's value check decides; no candidate
@@ -963,7 +963,7 @@ class Schema:
             branch_arrays.append(arr)
         if v.msg is not None:
             losing = F.array(F.struct(
-                F.array(*[F.lit(str(p)) for p in prefix]).alias("path"),
+                F.array(*_path_lits(prefix)).alias("path"),
                 F.lit(v.msg).alias("message"),
                 F.lit(v.error_type).alias("error_type"),
                 F.lit("None").alias("offending"),
@@ -1003,12 +1003,24 @@ class Schema:
         from .errors import truncate_repr
 
         elem_t = dtype.elementType
+        if any(isinstance(a, dict) for a in alternatives):
+            if len(alternatives) != 1 or not isinstance(
+                    elem_t, T.StructType):
+                raise UnsupportedSchema(
+                    "sequence-of-mapping schemas support exactly one dict "
+                    "alternative over an array<struct> column; mixed "
+                    "dict/scalar alternatives cannot share one Spark "
+                    "element type"
+                )
+            return self._validate_dict_elements(
+                alternatives[0], col, dtype, prefix
+            )
         removes = [compile_validator(a.schema, elem_t)
                    for a in alternatives if isinstance(a, Remove)]
         keeps = [compile_validator(a, elem_t)
                  for a in alternatives if not isinstance(a, Remove)]
         out_col = compile_validator(alternatives, dtype).out(col)
-        prefix_lits = [F.lit(str(p)) for p in prefix]
+        prefix_lits = _path_lits(prefix)
 
         if not alternatives:
             # empty schema rejects any non-empty sequence
@@ -1055,6 +1067,60 @@ class Schema:
                 ),
                 lambda s: s.isNotNull(),
             ),
+        )
+        return out_col, [], [arr]
+
+    def _validate_dict_elements(self, schema_dict: dict, col: Column,
+                                dtype: T.ArrayType,
+                                prefix: tuple[str, ...]):
+        """Sequence of mapping schemas (``{'x': [{...}]}``, reference
+        _compile_sequence recursing into _compile_mapping,
+        schema_builder.py:578-631): every element validates against the
+        dict schema; errors carry ``data[prefix][index][...]`` paths with
+        the runtime index as a path component. All expression-level — no
+        shuffle, no Python; per-element struct validation runs inside one
+        ``F.transform`` over the index range.
+
+        Returns (out_col, single_errs, err_arrays)."""
+        elem_t = dtype.elementType
+        sub = Schema(schema_dict, required=self.required, extra=self.extra)
+        viol_arr_t = (
+            "array<struct<path:array<string>,message:string,"
+            "error_type:string,offending:string,ctx:string>>"
+        )
+
+        out_col = F.when(
+            col.isNotNull(),
+            F.transform(
+                col,
+                lambda x: sub._validate_struct(x, elem_t, prefix)[0],
+            ),
+        )
+
+        def per_elem(i):
+            x = F.try_element_at(col, (i + 1).cast("int"))
+            nested: list[Column] = []
+            _, errs = sub._validate_struct(
+                x, elem_t, prefix + (i.cast("string"),), arrays=nested
+            )
+            parts = []
+            if errs:
+                parts.append(F.filter(
+                    F.array(*errs).cast(viol_arr_t),
+                    lambda s: s.isNotNull(),
+                ))
+            for arr in nested:
+                parts.append(F.coalesce(arr.cast(viol_arr_t),
+                                        F.array().cast(viol_arr_t)))
+            if not parts:
+                return F.array().cast(viol_arr_t)
+            return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+        arr = F.when(
+            col.isNotNull() & (F.size(col) > 0),
+            F.flatten(F.transform(
+                F.sequence(F.lit(0), F.size(col) - 1), per_elem
+            )),
         )
         return out_col, [], [arr]
 
@@ -1180,7 +1246,7 @@ class Schema:
                 from .errors import truncate_repr
 
                 m = check.multi(base)
-                path_lits = [F.lit(str(p)) for p in path]
+                path_lits = _path_lits(path)
                 ctx_s = "object value" if as_object else "dictionary value"
                 arrays.append(F.when(
                     col.isNotNull() & present & m.isNotNull(),
@@ -1303,7 +1369,14 @@ def _unwrap_marker(v):
     return v
 
 
-def _violation(path: tuple[str, ...], message: Column, error_type,
+def _path_lits(path) -> list[Column]:
+    """Path components as string Columns. Compile-time components are
+    strings; runtime components (e.g. a sequence index inside
+    ``F.transform``) are already Columns and pass through."""
+    return [p if isinstance(p, Column) else F.lit(str(p)) for p in path]
+
+
+def _violation(path, message: Column, error_type,
                offending: Column, cond: Column,
                ctx: str | None = None) -> Column:
     """``ctx`` is the reference's mapping context ('dictionary value' /
@@ -1316,7 +1389,7 @@ def _violation(path: tuple[str, ...], message: Column, error_type,
     return F.when(
         cond,
         F.struct(
-            F.array(*[F.lit(str(p)) for p in path]).alias("path"),
+            F.array(*_path_lits(path)).alias("path"),
             message.alias("message"),
             et.alias("error_type"),
             truncate_repr(offending).alias("offending"),
