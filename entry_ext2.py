@@ -44,16 +44,27 @@ def _union_value(spark, sf_dir):
 
 
 def _exactseq_pair(spark, sf_dir):
+    # also exercises sequence-of-mapping schemas ([{...}] over an
+    # array<struct> column, reference schema_builder.py:578-631 recursing
+    # into _compile_mapping): per-element struct validation with the
+    # runtime index in the violation path
     df = _t(spark, sf_dir, "events").select(
         "event_id",
         F.array(
             F.coalesce("value", F.lit(-1.0)),
             (F.col("user_id") % 600).cast("double"),
         ).alias("pair"),
+        F.array(
+            F.struct((F.col("user_id") % 11).cast("int").alias("a"),
+                     F.col("event_type").alias("b")),
+            F.struct((F.col("user_id") % 13).cast("int").alias("a"),
+                     F.col("event_type").alias("b")),
+        ).alias("recs"),
     )
     res = Schema(
         {"pair": ExactSequence([Range(min=0.0, max=50.0),
-                                Range(min=0.0, max=500.0)])},
+                                Range(min=0.0, max=500.0)]),
+         "recs": [{"a": Range(min=0, max=9), "b": str}]},
         extra=ALLOW_EXTRA,
     ).validate(df, id_cols=["event_id"])
     return res.violations.select("event_id", "message", "error_type")
@@ -177,6 +188,16 @@ EXTRA2_ORACLES = {
         FROM events
         WHERE NOT (coalesce(value, -1.0) BETWEEN 0.0 AND 50.0
                    AND user_id % 600 BETWEEN 0 AND 500)
+        UNION ALL
+        -- recs[0].a = user_id % 11, recs[1].a = user_id % 13, both
+        -- validated against Range(0, 9) element-wise
+        SELECT event_id, 'value must be at most 9' AS message,
+               'RangeInvalid' AS error_type
+        FROM events WHERE user_id % 11 > 9
+        UNION ALL
+        SELECT event_id, 'value must be at most 9' AS message,
+               'RangeInvalid' AS error_type
+        FROM events WHERE user_id % 13 > 9
     """,
     "number_bal": """
         SELECT c_custkey, 'Precision must be equal to 6' AS message,
