@@ -77,3 +77,41 @@ def test_referential_broadcast(spark, clips_path):
     fact_section = plan.split("BroadcastHashJoin")[1]
     # the fact branch (first child printed) reads the parquet scan directly
     assert "FileScan parquet" in fact_section
+
+
+def test_salted_agg_matches_plain(spark, clips_path):
+    """Explicit skew salting (north rule): the two-stage salted
+    aggregation recombines to exactly the plain groupBy answer — codec
+    is the intentionally skewed column (85% 'wav', FIXTURES.md F1)."""
+    from voluptuous_spark.checks.skew import salted_agg
+
+    df = spark.read.parquet(clips_path).drop("bytes")
+    plain = {
+        r["codec"]: (r["n"], r["ms"])
+        for r in df.groupBy("codec").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dur_ms").alias("ms")
+        ).collect()
+    }
+    salted_df = salted_agg(
+        df, "codec", {"n": "count", "ms": "sum:dur_ms"}, n_salts=8
+    )
+    salted = {r["codec"]: (r["n"], r["ms"]) for r in salted_df.collect()}
+    assert salted == plain
+    # the hot key really is spread: stage 1 groups on (codec, salt)
+    plan = _plan(salted_df)
+    assert plan.count("HashAggregate") >= 4  # 2x partial+final
+
+
+def test_salted_join_left_anti_matches_plain(spark, clips_path):
+    from voluptuous_spark.checks.skew import salted_join
+
+    child = spark.read.parquet(clips_path).select("clip_id")
+    parent = child.filter(F.col("clip_id") < "clip_000000000250")
+    plain = {r["clip_id"] for r in orphans(child, parent, "clip_id").collect()}
+    salted = {
+        r["clip_id"]
+        for r in salted_join(
+            child, parent, "clip_id", how="left_anti", n_salts=4
+        ).collect()
+    }
+    assert salted == plain and len(plain) > 0

@@ -10,3 +10,4 @@ from .stats import column_stats  # noqa: F401
 from .uniqueness import duplicate_keys, uniqueness_report  # noqa: F401
 from .referential import orphans, referential_report  # noqa: F401
 from .drift import psi_report, ks_statistic, category_histogram  # noqa: F401
+from .skew import salted_agg, salted_join  # noqa: F401
