@@ -49,14 +49,33 @@ from voluptuous_spark import exceptions as vse  # noqa: E402
 _FUNC_STYLE = {"Lower", "Upper", "Capitalize", "Title", "Strip"}
 
 
+def _tag_filter(val, alts):
+    """The reference's canonical Union discriminant idiom: keep branches
+    whose literal-valued keys all match the value (tests.py:1683-1710
+    filters on ``v['type'] == value['type']``)."""
+    def ok(a):
+        return all(
+            val.get(k) == x
+            for k, x in a.items()
+            if isinstance(x, (str, int, float)) and not isinstance(x, type)
+        )
+    return [a for a in alts if ok(a)]
+
+
 def _mk(v, spec):
     """Build one schema node from a module-agnostic spec tree.
 
     spec: (name, *args) tuples reference DSL classes by name in either
     module; dicts/lists/scalars pass through recursively.
+    ("UnionDisc", b1, b2, ...) builds Union(*branches,
+    discriminant=_tag_filter) in both modules.
     """
     import inspect
 
+    if isinstance(spec, tuple) and spec and spec[0] == "UnionDisc":
+        _, *branches = spec
+        return v.Union(*[_mk(v, b) for b in branches],
+                       discriminant=_tag_filter)
     if isinstance(spec, tuple) and spec and isinstance(spec[0], str):
         name, *args = spec
         obj = getattr(v, name)
@@ -256,6 +275,29 @@ CASES = [
             "custom")},
      {"x": [55.0, 66.0]}),
     ({"t": ("Length", 3, 3)}, {"t": "abc"}, {"t": "ab"}),
+    # Union discriminant routing (tests.py:1683-1710): the tag filter
+    # selects the candidate branch; its error surfaces, not the deepest
+    # across all branches; no matching tag -> 'no valid value found'
+    (
+        {"impl": ("UnionDisc",
+                  {"type": "A", "a_val": str},
+                  {"type": "B", "b_val": int})},
+        {"impl": {"type": "A", "a_val": "x"}},
+        {"impl": {"type": "A", "a_val": 5}},
+        {"impl": {"type": "D", "a_val": "x"}},
+    ),
+    # Inclusive group defaults (tests.py:1644-1660): whole group absent
+    # -> defaults injected; partially present -> group error (defaults
+    # do not rescue it)
+    (
+        {
+            ("Inclusive", "x", "stuff", None, None, 3): int,
+            ("Inclusive", "y", "stuff", None, None, 4): int,
+        },
+        {},
+        {"x": 1},
+        {"x": 1, "y": 2},
+    ),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

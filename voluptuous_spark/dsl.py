@@ -343,10 +343,14 @@ class Exclusive(Optional):
 
 class Inclusive(Optional):
     """all-or-none of a named group (schema_builder.py:1099-1152;
-    check :555-571)."""
+    check :555-571). ``default`` injects when the WHOLE group is absent
+    (tests.py:1644-1660); a partially-present group still errors because
+    the group predicate counts RAW (pre-default) columns."""
 
-    def __init__(self, schema_, group_of_inclusion, msg=None, description=None):
-        super().__init__(schema_, msg=msg, description=description)
+    def __init__(self, schema_, group_of_inclusion, msg=None,
+                 description=None, default=UNDEFINED):
+        super().__init__(schema_, msg=msg, description=description,
+                         default=default)
         self.group_of_inclusion = group_of_inclusion
 
 

@@ -336,6 +336,7 @@ class Schema:
             elif isinstance(key, Inclusive):
                 required = False
                 group_in = key.group_of_inclusion
+                default = key.default
                 marker_msg = key.msg
             elif isinstance(key, Optional):
                 required = False
@@ -961,6 +962,43 @@ class Schema:
                 if sub_errs else empty
             )
             branch_arrays.append(arr)
+        # Union discriminant routing (validators.py:343-382): the
+        # reference's canonical discriminant filters candidate branches
+        # by a literal tag key (``lambda val, alts: filter(lambda a:
+        # a['type'] == val['type'], alts)``). The lambda itself cannot
+        # run on a Column, but its effect is expressible: a branch is a
+        # CANDIDATE for a row iff every literal-valued key in the branch
+        # equals the row's value. Only candidate branches can pass, and
+        # error selection (deepest-first-error) runs among candidates;
+        # zero candidates -> AnyInvalid('no valid value found').
+        # Arbitrary non-tag discriminants degrade to plain Any semantics
+        # (documented; same result whenever the discriminant is the tag
+        # filter idiom).
+        routed = (
+            isinstance(v, dsl.Union)
+            and v.discriminant is not None
+            and isinstance(dtype, T.StructType)
+        )
+        if routed:
+            by_name = {f.name: f for f in dtype.fields}
+
+            def candidacy(b) -> Column:
+                pred = F.lit(True)
+                for k, val in b.items():
+                    name = _key_name(k)
+                    if isinstance(val, (str, int, float)) and not isinstance(
+                            val, type):
+                        if name in by_name:
+                            pred = pred & F.coalesce(
+                                col[name] == F.lit(val), F.lit(False)
+                            )
+                        else:
+                            pred = F.lit(False)
+                return pred
+
+            cand = [candidacy(b) for b in v.validators]
+        else:
+            cand = [F.lit(True) for _ in v.validators]
         if v.msg is not None:
             losing = F.array(F.struct(
                 F.array(*_path_lits(prefix)).alias("path"),
@@ -970,19 +1008,28 @@ class Schema:
                 F.lit(None).cast("string").alias("ctx"),
             )).cast(viol_arr_t)
         else:
-            # strictly-deeper-first-error wins; earlier branch on ties
+            # strictly-deeper-first-error wins among CANDIDATE branches;
+            # earlier branch on ties; no candidates -> AnyInvalid
             depth = [
-                F.when(F.size(a) > 0, F.size(F.element_at(a, 1)["path"]))
+                F.when(c & (F.size(a) > 0),
+                       F.size(F.element_at(a, 1)["path"]))
                 .otherwise(F.lit(-1))
-                for a in branch_arrays
+                for a, c in zip(branch_arrays, cand)
             ]
-            losing, best_d = branch_arrays[0], depth[0]
-            for a, d in zip(branch_arrays[1:], depth[1:]):
+            losing = F.array(F.struct(
+                F.array(*_path_lits(prefix)).alias("path"),
+                F.lit("no valid value found").alias("message"),
+                F.lit("AnyInvalid").alias("error_type"),
+                F.lit("None").alias("offending"),
+                F.lit("dictionary value").alias("ctx"),
+            )).cast(viol_arr_t)
+            best_d = F.lit(-1)
+            for a, d in zip(branch_arrays, depth):
                 losing = F.when(d > best_d, a).otherwise(losing)
                 best_d = F.when(d > best_d, d).otherwise(best_d)
         any_ok = F.lit(False)
-        for a in branch_arrays:
-            any_ok = any_ok | (F.size(a) == 0)
+        for a, c in zip(branch_arrays, cand):
+            any_ok = any_ok | (c & (F.size(a) == 0))
         return F.when(
             col.isNull() | any_ok, empty
         ).otherwise(losing)
