@@ -184,6 +184,31 @@ def run_scaling() -> dict:
     return out
 
 
+def _rowpcm_throughput(cores: int, clips_path: str) -> dict:
+    """Engine throughput on the REFERENCE-equivalent check set only (row
+    schema + PCM content check; no table-level outputs) — the
+    apples-to-apples side of the single-node comparison. Same best-of-REPS
+    steady-state estimator as the full-suite runs."""
+    from voluptuous_spark.suite import run_suite
+
+    spark = _session(cores)
+    clips = spark.read.parquet(clips_path)
+    walls = []
+    for _ in range(max(1, REPS)):
+        t0 = time.time()
+        res = run_suite(clips, transcripts=None, persist=False)
+        _force(res.annotated)
+        walls.append(time.time() - t0)
+    spark.stop()
+    wall = min(walls)
+    return {
+        "cores": cores,
+        "wall_sec": round(wall, 3),
+        "walls": [round(w, 2) for w in walls],
+        "clips_per_sec": round(N_CLIPS / wall, 1),
+    }
+
+
 def run_reference_baseline(clips_path: str, n: int = 20000) -> dict:
     """Single-node throughput of the REFERENCE library itself on the same
     data: read clips from the same parquet with pyarrow, validate each as
@@ -236,35 +261,47 @@ def run_reference_baseline(clips_path: str, n: int = 20000) -> dict:
         )
     )
 
-    t0 = time.time()
+    # best-of-REPS: the same steady-state estimator the engine numbers
+    # use (this VM's co-tenant noise spreads single draws up to 2x)
+    walls = []
     done = failed = 0
-    for f in sorted(glob.glob(f"{clips_path}/*.parquet")):
-        if done >= n:
-            break
-        tbl = pq.read_table(f)
-        for batch in tbl.to_batches():
-            docs = batch.to_pylist()
-            for doc in docs:
-                try:
-                    schema(doc)
-                except vref.MultipleInvalid:
-                    failed += 1
-                done += 1
-                if done >= n:
-                    break
+    for _ in range(max(1, REPS)):
+        t0 = time.time()
+        done = failed = 0
+        for f in sorted(glob.glob(f"{clips_path}/*.parquet")):
             if done >= n:
                 break
-    wall = time.time() - t0
+            # use_threads=False: pyarrow's reader multi-threads by
+            # default, which would let the "single-threaded" reference
+            # borrow every core for IO/decompression while the engine's
+            # local[1] really is one thread end-to-end
+            tbl = pq.read_table(f, use_threads=False)
+            for batch in tbl.to_batches():
+                docs = batch.to_pylist()
+                for doc in docs:
+                    try:
+                        schema(doc)
+                    except vref.MultipleInvalid:
+                        failed += 1
+                    done += 1
+                    if done >= n:
+                        break
+                if done >= n:
+                    break
+        walls.append(time.time() - t0)
+    wall = min(walls)
     return {
         "n": done,
         "failed": failed,
         "wall_sec": round(wall, 3),
+        "walls": [round(w, 2) for w in walls],
         "clips_per_sec": round(done / wall, 1),
     }
 
 
 def write_baseline_md(queries: dict, scaling: dict,
-                      ref: dict | None = None) -> None:
+                      ref: dict | None = None,
+                      rowpcm: dict | None = None) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lines = [
         "# BENCH / BASELINE — measured",
@@ -337,14 +374,24 @@ def write_baseline_md(queries: dict, scaling: dict,
             "Same parquet data, same row schema, same PCM decode/SNR "
             "check (as a voluptuous callable validator — its escape "
             "hatch for content checks), measured end-to-end including "
-            "the pyarrow read:",
+            "the (single-threaded) pyarrow read, best-of-REPS both "
+            "sides. The goal metric is per-NODE: the reference is "
+            "single-threaded by design, so its node ceiling IS its "
+            "single-thread rate, while the engine scales across the "
+            "node's cores (and across nodes).",
             "",
             "| engine | clips/sec | notes |",
             "|---|---|---|",
             f"| reference (voluptuous, single-threaded) | "
             f"{ref['clips_per_sec']} | n={ref['n']}, row checks + PCM "
             "only — uniqueness/referential/stats/drift not expressible |",
-        ] + [
+        ] + (
+            [
+                f"| this engine (local[1], row+PCM checks ONLY) | "
+                f"{rowpcm['clips_per_sec']} | apples-to-apples: same "
+                "check set as the reference row |"
+            ] if rowpcm else []
+        ) + [
             f"| this engine (local[{c}]) | {cps} | FULL suite incl. "
             "table-level checks |"
             for c, cps in sorted(by_cores.items())
@@ -370,7 +417,8 @@ def main():
         ref = run_reference_baseline(f"{CACHE_DIR}/{tag}/clips.parquet")
     except Exception:
         ref = None  # reference repo unavailable: skip the comparison
-    write_baseline_md(queries, scaling, ref)
+    rowpcm = _rowpcm_throughput(1, f"{CACHE_DIR}/{tag}/clips.parquet")
+    write_baseline_md(queries, scaling, ref, rowpcm)
     total = sum(queries.values())
     rep = scaling["n1_to_4"]
     print(
@@ -390,6 +438,9 @@ def main():
                 },
                 "reference_single_thread_clips_per_sec": (
                     ref["clips_per_sec"] if ref else None
+                ),
+                "engine_rowpcm_1core_clips_per_sec": (
+                    rowpcm["clips_per_sec"] if rowpcm else None
                 ),
                 "n_clips": N_CLIPS,
             }
