@@ -49,6 +49,15 @@ from voluptuous_spark import exceptions as vse  # noqa: E402
 _FUNC_STYLE = {"Lower", "Upper", "Capitalize", "Title", "Strip"}
 
 
+import enum
+
+
+class _ChoiceEnum(enum.Enum):
+    Easy = 1
+    Medium = 2
+    Hard = 3
+
+
 def _tag_filter(val, alts):
     """The reference's canonical Union discriminant idiom: keep branches
     whose literal-valued keys all match the value (tests.py:1683-1710
@@ -62,13 +71,44 @@ def _tag_filter(val, alts):
     return [a for a in alts if ok(a)]
 
 
+def _py_callable(v, kind):
+    """Module-aware bare callables ('callables are validators',
+    schema_builder.py:800-811): raising Invalid must use the module's
+    own class so each engine catches its own exception type."""
+    if kind == "is_even":
+        def is_even(value):
+            if value % 2:
+                raise v.Invalid("%i is not even" % value)
+            return value
+        return is_even
+    if kind == "half":
+        def half(value):
+            if value % 2:
+                raise ValueError
+            return value // 2
+        return half
+    if kind == "as_int":
+        def as_int(a):
+            return int(a)
+        return as_int
+    if kind == "as_int_msg":
+        def as_int_msg(a):
+            try:
+                return int(a)
+            except ValueError:
+                raise v.Invalid("expecting a number")
+        return as_int_msg
+    raise KeyError(kind)
+
+
 def _mk(v, spec):
     """Build one schema node from a module-agnostic spec tree.
 
     spec: (name, *args) tuples reference DSL classes by name in either
     module; dicts/lists/scalars pass through recursively.
     ("UnionDisc", b1, b2, ...) builds Union(*branches,
-    discriminant=_tag_filter) in both modules.
+    discriminant=_tag_filter) in both modules; ("PyCallable", kind)
+    builds a bare Python callable validator bound to the module.
     """
     import inspect
 
@@ -76,6 +116,8 @@ def _mk(v, spec):
         _, *branches = spec
         return v.Union(*[_mk(v, b) for b in branches],
                        discriminant=_tag_filter)
+    if isinstance(spec, tuple) and spec and spec[0] == "PyCallable":
+        return _py_callable(v, spec[1])
     if isinstance(spec, tuple) and spec and isinstance(spec[0], str):
         name, *args = spec
         obj = getattr(v, name)
@@ -298,6 +340,23 @@ CASES = [
         {"x": 1},
         {"x": 1, "y": 2},
     ),
+    # bare Python callables are validators (schema_builder.py:800-811):
+    # raised Invalid keeps its message; ValueError -> 'not a valid
+    # value'; return value is the transform
+    ({"n": ("PyCallable", "is_even")}, {"n": 4}, {"n": 3}),
+    ({"n": ("PyCallable", "half")}, {"n": 4}, {"n": 3}),
+    # callable KEY schemas (tests.py:1712-1752): the candidate runs on
+    # the key; a failing key surfaces the callable's error instead of
+    # 'extra keys not allowed' (key transforms don't rename columns —
+    # names are static; documented validation-only divergence)
+    ({("PyCallable", "as_int"): str}, {"1": "one", "two": "2"}),
+    ({("PyCallable", "as_int_msg"): str}, {"1": "one", "two": "2"}),
+    # Maybe with msg (tests.py:799-803)
+    ({"s": ("Maybe", int, "int or None expected")}, {"s": "foo"}),
+    # Coerce(Enum) lists allowed values (tests.py:1844-1869); invalid
+    # doc only — the engine keeps the raw value (a Row cannot hold Enum
+    # members), so the accept-side transform diverges by design
+    ({"c": ("Coerce", _ChoiceEnum)}, {"c": 4}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

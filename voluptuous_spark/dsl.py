@@ -171,10 +171,12 @@ def compile_validator(v, dtype: T.DataType, path: tuple = ()) -> RowCheck:
             "value combinators are not supported"
         )
     if callable(v):
-        raise UnsupportedSchema(
-            "bare Python callables are per-row; wrap in PandasValidator "
-            "(Arrow batch) or use a built-in validator"
-        )
+        # 'callables are validators' (schema_builder.py:800-811): run
+        # element-wise inside an Arrow batch — the reference contract
+        # (return transformed value; ValueError -> 'not a valid value';
+        # Invalid propagates its message/class). Slow path by nature;
+        # for anything expressible as a Column, use a built-in.
+        return CallableValidator(v).bind(dtype)
     # literal value -> equality (schema_builder.py:812-816)
     return _pred_check(
         lambda c: c.eqNullSafe(F.lit(v)), "not a valid value", "ScalarInvalid"
@@ -352,6 +354,19 @@ class Inclusive(Optional):
         super().__init__(schema_, msg=msg, description=description,
                          default=default)
         self.group_of_inclusion = group_of_inclusion
+
+
+class StaticKeyInvalid:
+    """Compile-time marker for a column whose name failed a callable key
+    schema (reference key candidates, schema_builder.py:770-818 applied
+    to keys): every row with the column present gets this violation.
+    Internal — produced by Schema._bind_fields, consumed by validate."""
+
+    __slots__ = ("msg", "error_type")
+
+    def __init__(self, msg, error_type):
+        self.msg = msg
+        self.error_type = error_type
 
 
 class Remove(Marker):
@@ -1694,18 +1709,23 @@ class CallableValidator(Validator):
 
         fn = self.fn
         truth_mode = self.truth_mode
-        default_msg = self.msg or (
-            "not a valid value" if truth_mode else "invalid value"
-        )
+        # bare-callable ValueError -> 'not a valid value'
+        # (schema_builder.py:805-806); the message decorator passes its
+        # own 'invalid value' default explicitly (:1294-1295)
+        default_msg = self.msg or "not a valid value"
         error_type = self.error_type
         out_t = self.out_type_ or dtype
         res_t = T.StructType(
-            [T.StructField("out", out_t), T.StructField("emsg", T.StringType())]
+            [
+                T.StructField("out", out_t),
+                T.StructField("emsg", T.StringType()),
+                T.StructField("etype", T.StringType()),
+            ]
         )
 
         @pandas_udf(res_t)
         def _udf(s: pd.Series) -> pd.DataFrame:
-            outs, emsgs = [], []
+            outs, emsgs, etypes = [], [], []
             for v in s:
                 try:
                     r = fn(v)
@@ -1715,24 +1735,37 @@ class CallableValidator(Validator):
                     else:
                         outs.append(r)
                         emsgs.append(None)
-                except (ValueError, TypeError) as e:
+                    etypes.append(None)
+                except (ValueError, TypeError):
                     outs.append(v if truth_mode else None)
                     emsgs.append(default_msg)
+                    etypes.append(None)
                 except er.Invalid as e:
+                    # a raised Invalid keeps its own message AND class
+                    # (schema_builder.py:807-810 re-raises it unchanged)
                     outs.append(v if truth_mode else None)
                     emsgs.append(e.msg)
+                    etypes.append(type(e).__name__)
             return pd.DataFrame(
-                {"out": outs, "emsg": pd.Series(emsgs, dtype="object")}
+                {
+                    "out": outs,
+                    "emsg": pd.Series(emsgs, dtype="object"),
+                    "etype": pd.Series(etypes, dtype="object"),
+                }
             )
 
         def out(col):
             return _udf(col)["out"]
 
         def err(col):
-            e = _udf(col)["emsg"]
+            r = _udf(col)
+            e = r["emsg"]
             return F.when(col.isNull() | e.isNull(), F.lit(None)).otherwise(
-                F.struct(e.alias("message"),
-                         F.lit(error_type).alias("error_type"))
+                F.struct(
+                    e.alias("message"),
+                    F.coalesce(r["etype"], F.lit(error_type))
+                    .alias("error_type"),
+                )
             )
 
         return RowCheck(out, err, out_t)

@@ -365,10 +365,37 @@ class Schema:
                 return 3
 
             wildcards.sort(key=_prio)
+            from . import exceptions as er
+
             for cname in struct.fieldNames():
                 if cname in declared:
                     continue
+                key_err = None
                 for key, kschema, val in wildcards:
+                    if (callable(kschema) and not isinstance(
+                            kschema, (type, dsl.Validator))
+                            and kschema is not dsl.Extra):
+                        # callable KEY schema (tests.py:1712-1752): the
+                        # candidate runs on the static column name at
+                        # compile time; a raise records the key error
+                        # (surfaced instead of 'extra keys not allowed',
+                        # schema_builder.py:345-409) and later wildcards
+                        # may still claim the column
+                        try:
+                            kschema(cname)
+                        except er.Invalid as e:
+                            key_err = (e.msg, type(e).__name__)
+                            continue
+                        except (ValueError, TypeError):
+                            key_err = ("not a valid value", "ValueInvalid")
+                            continue
+                        declared.add(cname)
+                        fields.append(_Field(
+                            cname, prefix + (cname,), False, UNDEFINED,
+                            getattr(key, "msg", None), val,
+                            remove=isinstance(key, Remove),
+                        ))
+                        break
                     if self._wildcard_accepts(kschema, cname):
                         declared.add(cname)
                         fields.append(_Field(
@@ -377,6 +404,13 @@ class Schema:
                             remove=isinstance(key, Remove),
                         ))
                         break
+                else:
+                    if key_err is not None:
+                        declared.add(cname)
+                        fields.append(_Field(
+                            cname, prefix + (cname,), False, UNDEFINED,
+                            None, dsl.StaticKeyInvalid(*key_err),
+                        ))
         return fields, declared, complex_req
 
     def validate(
@@ -456,6 +490,17 @@ class Schema:
             col = F.col(fld.name)
             if fld.remove:
                 continue  # dropped from output, never validated
+            if isinstance(fld.validator, dsl.StaticKeyInvalid):
+                # column name failed a callable key schema: key error on
+                # every row where the key (column) is present, bare path
+                # rendering ('not a valid value @ data[k]')
+                err_entries.append(_violation(
+                    fld.path, F.lit(fld.validator.msg),
+                    fld.validator.error_type, F.lit("None"),
+                    col.isNotNull(),
+                ))
+                out_cols[fld.name] = col
+                continue
 
             # nested dict / Object schema over a struct column; Self
             # re-enters the ROOT schema (bounded by StructType depth,
