@@ -228,10 +228,16 @@ EXTRA2_ORACLES = {
 
 
     "required_anyof": """
-        SELECT event_id,
-               'at least one of [''a'', ''b''] is required' AS message,
+        -- the reference emits TWO errors per unsatisfied complex-Required
+        -- group: the group error (schema_builder.py:311-325) and the
+        -- generic 'required key not provided' (:397-404)
+        SELECT event_id, m.message,
                'RequiredFieldInvalid' AS error_type
         FROM events
+        CROSS JOIN (
+            SELECT 'at least one of [''a'', ''b''] is required' AS message
+            UNION ALL SELECT 'required key not provided'
+        ) m
         WHERE NOT ((user_id % 5 = 0 AND value IS NOT NULL)
                 OR (user_id % 7 = 0 AND value IS NOT NULL))
     """,

@@ -98,6 +98,18 @@ def _py_callable(v, kind):
             except ValueError:
                 raise v.Invalid("expecting a number")
         return as_int_msg
+    if kind == "starts_with_dot":
+        def starts_with_dot(key):
+            if not key.startswith("."):
+                raise v.Invalid("Key does not start with .")
+            return key
+        return starts_with_dot
+    if kind == "no_dot":
+        def does_not_start_with_dot(key):
+            if key.startswith("."):
+                raise v.Invalid("Key starts with .")
+            return key
+        return does_not_start_with_dot
     raise KeyError(kind)
 
 
@@ -118,6 +130,8 @@ def _mk(v, spec):
                        discriminant=_tag_filter)
     if isinstance(spec, tuple) and spec and spec[0] == "PyCallable":
         return _py_callable(v, spec[1])
+    if isinstance(spec, tuple) and spec and spec[0] == "SelfRef":
+        return v.Self  # the sentinel class itself, never instantiated
     if isinstance(spec, tuple) and spec and isinstance(spec[0], str):
         name, *args = spec
         obj = getattr(v, name)
@@ -357,6 +371,61 @@ CASES = [
     # doc only — the engine keeps the raw value (a Row cannot hold Enum
     # members), so the accept-side transform diverges by design
     ({"c": ("Coerce", _ChoiceEnum)}, {"c": 4}),
+    # batch 7: reference tests.py behaviors not yet differentially
+    # covered — error paths under combinator msg kwargs (issue #347,
+    # tests.py:1334-1383), Remove variants (tests.py:190-248), empty
+    # dict schemas (tests.py:841-872), Self inside Any (tests.py:1454),
+    # complex Required keys w/ message + multiple groups
+    # (tests.py:2067-2135), Date custom format (tests.py:1105), email
+    # edge cases (tests.py:311-348)
+    ({("Optional", "q"): int, ("Required", "q2"): ("Match", "^a")},
+     {"q2": "abc"}, {"q2": "zzz"}),
+    # Remove named keys are dropped from output (tests.py:192-195)
+    ({"weight": int, ("Remove", "color"): str, ("Remove", "amount"): int},
+     {"weight": 10, "color": "red", "amount": 1}),
+    # Remove by key TYPE with value-type routing (tests.py:197-213):
+    # str keys with int values are removed, str keys with str values
+    # kept — the wildcard must consider the VALUE schema against the
+    # column's static type, not just the key
+    ({"weight": float, "amount": int, ("Remove", str): int, str: str},
+     {"weight": 73.4, "condition": "new", "amount": 5, "left": 2}),
+    # Remove values from a list (tests.py:215-223)
+    ({"x": [("Remove", 1), int]}, {"x": [1, 2, 3, 4, 1, 5, 6, 1, 1, 1]}),
+    ({"x": [1.0, ("Remove", float)]}, {"x": [1.0, 2.0, 3.0, 1.0]}),
+    # Remove with callable key + callable wildcard (tests.py:226-247)
+    ({("Remove", ("All", str, ("PyCallable", "starts_with_dot"))): object,
+      ("PyCallable", "no_dot"): object},
+     {".remove": "x", "ok": "y"}),
+    # empty dict schema: everything is extra (tests.py:841-852)
+    ({}, {"var": 123}),
+    # empty list value schema (tests.py:860-872)
+    ({"var": []}, {"var": [123]}),
+    # callable raising Invalid inside a list element, index in path
+    # (tests.py:576-594: '3 is not even @ data[even_numbers][0]')
+    ({"even_numbers": [("All", int, ("PyCallable", "is_even"))]},
+     {"even_numbers": [3]}, {"even_numbers": [2, 4]}),
+    # Self as an Any branch (tests.py:1454-1466); depth bounded by the
+    # doc's own struct depth
+    ({"number": int, "follow": ("Any", ("SelfRef",), "stop")},
+     {"follow": "stop"}),
+    # complex Required(Any(...)) with custom message (tests.py:2067)
+    ({("Required", ("Any", "color", "temperature"),
+       "Please specify a lighting attribute"): str, "device_id": str},
+     {"color": "red", "device_id": "light1"},
+     {"device_id": "light1"}),
+    # two independent complex Required groups (tests.py:2114-2135)
+    ({("Required", ("Any", "color", "hue")): str,
+      ("Required", ("Any", "brightness", "intensity")): str,
+      "device": str},
+     {"color": "red", "brightness": "high", "device": "light"},
+     {"brightness": "high", "device": "light"}),
+    # complex Required key value validation (tests.py:2136-2151)
+    ({("Required", ("Any", "color", "temperature")): str, "device": str},
+     {"color": 123, "device": "light"}),
+    # Date with custom format (tests.py:1105-1109)
+    ({"d": ("Date", "%d/%m/%Y")}, {"d": "02/01/2024"}, {"d": "2024-01-02"}),
+    # email edge cases (tests.py:311-348)
+    ({"e": ("Email",)}, {"e": ""}, {"e": "a@"}, {"e": "a@b com"}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases
@@ -366,6 +435,15 @@ KW_CASES = [
     ({"a": int, "b": str}, {"required": True}, {"a": 3}),
     ({"a": int}, {"extra": 2}, {"a": 3, "zzz": "drop"}),
     ({"a": int, ("Optional", "b"): str}, {"required": True}, {"a": 3}),
+    # Any over key NAMES combined with each extra policy
+    # (tests.py:1754-1843): matching keys validate; non-matching keys
+    # follow the policy ('not a valid value' under PREVENT)
+    ({("Any", "name", "area"): str, "domain": str}, {"extra": 1},
+     {"name": "one", "domain": "two", "additional_key": "extra"}),
+    ({("Any", "name", "area"): str, "domain": str}, {"extra": 2},
+     {"name": "one", "domain": "two", "additional_key": "extra"}),
+    ({("Any", "name", "area"): str, "domain": str}, {"extra": 0},
+     {"name": "one", "domain": "two", "additional_key": "extra"}),
 ]
 
 

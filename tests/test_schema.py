@@ -236,12 +236,16 @@ def test_required_complex_key_any(spark):
     res = Schema(
         {Required(Any("color", "brightness")): str}, extra=ALLOW_EXTRA
     ).validate(df, id_cols=["i"])
-    v = res.violations.collect()
-    assert len(v) == 1 and v[0]["i"] == 3
+    v = sorted(res.violations.collect(), key=lambda r: r["message"])
+    # the reference emits TWO errors per unsatisfied group: the group
+    # error (schema_builder.py:311-325) then the generic 'required key
+    # not provided' (:397-404) — verified live against the reference
+    assert len(v) == 2 and all(r["i"] == 3 for r in v)
     assert v[0]["message"] == (
         "at least one of ['color', 'brightness'] is required"
     )
-    assert v[0]["error_type"] == "RequiredFieldInvalid"
+    assert v[1]["message"] == "required key not provided"
+    assert all(r["error_type"] == "RequiredFieldInvalid" for r in v)
     # present candidates are validated against the value schema
     assert res.valid.count() == 2
 

@@ -48,7 +48,8 @@ class UnsupportedSchema(ValueError):
 class RowCheck:
     """A compiled row-level validator over a single Column."""
 
-    __slots__ = ("out", "err", "out_type", "drop_path", "multi")
+    __slots__ = ("out", "err", "out_type", "drop_path", "multi",
+                 "err_arr", "out_arr")
 
     _ERR_T = "struct<message:string,error_type:string>"
     _MULTI_T = "array<struct<message:string,error_type:string>>"
@@ -73,10 +74,32 @@ class RowCheck:
         # schema_builder.py:217-218 + validators.py:286-294); the schema
         # layer emits path=[] for such checks to render identically
         self.drop_path = drop_path
+        # array-mode evaluation (Column over array<elem> -> array of err
+        # structs / array of outs): set ONLY when the check (or a nested
+        # stage) is a Python UDF, which Spark cannot reference inside a
+        # higher-order-function lambda (UNSUPPORTED_FEATURE.
+        # LAMBDA_FUNCTION_WITH_PYTHON_UDF). Sequence compilers detect this
+        # and pre-compute per-alternative arrays OUTSIDE the lambdas.
+        self.err_arr = None
+        self.out_arr = None
 
     @staticmethod
     def passing(out_type=None):
         return RowCheck(lambda c: c, lambda c: F.lit(None), out_type)
+
+
+def _err_arr_of(rc: "RowCheck"):
+    """Array-mode err: rc's own lift when it carries a UDF, else a plain
+    per-element transform (pure Column checks are legal inside lambdas)."""
+    if rc.err_arr is not None:
+        return rc.err_arr
+    return lambda arr: F.transform(arr, rc.err)
+
+
+def _out_arr_of(rc: "RowCheck"):
+    if rc.out_arr is not None:
+        return rc.out_arr
+    return lambda arr: F.transform(arr, rc.out)
 
 
 def _pred_check(pred, message, error_type, out=None, out_type=None):
@@ -205,29 +228,94 @@ def _sequence_check(alternatives, dtype) -> RowCheck:
             lambda c: F.lit(False), "expected a list", "SequenceTypeInvalid"
         )
     elem_t = dtype.elementType
-    removes = [a.schema for a in alternatives if isinstance(a, Remove)]
-    keeps = [a for a in alternatives if not isinstance(a, Remove)]
-    remove_checks = [compile_validator(r, elem_t) for r in removes]
-    keep_checks = [compile_validator(a, elem_t) for a in keeps]
+    # alternatives are tried IN DECLARATION ORDER per element
+    # (schema_builder.py:605-625): an element claimed by an earlier keep
+    # alternative is kept even if a later Remove alternative also matches
+    # ([1.0, Remove(float)] keeps the 1.0s, tests.py:215-223)
+    checks = [
+        (compile_validator(a.schema if isinstance(a, Remove) else a, elem_t),
+         isinstance(a, Remove))
+        for a in alternatives
+    ]
+    keep_checks = [ch for ch, rm in checks if not rm]
+    udf_mode = any(ch.err_arr is not None for ch, _ in checks)
+
+    if udf_mode:
+        # a UDF-backed alternative cannot be referenced inside a
+        # higher-order lambda BODY, but UDF-result arrays are legal as
+        # higher-order-function ARGUMENTS: zip the per-alternative err/out
+        # arrays with the values, then filter/transform with PURE lambdas
+        # over the zipped struct fields
+        keep_idx = [k for k, (_, rm) in enumerate(checks) if not rm]
+
+        def _zipped(col, with_outs):
+            cols = [col.alias("v")]
+            cols += [_err_arr_of(ch)(col).alias(f"e{k}")
+                     for k, (ch, _) in enumerate(checks)]
+            if with_outs:
+                cols += [_out_arr_of(ch)(col).alias(f"o{j}")
+                         for j, ch in enumerate(keep_checks)]
+            return F.arrays_zip(*cols)
+
+        def out(col):
+            z = _zipped(col, with_outs=True)
+
+            def keep_s(s):
+                expr = F.lit(False)
+                for k, (_, rm) in reversed(list(enumerate(checks))):
+                    expr = F.when(
+                        s[f"e{k}"].isNull(), F.lit(not rm)
+                    ).otherwise(expr)
+                return expr
+
+            def out_s(s):
+                expr = s["v"]
+                for j, k in reversed(list(enumerate(keep_idx))):
+                    expr = F.when(
+                        s[f"e{k}"].isNull(), s[f"o{j}"]
+                    ).otherwise(expr)
+                return expr
+
+            return F.transform(F.filter(z, keep_s), out_s)
+
+        def err(col):
+            z = _zipped(col, with_outs=False)
+
+            def bad_s(s):
+                ok = F.lit(False)
+                for k in range(len(checks)):
+                    ok = ok | s[f"e{k}"].isNull()
+                return ~F.coalesce(ok, F.lit(False))
+
+            bad = F.exists(z, bad_s)
+            return F.when(
+                col.isNull() | ~bad, F.lit(None)
+            ).otherwise(err_struct("not a valid value", "ValueInvalid"))
+
+        return RowCheck(out, err, dtype)
 
     def elem_ok(x):
         ok = F.lit(False)
-        for ch in remove_checks + keep_checks:
+        for ch, _ in checks:
             ok = ok | ch.err(x).isNull()
         return ok
 
+    def elem_keep(x):
+        # first matching alternative decides: keep unless it is a Remove
+        expr = F.lit(False)  # matched nothing -> invalid, drop from out
+        for ch, rm in reversed(checks):
+            expr = F.when(ch.err(x).isNull(), F.lit(not rm)).otherwise(expr)
+        return expr
+
     def elem_out(x):
-        # first matching alternative's transform wins
+        # first matching keep alternative's transform wins
         expr = x
         for ch in reversed(keep_checks):
             expr = F.when(ch.err(x).isNull(), ch.out(x)).otherwise(expr)
         return expr
 
     def out(col):
-        kept = col
-        for rc in remove_checks:
-            kept = F.filter(kept, lambda x, rc=rc: rc.err(x).isNotNull())
-        return F.transform(kept, elem_out)
+        return F.transform(F.filter(col, elem_keep), elem_out)
 
     def err(col):
         bad = F.exists(col, lambda x: ~F.coalesce(elem_ok(x), F.lit(False)))
@@ -578,7 +666,40 @@ class All(Validator):
                 )
             return e
 
-        return RowCheck(out, err, cur_t)
+        rc = RowCheck(out, err, cur_t)
+        if any(ch.err_arr is not None for ch in checks):
+            # a stage is UDF-backed: compose the array-mode lift so the
+            # sequence compiler can evaluate this All over a whole array
+            # column without putting the UDF inside a lambda
+            msg = self.msg
+
+            def out_arr(arr):
+                cur = arr
+                for ch in checks:
+                    cur = _out_arr_of(ch)(cur)
+                return cur
+
+            def err_arr(arr):
+                cur, e_arrs = arr, []
+                for ch in checks:
+                    e_arrs.append(_err_arr_of(ch)(cur))
+                    cur = _out_arr_of(ch)(cur)
+                combined = e_arrs[0]
+                for e2 in e_arrs[1:]:
+                    combined = F.zip_with(
+                        combined, e2, lambda a, b: F.coalesce(a, b))
+                if msg:
+                    combined = F.transform(
+                        combined,
+                        lambda e: F.when(e.isNull(), e).otherwise(
+                            err_struct(msg, "AllInvalid")
+                            .cast(RowCheck._ERR_T)),
+                    )
+                return combined
+
+            rc.err_arr = err_arr
+            rc.out_arr = out_arr
+        return rc
 
 
 And = All
@@ -639,7 +760,66 @@ class Any(Validator):
                 losing = err_struct(self.default_msg, self.error_type)
             return F.when(col.isNull() | ok, F.lit(None)).otherwise(losing)
 
-        return RowCheck(out, err, out_t)
+        rc = RowCheck(out, err, out_t)
+        if any(ch.err_arr is not None for ch in checks):
+            msg, etype, dmsg = self.msg, self.error_type, self.default_msg
+
+            # UDF-result arrays are legal as higher-order-function
+            # ARGUMENTS but not inside lambda bodies: zip value + branch
+            # err/out arrays positionally, then transform with PURE
+            # lambdas over the zipped struct fields
+            def err_arr(arr):
+                e_arrs = [_err_arr_of(ch)(arr) for ch in checks]
+                z = F.arrays_zip(
+                    arr.alias("v"),
+                    *[ea.alias(f"e{k}") for k, ea in enumerate(e_arrs)],
+                )
+
+                def per(s):
+                    ok = s["v"].isNull()
+                    for k in range(len(e_arrs)):
+                        ok = ok | s[f"e{k}"].isNull()
+                    if msg is not None:
+                        losing = err_struct(msg, etype)
+                    elif e_arrs:
+                        losing = s["e0"]
+                    else:
+                        losing = err_struct(dmsg, etype)
+                    return F.when(
+                        ok, F.lit(None).cast(RowCheck._ERR_T)
+                    ).otherwise(losing.cast(RowCheck._ERR_T))
+
+                return F.when(arr.isNotNull(), F.transform(z, per))
+
+            rc.err_arr = err_arr
+            # out follows the scalar rule: identity when branch out types
+            # disagree, else first-passing transform
+            if len(out_types) > 1:
+                rc.out_arr = lambda arr: arr
+            else:
+                def out_arr(arr):
+                    e_arrs = [_err_arr_of(ch)(arr) for ch in checks]
+                    o_arrs = [_out_arr_of(ch)(arr) for ch in checks]
+                    z = F.arrays_zip(
+                        arr.alias("v"),
+                        *[ea.alias(f"e{k}")
+                          for k, ea in enumerate(e_arrs)],
+                        *[oa.alias(f"o{k}")
+                          for k, oa in enumerate(o_arrs)],
+                    )
+
+                    def per(s):
+                        expr = F.lit(None).cast(out_t.simpleString())
+                        for k in reversed(range(len(checks))):
+                            expr = F.when(
+                                s[f"e{k}"].isNull(), s[f"o{k}"]
+                            ).otherwise(expr)
+                        return expr
+
+                    return F.when(arr.isNotNull(), F.transform(z, per))
+
+                rc.out_arr = out_arr
+        return rc
 
 
 Or = Any
@@ -1768,7 +1948,77 @@ class CallableValidator(Validator):
                 )
             )
 
-        return RowCheck(out, err, out_t)
+        rc = RowCheck(out, err, out_t)
+
+        # array-mode lift: Spark rejects Python UDFs inside higher-order
+        # lambdas, so when this callable validates SEQUENCE ELEMENTS the
+        # whole per-element loop runs inside ONE Arrow batch over the
+        # array column (same reference semantics, one UDF per row-batch)
+        arr_res_t = T.StructType([
+            T.StructField("out", T.ArrayType(out_t)),
+            T.StructField("emsg", T.ArrayType(T.StringType())),
+            T.StructField("etype", T.ArrayType(T.StringType())),
+        ])
+
+        @pandas_udf(arr_res_t)
+        def _arr_udf(s: pd.Series) -> pd.DataFrame:
+            outs, emsgs, etypes = [], [], []
+            for lst in s:
+                if lst is None:
+                    outs.append(None)
+                    emsgs.append(None)
+                    etypes.append(None)
+                    continue
+                o, m, t = [], [], []
+                for v in lst:
+                    if v is None:  # NULL element passes (scalar parity)
+                        o.append(None)
+                        m.append(None)
+                        t.append(None)
+                        continue
+                    try:
+                        r = fn(v)
+                        if truth_mode:
+                            o.append(v)
+                            m.append(None if r else default_msg)
+                        else:
+                            o.append(r)
+                            m.append(None)
+                        t.append(None)
+                    except (ValueError, TypeError):
+                        o.append(v if truth_mode else None)
+                        m.append(default_msg)
+                        t.append(None)
+                    except er.Invalid as e:
+                        o.append(v if truth_mode else None)
+                        m.append(e.msg)
+                        t.append(type(e).__name__)
+                outs.append(o)
+                emsgs.append(m)
+                etypes.append(t)
+            return pd.DataFrame({
+                "out": pd.Series(outs, dtype="object"),
+                "emsg": pd.Series(emsgs, dtype="object"),
+                "etype": pd.Series(etypes, dtype="object"),
+            })
+
+        err_t = RowCheck._ERR_T
+
+        def err_arr(arr):
+            r = _arr_udf(arr)
+            return F.zip_with(
+                r["emsg"], r["etype"],
+                lambda m, t: F.when(
+                    m.isNull(), F.lit(None).cast(err_t)
+                ).otherwise(F.struct(
+                    m.alias("message"),
+                    F.coalesce(t, F.lit(error_type)).alias("error_type"),
+                )),
+            )
+
+        rc.err_arr = err_arr
+        rc.out_arr = lambda arr: _arr_udf(arr)["out"]
+        return rc
 
 
 def truth(fn, msg=None):

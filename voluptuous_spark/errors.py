@@ -151,10 +151,14 @@ def render_violation(path: Column, message: Column, error_type: Column) -> Colum
     # (matches ``map(repr, self.path)`` for the str/int keys a DataFrame has)
     # int-like indexes and VirtualPathComponents ('<group>',
     # schema_builder.py:963-968) render bare; string keys get quotes
+    # complex-Required group markers render as the inner Any's repr
+    # (path + [marker], schema_builder.py:322 — e.g.
+    # "Any('color', 'hue', msg=None)"), also bare
     reprd = F.transform(
         path,
         lambda p: F.when(
-            p.rlike("^-?[0-9]+$") | p.rlike("^<.*>$"), p
+            p.rlike("^-?[0-9]+$") | p.rlike("^<.*>$")
+            | p.rlike(r"^Any\(.*\)$"), p
         ).otherwise(F.concat(F.lit("'"), p, F.lit("'"))),
     )
     path_part = F.when(

@@ -278,6 +278,8 @@ def invalid_from_row(row) -> Invalid:
             return int(p)
         if isinstance(p, str) and p.startswith('<') and p.endswith('>'):
             return VirtualPathComponent(p)  # group marker: repr is bare
+        if isinstance(p, str) and p.startswith('Any(') and p.endswith(')'):
+            return VirtualPathComponent(p)  # complex-Required marker
         return p
 
     path = [_component(p) for p in (row["path"] or [])]

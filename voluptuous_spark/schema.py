@@ -258,29 +258,111 @@ class Schema:
         return cls(out, **kwargs)
 
     # -- bind + validate -----------------------------------------------------
-    @staticmethod
-    def _wildcard_accepts(key_schema, name: str) -> bool:
-        """Does a wildcard key schema accept a COLUMN NAME? At the table
-        level the data keys are the (static, always-str) column names, so
-        the reference's dynamic-key matching (schema_builder.py:469-488)
-        resolves entirely at compile time, driver-side — zero runtime
-        cost. Supported wildcard kinds: Extra (matches everything),
-        Python types (str matches every column name), Match (regex on the
-        name), In (name membership)."""
+    @classmethod
+    def _key_eval(cls, key_schema, name):
+        """Evaluate a wildcard key schema against a COLUMN NAME. At the
+        table level the data keys are the (static, always-str) column
+        names, so the reference's dynamic-key matching
+        (schema_builder.py:337-346) resolves entirely at compile time,
+        driver-side — zero runtime cost. Returns ``("ok", new_name)`` on
+        accept (key schemas may transform) or ``("err", (msg, etype))``
+        carrying the reference's exact rejection message (the recorded
+        key error is surfaced instead of 'extra keys not allowed' under
+        PREVENT, schema_builder.py:385-396)."""
         import re as _re2
 
+        from . import exceptions as er
+
         if key_schema is dsl.Extra or isinstance(key_schema, dsl.Extra):
-            return True
+            return ("ok", name)
         if isinstance(key_schema, type):
-            return isinstance(name, key_schema)
+            if isinstance(name, key_schema):
+                return ("ok", name)
+            tn = dsl._PYTYPE_NAME.get(
+                key_schema, getattr(key_schema, "__name__", str(key_schema)))
+            return ("err", (f"expected {tn}", "TypeInvalid"))
         if isinstance(key_schema, dsl.Match):
-            return _re2.match(key_schema.pattern, name) is not None
+            if _re2.match(key_schema.pattern, name) is not None:
+                return ("ok", name)
+            return ("err", (
+                f"does not match regular expression {key_schema.pattern}",
+                "MatchInvalid"))
         if isinstance(key_schema, dsl.In):
-            return name in key_schema.container
+            if name in key_schema.container:
+                return ("ok", name)
+            return ("err", (key_schema.msg or
+                            "value must be one of %s" % sorted(
+                                key_schema.container), "InInvalid"))
+        if isinstance(key_schema, dsl.Any):
+            first_err = None
+            for b in key_schema.validators:
+                r = cls._key_eval(b, name)
+                if r[0] == "ok":
+                    return r
+                if first_err is None:
+                    first_err = r
+            if key_schema.msg:
+                return ("err", (key_schema.msg, "AnyInvalid"))
+            return first_err or ("err", ("no valid value found", "AnyInvalid"))
+        if isinstance(key_schema, dsl.All):
+            cur = name
+            for stage in key_schema.validators:
+                r = cls._key_eval(stage, cur)
+                if r[0] == "err":
+                    if key_schema.msg:
+                        return ("err", (key_schema.msg, "AllInvalid"))
+                    return r
+                cur = r[1]
+            return ("ok", cur)
+        if isinstance(key_schema, dsl.Coerce):
+            try:
+                return ("ok", key_schema.type(name))
+            except (ValueError, TypeError):
+                tn = dsl._PYTYPE_NAME.get(
+                    key_schema.type,
+                    getattr(key_schema.type, "__name__", "?"))
+                return ("err", (key_schema.msg or f"expected {tn}",
+                                "CoerceInvalid"))
+        if callable(key_schema) and not isinstance(key_schema, dsl.Validator):
+            # callable KEY schema (tests.py:1712-1752): the candidate runs
+            # on the static column name at compile time; a raise records
+            # the key error and later wildcards may still claim the column
+            try:
+                return ("ok", key_schema(name))
+            except er.Invalid as e:
+                return ("err", (e.msg, type(e).__name__))
+            except (ValueError, TypeError):
+                return ("err", ("not a valid value", "ValueInvalid"))
+        if isinstance(key_schema, (str, int, float, bool)):
+            if name == key_schema:
+                return ("ok", name)
+            return ("err", ("not a valid value", "ScalarInvalid"))
         raise UnsupportedSchema(
             f"unsupported wildcard column-key schema: {key_schema!r} "
-            "(supported: Extra, Python types, Match, In)"
+            "(supported: Extra, Python types, Match, In, Any, All, "
+            "Coerce, callables, literals)"
         )
+
+    @staticmethod
+    def _value_statically_rejects(val_schema, dtype) -> bool:
+        """True only when the VALUE schema provably rejects every cell of
+        a column with static type ``dtype`` — used to route Remove
+        wildcard candidates: the reference's mapping loop falls through
+        to the next candidate when a Remove candidate's value fails
+        (schema_builder.py:350-368: ``if is_remove ...: continue``), so
+        ``{Remove(str): int, str: str}`` keeps string-valued columns and
+        removes int-valued ones (tests.py:197-213). Only decidable
+        statically for type schemas and literals; anything per-row keeps
+        the first-key-match claim."""
+        if dtype is None:
+            return False
+        if isinstance(val_schema, type):
+            return not dsl._pytype_matches(val_schema, dtype)
+        if isinstance(val_schema, (str, bool)) or (
+                isinstance(val_schema, (int, float))
+                and not isinstance(val_schema, bool)):
+            return not dsl._pytype_matches(type(val_schema), dtype)
+        return False
 
     def _bind_fields(self, struct: T.StructType, prefix: tuple[str, ...] = ()):
         fields: list[_Field] = []
@@ -372,40 +454,35 @@ class Schema:
                     continue
                 key_err = None
                 for key, kschema, val in wildcards:
-                    if (callable(kschema) and not isinstance(
-                            kschema, (type, dsl.Validator))
-                            and kschema is not dsl.Extra):
-                        # callable KEY schema (tests.py:1712-1752): the
-                        # candidate runs on the static column name at
-                        # compile time; a raise records the key error
-                        # (surfaced instead of 'extra keys not allowed',
-                        # schema_builder.py:345-409) and later wildcards
-                        # may still claim the column
-                        try:
-                            kschema(cname)
-                        except er.Invalid as e:
-                            key_err = (e.msg, type(e).__name__)
-                            continue
-                        except (ValueError, TypeError):
-                            key_err = ("not a valid value", "ValueInvalid")
-                            continue
-                        declared.add(cname)
-                        fields.append(_Field(
-                            cname, prefix + (cname,), False, UNDEFINED,
-                            getattr(key, "msg", None), val,
-                            remove=isinstance(key, Remove),
-                        ))
-                        break
-                    if self._wildcard_accepts(kschema, cname):
-                        declared.add(cname)
-                        fields.append(_Field(
-                            cname, prefix + (cname,), False, UNDEFINED,
-                            getattr(key, "msg", None), val,
-                            remove=isinstance(key, Remove),
-                        ))
-                        break
+                    res = self._key_eval(kschema, cname)
+                    if res[0] == "err":
+                        # record the FIRST key error (reference keeps the
+                        # deepest-path error, first on ties —
+                        # schema_builder.py:341-346) and let later
+                        # wildcards still claim the column; under PREVENT
+                        # it is surfaced instead of 'extra keys not
+                        # allowed' (schema_builder.py:392-396)
+                        if key_err is None:
+                            key_err = res[1]
+                        continue
+                    if isinstance(key, Remove) and \
+                            self._value_statically_rejects(
+                                val, by_name.get(cname)):
+                        # Remove candidate whose VALUE schema statically
+                        # rejects the column: the reference falls through
+                        # silently (schema_builder.py:350-368)
+                        continue
+                    declared.add(cname)
+                    fields.append(_Field(
+                        cname, prefix + (cname,), False, UNDEFINED,
+                        getattr(key, "msg", None), val,
+                        remove=isinstance(key, Remove),
+                    ))
+                    break
                 else:
-                    if key_err is not None:
+                    # unmatched: ALLOW keeps / REMOVE drops via the extra
+                    # policy; only PREVENT surfaces the recorded key error
+                    if key_err is not None and self.extra == PREVENT_EXTRA:
                         declared.add(cname)
                         fields.append(_Field(
                             cname, prefix + (cname,), False, UNDEFINED,
@@ -487,7 +564,7 @@ class Schema:
                     )
                 continue
 
-            col = F.col(fld.name)
+            col = _fcol(fld.name)
             if fld.remove:
                 continue  # dropped from output, never validated
             if isinstance(fld.validator, dsl.StaticKeyInvalid):
@@ -518,7 +595,12 @@ class Schema:
             if (
                 isinstance(v, dsl.Any)
                 and not isinstance(v, dsl.Maybe)
-                and any(isinstance(b, dict) for b in v.validators)
+                and any(
+                    isinstance(b, dict) or b is dsl.Self
+                    or b is dsl._SelfSentinel
+                    or isinstance(b, dsl._SelfSentinel)
+                    for b in v.validators
+                )
             ):
                 arr = self._any_dict_branches(v, col, by_name.get(fld.name),
                                               fld.path)
@@ -644,7 +726,7 @@ class Schema:
         for label, grp in ex_groups.items():
             cnt = sum(
                 (
-                    F.col(f.name).isNotNull().cast("int")
+                    _fcol(f.name).isNotNull().cast("int")
                     if f.name in by_name else F.lit(0)
                     for f in grp
                 ),
@@ -661,7 +743,7 @@ class Schema:
         for label, grp in in_groups.items():
             cnt = sum(
                 (
-                    F.col(f.name).isNotNull().cast("int")
+                    _fcol(f.name).isNotNull().cast("int")
                     if f.name in by_name else F.lit(0)
                     for f in grp
                 ),
@@ -681,12 +763,25 @@ class Schema:
             present_any = F.lit(False)
             for c in cands:
                 if c in by_name:
-                    present_any = present_any | F.col(c).isNotNull()
+                    present_any = present_any | _fcol(c).isNotNull()
+            # the reference emits TWO errors per unsatisfied group
+            # (schema_builder.py:311-325 appends the group error, then the
+            # marker stays in required_keys and :397-404 appends
+            # 'required key not provided' — tests.py:2067-2135): both at
+            # path + [marker], whose repr is the inner Any's
+            # (bare-rendered, not quoted)
+            path_el = f"Any({', '.join(map(repr, cands))}, msg=None)"
             m = cmsg or f"at least one of {list(cands)} is required"
             err_entries.append(
                 _violation(
-                    (repr(list(cands)),), F.lit(m), "RequiredFieldInvalid",
+                    (path_el,), F.lit(m), "RequiredFieldInvalid",
                     F.lit("None"), ~present_any,
+                )
+            )
+            err_entries.append(
+                _violation(
+                    (path_el,), F.lit(cmsg or "required key not provided"),
+                    "RequiredFieldInvalid", F.lit("None"), ~present_any,
                 )
             )
 
@@ -706,13 +801,13 @@ class Schema:
                 err_entries.append(
                     _violation(
                         (c,), F.lit("extra keys not allowed"), "Invalid",
-                        py_repr_col(F.col(c), by_name[c]),
-                        F.col(c).isNotNull(),
+                        py_repr_col(_fcol(c), by_name[c]),
+                        _fcol(c).isNotNull(),
                     )
                 )
         elif self.extra == ALLOW_EXTRA:
             for c in extra_cols:
-                out_cols.setdefault(c, F.col(c))
+                out_cols.setdefault(c, _fcol(c))
         # REMOVE_EXTRA: simply not projected
 
         # Lambda-free assembly: array_compact/array_sort compile to
@@ -748,7 +843,7 @@ class Schema:
 
         keep_ids = [c for c in id_cols if c not in out_cols]
         selection = (
-            [F.col(c).alias(c) for c in keep_ids]
+            [_fcol(c).alias(c) for c in keep_ids]
             + [expr.alias(name) for name, expr in out_cols.items()]
             + [errors.alias("__errors")]
         )
@@ -762,7 +857,7 @@ class Schema:
         for a in arr_refs:
             fail_any = fail_any | (F.size(F.coalesce(a, empty)) > 0)
         valid_sel = (
-            [F.col(c).alias(c) for c in keep_ids]
+            [_fcol(c).alias(c) for c in keep_ids]
             + [expr.alias(name) for name, expr in out_cols.items()]
         )
         stage1 = [F.col("*")] + hidden  # unbound: reusable across DataFrames
@@ -986,11 +1081,32 @@ class Schema:
         empty = F.array().cast(viol_arr_t)
         branch_arrays = []
         for b in v.validators:
+            # Self re-enters the ROOT schema (schema_builder.py:215-216);
+            # recursion is bounded by the column's static dtype depth —
+            # a dict branch over a non-struct dtype fails statically
+            # without compiling its values (tests.py:1454-1466,
+            # Any(Self, 'stop'))
+            if b is dsl.Self or b is dsl._SelfSentinel or isinstance(
+                    b, dsl._SelfSentinel):
+                b = self.schema
             if not isinstance(b, dict):
-                raise UnsupportedSchema(
-                    "Any mixing dict and non-dict branches over one "
-                    "column is not supported (a column has one type)"
+                # scalar branch mixed with dict branches: compile against
+                # the column dtype; its error sits at the field path
+                rc = compile_validator(b, dtype)
+                e = rc.err(col)
+                branch_arrays.append(
+                    F.when(
+                        col.isNotNull() & e.isNotNull(),
+                        F.array(F.struct(
+                            F.array(*_path_lits(prefix)).alias("path"),
+                            e["message"].alias("message"),
+                            e["error_type"].alias("error_type"),
+                            py_repr_col(col, dtype).alias("offending"),
+                            F.lit("dictionary value").alias("ctx"),
+                        )),
+                    ).otherwise(empty).cast(viol_arr_t)
                 )
+                continue
             sub = Schema(b, required=self.required, extra=self.extra)
             if isinstance(dtype, T.StructType):
                 _, sub_errs = sub._validate_struct(col, dtype, prefix)
@@ -1116,23 +1232,81 @@ class Schema:
 
         if not alternatives:
             # empty schema rejects any non-empty sequence
-            # (schema_builder.py:598-603)
+            # (schema_builder.py:598-603); the error's path equals the
+            # key path, so the mapping context applies
+            # ('not a valid value for dictionary value',
+            # schema_builder.py:369-371)
             return out_col, [
                 _violation(prefix, F.lit("not a valid value"),
                            "ValueInvalid", F.lit("None"),
-                           col.isNotNull() & (F.size(col) > 0))
+                           col.isNotNull() & (F.size(col) > 0),
+                           ctx="dictionary value")
             ], []
 
+        udf_mode = any(c.err_arr is not None for c in removes + keeps)
+        if udf_mode:
+            # UDF-backed alternatives: Python UDFs are illegal inside
+            # higher-order lambda BODIES but legal as higher-order
+            # ARGUMENTS — zip index + value + per-alternative err arrays
+            # positionally, then transform with PURE lambdas over the
+            # zipped struct fields
+            rm_arrs = [dsl._err_arr_of(rc)(col) for rc in removes]
+            kp_arrs = [dsl._err_arr_of(kc)(col) for kc in keeps]
+            z = F.arrays_zip(
+                F.sequence(F.lit(0), F.size(col) - 1).alias("i"),
+                col.alias("v"),
+                *[a.alias(f"r{k}") for k, a in enumerate(rm_arrs)],
+                *[a.alias(f"k{k}") for k, a in enumerate(kp_arrs)],
+            )
+
+            def per_s(s):
+                removed = F.lit(False)
+                for k in range(len(rm_arrs)):
+                    removed = removed | s[f"r{k}"].isNull()
+                matched = F.lit(False)
+                for k in range(len(kp_arrs)):
+                    matched = matched | s[f"k{k}"].isNull()
+                if keeps:
+                    last = s[f"k{len(kp_arrs) - 1}"]
+                    msg, et = last["message"], last["error_type"]
+                else:
+                    msg = F.lit("not a valid value")
+                    et = F.lit("ValueInvalid")
+                failing = ~F.coalesce(removed, F.lit(False)) & ~F.coalesce(
+                    matched, F.lit(False)
+                )
+                return F.when(
+                    failing,
+                    F.struct(
+                        F.array(*prefix_lits,
+                                s["i"].cast("string")).alias("path"),
+                        msg.alias("message"),
+                        et.alias("error_type"),
+                        truncate_repr(
+                            py_repr_col(s["v"], elem_t)).alias("offending"),
+                        F.lit(None).cast("string").alias("ctx"),
+                    ),
+                ).otherwise(F.lit(None))
+
+            arr = F.when(
+                col.isNotNull() & (F.size(col) > 0),
+                F.filter(F.transform(z, per_s), lambda s: s.isNotNull()),
+            )
+            return out_col, [], [arr]
+
         def per_elem(i):
-            x = F.try_element_at(col, (i + 1).cast("int"))
+            idx = (i + 1).cast("int")
+            x = F.try_element_at(col, idx)
+            rm_errs = [rc.err(x) for rc in removes]
+            kp_errs = [kc.err(x) for kc in keeps]
             removed = F.lit(False)
-            for rc in removes:
-                removed = removed | rc.err(x).isNull()
+            for e in rm_errs:
+                removed = removed | e.isNull()
             matched = F.lit(False)
-            for kc in keeps:
-                matched = matched | kc.err(x).isNull()
+            for e in kp_errs:
+                matched = matched | e.isNull()
             if keeps:
-                last = keeps[-1].err(x)
+                last = kp_errs[-1]
                 msg, et = last["message"], last["error_type"]
             else:
                 msg = F.lit("not a valid value")
@@ -1459,6 +1633,12 @@ def _key_name(key):
 
 def _unwrap_marker(v):
     return v
+
+
+def _fcol(name: str) -> Column:
+    """Column reference safe for names containing dots/backticks
+    (``F.col('.remove')`` parses the dot as a field access)."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def _path_lits(path) -> list[Column]:
