@@ -154,11 +154,16 @@ def render_violation(path: Column, message: Column, error_type: Column) -> Colum
     # complex-Required group markers render as the inner Any's repr
     # (path + [marker], schema_builder.py:322 — e.g.
     # "Any('color', 'hue', msg=None)"), also bare
+    # cheap string predicates instead of per-component regexes: this runs
+    # once per path component per violation row (600k+ rows in the
+    # flagship explode), and startswith/endswith/try_cast stay scalar
+    # codegen ops where rlike pays regex-machinery cost
     reprd = F.transform(
         path,
         lambda p: F.when(
-            p.rlike("^-?[0-9]+$") | p.rlike("^<.*>$")
-            | p.rlike(r"^Any\(.*\)$"), p
+            p.try_cast("bigint").isNotNull()
+            | (p.startswith("<") & p.endswith(">"))
+            | (p.startswith("Any(") & p.endswith(")")), p
         ).otherwise(F.concat(F.lit("'"), p, F.lit("'"))),
     )
     path_part = F.when(

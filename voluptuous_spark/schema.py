@@ -130,9 +130,16 @@ class ValidationResult:
         rendered = render_violation(
             F.col("path"), F.col("message"), F.col("ctx")
         )
+        # humanized references the PROJECTED rendered column, not the
+        # expression: re-passing the expression would inline the whole
+        # path-repr concat a second time per violation row (CollapseProject
+        # keeps a multiply-referenced non-cheap alias un-inlined)
         return (
             df.withColumn("rendered", rendered)
-            .withColumn("humanized", _humanize(rendered, F.col("offending")))
+            .withColumn(
+                "humanized",
+                _humanize(F.col("rendered"), F.col("offending")),
+            )
         )
 
     def report(self, partition_cols: typing.Sequence[str] = ()) -> DataFrame:
