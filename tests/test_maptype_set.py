@@ -287,15 +287,20 @@ def test_any_of_dicts_on_non_struct_is_dict_invalid(spark):
     assert rows[0]["error_type"] == "DictInvalid"
 
 
-def test_dict_inside_other_combinator_raises_cleanly(spark):
-    # dicts nested in non-Any combinators are still compile-time errors
-    with pytest.raises(dsl.UnsupportedSchema):
-        Schema(
-            {"v": dsl.All({"a": int}, {"b": str})}, extra=ALLOW_EXTRA
-        ).validate(
-            spark.createDataFrame([(1, "x")], "id long, v string"),
-            id_cols=["id"],
-        )
+def test_all_of_dicts_on_non_struct_is_dict_invalid(spark):
+    # All(dict, dict) over a non-struct column: the FIRST stage fails its
+    # dict gate and propagates (first-failing-stage-wins,
+    # validators.py:276-295)
+    res = Schema(
+        {"v": dsl.All({"a": int}, {"b": str})}, extra=ALLOW_EXTRA
+    ).validate(
+        spark.createDataFrame([(1, "x")], "id long, v string"),
+        id_cols=["id"],
+    )
+    rows = res.violations.collect()
+    assert len(rows) == 1
+    assert rows[0]["message"] == "expected a dictionary"
+    assert rows[0]["error_type"] == "DictInvalid"
 
 
 # ---------------------------------------------------------------------------

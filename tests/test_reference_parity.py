@@ -132,6 +132,13 @@ def _mk(v, spec):
         return _py_callable(v, spec[1])
     if isinstance(spec, tuple) and spec and spec[0] == "SelfRef":
         return v.Self  # the sentinel class itself, never instantiated
+    if isinstance(spec, tuple) and spec and spec[0] == "AnyReq":
+        # Any(..., required=True): the kwarg threads into dict-branch
+        # sub-schema compiles (tests.py:1607-1622)
+        _, *branches = spec
+        return v.Any(*[_mk(v, b) for b in branches], required=True)
+    if isinstance(spec, (set, frozenset)):
+        return type(spec)(_mk(v, a) for a in spec)
     if isinstance(spec, tuple) and spec and isinstance(spec[0], str):
         name, *args = spec
         obj = getattr(v, name)
@@ -426,6 +433,47 @@ CASES = [
     ({"d": ("Date", "%d/%m/%Y")}, {"d": "02/01/2024"}, {"d": "2024-01-02"}),
     # email edge cases (tests.py:311-348)
     ({"e": ("Email",)}, {"e": ""}, {"e": "a@"}, {"e": "a@b com"}),
+    # batch 8: In/NotIn with frozenset containers — the message sorts
+    # the container (tests.py:116-127, 145-159)
+    ({"color": ("In", frozenset(["red", "blue", "yellow"]))},
+     {"color": "blue"}, {"color": "orange"}),
+    ({"color": ("NotIn", frozenset(["red", "blue", "yellow"]))},
+     {"color": "orange"}, {"color": "blue"}),
+    # All with a sequence stage: element errors keep index paths, later
+    # scalar stages (Length) see the threaded output, first failing
+    # stage wins (tests.py:596-614 nested_multiple_validation_errors)
+    ({"even_numbers": ("All", [("All", int, ("PyCallable", "is_even"))],
+                       ("Length", 1))},
+     {"even_numbers": [3]}, {"even_numbers": [2, 4]},
+     {"even_numbers": []}),
+    # fix #157: All([Any(literals)], Length) (tests.py:627-632)
+    ({"x": ("All", [("Any", "one", "two", "three")], ("Length", 1))},
+     {"x": ["one"]}, {"x": ["four"]}, {"x": []}),
+    # per-element index paths on static type mismatch (tests.py:1393)
+    ({"k": [int]}, {"k": ["a", "b"]}, {"k": [1, 2]}),
+    # Maybe returns the default error (tests.py:805-821)
+    ({"m": ("Maybe", ("Range", 1, 2))}, {"m": 1}, {"m": 3}),
+    # set / frozenset value schemas (tests.py:1509-1569); the engine's
+    # set carrier is an array column, __call__ round-trips a list
+    ({"x": {int}}, {"x": {1, 2}}),
+    ({"x": frozenset({int})}, {"x": frozenset({1, 2})}),
+    # Number precision/scale matrix (tests.py:985-1081)
+    ({"n": ("Number", 6, 2)},
+     {"n": "1234.01"}, {"n": "123456.712"}, {"n": "abc"}),
+    ({"n": ("Number", None, 2)}, {"n": "123456.71"}, {"n": "123456.712"}),
+    ({"n": ("Number", 6, None)}, {"n": "123456"}, {"n": "1234567.8"}),
+    # complex Required with mixed-type candidates (tests.py:2090-2113):
+    # only str candidates can exist as columns; all appear in the message
+    ({("Required", ("Any", "string_key", 123, 45.6)): str, "other": int},
+     {"string_key": "value", "other": 1}, {"other": 1}),
+    # All(Self, {...}) re-entering the root schema (tests.py:1469-1494)
+    ({"number": int, "follow": ("All", ("SelfRef",), {"extra_number": int})},
+     {"number": 6}, {"follow": {"number": 6}}),
+    # root-level Any over mapping branches with required=True
+    # (tests.py:1607-1622): the whole row must match >=1 branch
+    (("AnyReq", {"a": int}, {"b": str}), {}, {"a": 3}, {"b": "x"}),
+    (("AnyReq", {"a": ("Any", float, int)}, {"b": int},
+      {"c": {"aa": int}}), {}, {"c": {"aa": 5}}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

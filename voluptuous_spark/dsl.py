@@ -637,9 +637,13 @@ class All(Validator):
     """Pipeline: each stage's *transformed output* feeds the next; first
     failing stage's error wins (validators.py:385-411). Alias: And."""
 
-    def __init__(self, *validators, msg=None):
+    def __init__(self, *validators, msg=None, required=False, **kwargs):
+        # required/**kwargs: sub-schema compile flags threaded into dict
+        # stages (reference _WithSubValidators.__init__,
+        # validators.py:251-257)
         self.validators = validators
         self.msg = msg
+        self.required = required
 
     def bind(self, dtype):
         checks, cur_t = [], dtype
@@ -723,9 +727,13 @@ class Any(Validator):
     error_type = "AnyInvalid"
     default_msg = "no valid value found"
 
-    def __init__(self, *validators, msg=None):
+    def __init__(self, *validators, msg=None, required=False, **kwargs):
+        # required/**kwargs: sub-schema compile flags threaded into dict
+        # branches (reference _WithSubValidators.__init__,
+        # validators.py:251-257)
         self.validators = validators
         self.msg = msg
+        self.required = required
 
     def bind(self, dtype):
         checks = [compile_validator(v, dtype) for v in self.validators]

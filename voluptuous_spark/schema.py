@@ -178,11 +178,22 @@ class Schema:
         self.required = required
         self.extra = extra
         self._compiled_cache: dict = {}
-        if not isinstance(schema, dict):
-            raise UnsupportedSchema(
-                "table Schema must be a dict of column -> validator; "
-                "use compile_validator for single columns"
-            )
+        if isinstance(schema, dict):
+            return
+        if (
+            isinstance(schema, dsl.Any)
+            and not isinstance(schema, dsl.Maybe)
+            and schema.validators
+            and all(isinstance(b, dict) for b in schema.validators)
+        ):
+            # root-level Any over mapping branches: the whole row must
+            # match >=1 branch (reference Schema(Any({...}, {...},
+            # required=True)), tests.py:1607-1622)
+            return
+        raise UnsupportedSchema(
+            "table Schema must be a dict of column -> validator (or Any "
+            "over dicts); use compile_validator for single columns"
+        )
 
     # -- reference-style single-document call (schema_builder.py:202-210) ---
     def __call__(self, data: dict, spark=None) -> dict:
@@ -215,10 +226,15 @@ class Schema:
 
     def _infer_doc_type(self, data: dict) -> T.StructType:
         hints = {}
-        for key, val in self.schema.items():
-            name = _key_name(key)
-            if isinstance(name, str):
-                hints[name] = val
+        branches = (
+            self.schema.validators
+            if isinstance(self.schema, dsl.Any) else (self.schema,)
+        )
+        for branch in branches:
+            for key, val in branch.items():
+                name = _key_name(key)
+                if isinstance(name, str):
+                    hints.setdefault(name, val)
         fields = [
             T.StructField(k, _infer_spark_type(v, hints.get(k)), True)
             for k, v in data.items()
@@ -388,11 +404,17 @@ class Schema:
                 isinstance(key, Required)
                 and isinstance(key.schema, dsl.Any)
                 and key.schema.validators
-                and all(isinstance(c, str) for c in key.schema.validators)
+                and all(isinstance(c, (str, int, float, bool))
+                        for c in key.schema.validators)
             ):
+                # candidates may mix key types (tests.py:2090-2113); only
+                # str candidates can exist as DataFrame columns — the
+                # others still appear in the group message/path repr
                 cands = tuple(key.schema.validators)
                 complex_req.append((cands, key.msg))
                 for c in cands:
+                    if not isinstance(c, str):
+                        continue
                     declared.add(c)
                     fields.append(
                         _Field(c, prefix + (c,), False, UNDEFINED, None, val)
@@ -536,6 +558,37 @@ class Schema:
                 annotated, list(id_cols), out_names, valid_df
             )
 
+        if isinstance(self.schema, dsl.Any):
+            # root-level Any over mapping branches: wrap the row in one
+            # struct and reuse the dict-branch machinery (identity output;
+            # deepest-error branch's violations on reject)
+            viol_arr_t = (
+                "array<struct<path:array<string>,message:string,"
+                "error_type:string,offending:string,ctx:string>>"
+            )
+            row_struct = F.struct(
+                *[_fcol(c).alias(c) for c in df.columns])
+            arr = self._any_dict_branches(
+                self.schema, row_struct, df.schema, ()
+            ).cast(viol_arr_t)
+            empty = F.array().cast(viol_arr_t)
+            stage1 = [F.col("*"),
+                      F.coalesce(arr, empty).alias("__ea_root")]
+            selection = [F.col("*")]
+            selection[0:1] = [_fcol(c).alias(c) for c in df.columns]
+            selection.append(F.col("__ea_root").alias("__errors"))
+            fail_any = F.size(F.col("__ea_root")) > 0
+            valid_sel = [_fcol(c).alias(c) for c in df.columns]
+            out_names = list(df.columns)
+            self._compiled_cache[memo_key] = (
+                stage1, selection, out_names, fail_any, valid_sel,
+            )
+            annotated = df.select(*stage1).select(*selection)
+            valid_df = df.select(*stage1).filter(~fail_any).select(*valid_sel)
+            return ValidationResult(
+                annotated, list(id_cols), out_names, valid_df
+            )
+
         fields, declared, complex_req = self._bind_fields(df.schema)
         by_name = {f.name: f.dataType for f in df.schema.fields}
 
@@ -623,6 +676,110 @@ class Schema:
                         )
                     )
                 out_cols[fld.name] = col
+                continue
+            if (
+                isinstance(v, dsl.All)
+                and any(
+                    isinstance(b, dict) or isinstance(b, Schema)
+                    or b is dsl.Self or b is dsl._SelfSentinel
+                    or isinstance(b, dsl._SelfSentinel)
+                    for b in v.validators
+                )
+            ):
+                arr = self._all_dict_stages(v, col, by_name.get(fld.name),
+                                            fld.path)
+                err_arrays.append(arr)
+                if fld.required:
+                    err_entries.append(
+                        _violation(
+                            fld.path,
+                            F.lit(fld.marker_msg
+                                  or "required key not provided"),
+                            "RequiredFieldInvalid", F.lit("None"),
+                            col.isNull(),
+                        )
+                    )
+                out_cols[fld.name] = col
+                continue
+            if (
+                isinstance(v, dsl.All)
+                and isinstance(dtype, T.ArrayType)
+                and any(isinstance(s, list) for s in v.validators)
+            ):
+                # All with sequence stages over an array column
+                # (tests.py:596-614, All([All(int, is_even)], Length)):
+                # list stages surface ELEMENT errors with index paths via
+                # the sequence compiler; stages run in order, first
+                # failing stage's errors propagate, transformed output
+                # threads through (validators.py:276-295)
+                viol_arr_t = (
+                    "array<struct<path:array<string>,message:string,"
+                    "error_type:string,offending:string,ctx:string>>"
+                )
+                empty_v = F.array().cast(viol_arr_t)
+                cur = col
+                pending = []
+                for stage in v.validators:
+                    if isinstance(stage, list):
+                        out_c, singles, arrs = self._validate_sequence(
+                            stage, cur, dtype, fld.path
+                        )
+                        parts = (
+                            [F.when(s.isNotNull(), F.array(s))
+                             .otherwise(empty_v) for s in singles]
+                            + [F.coalesce(a.cast(viol_arr_t), empty_v)
+                               for a in arrs]
+                        )
+                        pending.append(
+                            F.concat(*parts).cast(viol_arr_t)
+                            if parts else empty_v
+                        )
+                        cur = out_c
+                    else:
+                        rc = compile_validator(
+                            _unwrap_marker(stage), dtype, path=fld.path
+                        )
+                        e = rc.err(cur)
+                        sv = _violation(
+                            fld.path, e["message"], e["error_type"],
+                            py_repr_col(cur, dtype), e.isNotNull(),
+                            ctx="dictionary value",
+                        )
+                        pending.append(
+                            F.when(sv.isNotNull(), F.array(sv))
+                            .otherwise(empty_v).cast(viol_arr_t)
+                        )
+                        cur = rc.out(cur)
+                if v.msg is not None:
+                    losing = F.array(F.struct(
+                        F.array(*_path_lits(fld.path)).alias("path"),
+                        F.lit(v.msg).alias("message"),
+                        F.lit("AllInvalid").alias("error_type"),
+                        F.lit("None").alias("offending"),
+                        F.lit("dictionary value").alias("ctx"),
+                    )).cast(viol_arr_t)
+                    result = empty_v
+                    for a in reversed(pending):
+                        result = F.when(
+                            F.size(a) > 0, losing).otherwise(result)
+                else:
+                    result = empty_v
+                    for a in reversed(pending):
+                        result = F.when(F.size(a) > 0, a).otherwise(result)
+                err_arrays.append(
+                    F.when(col.isNull(), empty_v).otherwise(result)
+                )
+                if fld.required:
+                    err_entries.append(
+                        _violation(
+                            fld.path,
+                            F.lit(fld.marker_msg
+                                  or "required key not provided"),
+                            "RequiredFieldInvalid", F.lit("None"),
+                            col.isNull(),
+                        )
+                    )
+                out_cols[fld.name] = cur
                 continue
             if isinstance(v, dict):
                 sub = Schema(v, required=self.required,
@@ -1114,7 +1271,14 @@ class Schema:
                     ).otherwise(empty).cast(viol_arr_t)
                 )
                 continue
-            sub = Schema(b, required=self.required, extra=self.extra)
+            # the Any's own required= kwarg threads into branch compiles
+            # (reference _WithSubValidators passes **kwargs to sub-Schema,
+            # validators.py:259-270; tests.py:1607-1622)
+            sub = Schema(
+                b,
+                required=self.required or getattr(v, "required", False),
+                extra=self.extra,
+            )
             if isinstance(dtype, T.StructType):
                 _, sub_errs = sub._validate_struct(col, dtype, prefix)
             else:
@@ -1201,6 +1365,85 @@ class Schema:
         return F.when(
             col.isNull() | any_ok, empty
         ).otherwise(losing)
+
+    def _all_dict_stages(self, v, col: Column, dtype,
+                         prefix: tuple[str, ...]) -> Column:
+        """``All`` whose stages include mapping schemas / ``Self`` /
+        ``Schema`` instances over one struct column (reference
+        tests.py:1469-1494, ``All(Self, Schema({...}))``): stages run in
+        declaration order and the FIRST failing stage's errors propagate
+        (validators.py:276-295 raises out of the loop). Self re-enters
+        the ROOT schema, recursion bounded by the static dtype depth.
+        Value threading between dict stages is identity (a struct column
+        cannot change shape mid-expression) — same documented divergence
+        as Any over dict branches."""
+        viol_arr_t = (
+            "array<struct<path:array<string>,message:string,"
+            "error_type:string,offending:string,ctx:string>>"
+        )
+        empty = F.array().cast(viol_arr_t)
+        stage_arrays = []
+        for b in v.validators:
+            if b is dsl.Self or b is dsl._SelfSentinel or isinstance(
+                    b, dsl._SelfSentinel):
+                b = self.schema
+            if isinstance(b, Schema):
+                sub, b_dict = b, b.schema
+            elif isinstance(b, dict):
+                sub = Schema(b, required=self.required, extra=self.extra)
+                b_dict = b
+            else:
+                rc = compile_validator(b, dtype)
+                e = rc.err(col)
+                stage_arrays.append(
+                    F.when(
+                        col.isNotNull() & e.isNotNull(),
+                        F.array(F.struct(
+                            F.array(*_path_lits(prefix)).alias("path"),
+                            e["message"].alias("message"),
+                            e["error_type"].alias("error_type"),
+                            py_repr_col(col, dtype).alias("offending"),
+                            F.lit("dictionary value").alias("ctx"),
+                        )),
+                    ).otherwise(empty).cast(viol_arr_t)
+                )
+                continue
+            if not isinstance(b_dict, dict):
+                raise UnsupportedSchema(
+                    "All stages over a struct column must be mappings, "
+                    f"Self, or scalar validators; got {b_dict!r}"
+                )
+            if isinstance(dtype, T.StructType):
+                _, sub_errs = sub._validate_struct(col, dtype, prefix)
+            else:
+                sub_errs = [_violation(
+                    prefix, F.lit("expected a dictionary"), "DictInvalid",
+                    F.lit("None"), col.isNotNull(),
+                )]
+            stage_arrays.append(
+                F.concat(*[
+                    F.when(e.isNotNull(), F.array(e)).otherwise(empty)
+                    for e in sub_errs
+                ]).cast(viol_arr_t)
+                if sub_errs else empty
+            )
+        if v.msg is not None:
+            losing = F.array(F.struct(
+                F.array(*_path_lits(prefix)).alias("path"),
+                F.lit(v.msg).alias("message"),
+                F.lit("AllInvalid").alias("error_type"),
+                F.lit("None").alias("offending"),
+                F.lit(None).cast("string").alias("ctx"),
+            )).cast(viol_arr_t)
+            result = empty
+            for a in reversed(stage_arrays):
+                result = F.when(F.size(a) > 0, losing).otherwise(result)
+        else:
+            # first failing stage wins, in declaration order
+            result = empty
+            for a in reversed(stage_arrays):
+                result = F.when(F.size(a) > 0, a).otherwise(result)
+        return F.when(col.isNull(), empty).otherwise(result)
 
     def _validate_sequence(self, alternatives: list, col: Column,
                            dtype: T.ArrayType, prefix: tuple[str, ...]):

@@ -48,6 +48,14 @@ def get_spark(
         # rows; at cluster scale tune with row-group size instead
         "spark.sql.files.maxPartitionBytes": "64m",
         "spark.sql.session.timeZone": "UTC",
+        # PySpark 4 wraps EVERY Column/DataFrame API call with call-site
+        # capture for error context: a Python stack walk plus THREE extra
+        # py4j round trips per call (conf.get + origin set/clear). The
+        # compiled validators issue thousands of Column calls per schema;
+        # measured ~40% of plan-construction wall time on the flagship
+        # query. Error paths still raise typed exceptions — only the
+        # "user line number" decoration is lost.
+        "spark.python.sql.dataFrameDebugging.enabled": "false",
         # The engine performs its own common-subexpression elimination
         # (each field's error CASE chain is computed once as a hidden
         # stage-1 column); Spark's codegen-level CSE adds nothing here,
