@@ -391,6 +391,27 @@ class Marker(Validator):
     def __str__(self):
         return str(self.schema)
 
+    # introspection parity (schema_builder.py:1000-1015): a Marker
+    # compares/sorts/hashes as its wrapped schema, so dicts keyed by
+    # Required('x') answer .get('x') and marker lists sort alphabetically
+    # (tests.py:419-426, 1132-1147, 1505-1506)
+    def __repr__(self):
+        return repr(self.schema)
+
+    def __lt__(self, other):
+        if isinstance(other, Marker):
+            return self.schema < other.schema
+        return self.schema < other
+
+    def __eq__(self, other):
+        return self.schema == other
+
+    def __ne__(self, other):
+        return not (self.schema == other)
+
+    def __hash__(self):
+        return hash(self.schema)
+
 
 # sentinel for "no default" (schema_builder.py:29-38)
 class _Undefined:
@@ -459,7 +480,15 @@ class StaticKeyInvalid:
 
 class Remove(Marker):
     """Matching keys/values are dropped from output, never error
-    (schema_builder.py:1217-1246)."""
+    (schema_builder.py:1217-1246). Unlike other Markers it hashes by
+    object identity (schema_builder.py:1239), so ``{Remove('j'):
+    int}.get('j')`` is None (tests.py:1146-1147)."""
+
+    def __repr__(self):
+        return "Remove(%r)" % (self.schema,)
+
+    def __hash__(self):
+        return object.__hash__(self)
 
 
 class Msg(Validator):
@@ -470,6 +499,9 @@ class Msg(Validator):
         self.schema = schema_
         self.msg = msg
         self.cls = cls  # error_type override (an error class NAME string)
+
+    def __repr__(self):
+        return 'Msg(%s, %s, cls=%s)' % (self.schema, self.msg, self.cls)
 
     def bind(self, dtype):
         inner = compile_validator(self.schema, dtype)
@@ -513,6 +545,11 @@ class Coerce(Validator):
     def __init__(self, type_, msg=None):
         self.type = type_
         self.msg = msg
+
+    def __repr__(self):
+        # validators.py:159-160
+        return 'Coerce(%s, msg=%r)' % (
+            getattr(self.type, "__name__", str(self.type)), self.msg)
 
     def bind(self, dtype):
         import enum
@@ -645,6 +682,14 @@ class All(Validator):
         self.msg = msg
         self.required = required
 
+    def __repr__(self):
+        # _WithSubValidators repr (validators.py:281-286)
+        return '%s(%s, msg=%r)' % (
+            self.__class__.__name__,
+            ", ".join(repr(v) for v in self.validators),
+            self.msg,
+        )
+
     def bind(self, dtype):
         checks, cur_t = [], dtype
         for v in self.validators:
@@ -734,6 +779,16 @@ class Any(Validator):
         self.validators = validators
         self.msg = msg
         self.required = required
+
+    def __repr__(self):
+        # _WithSubValidators repr (validators.py:281-286); Maybe(x) prints
+        # as its reference expansion Any(None, x, ...) (tests.py:574)
+        name = ("Any" if isinstance(self, Maybe)
+                else self.__class__.__name__)
+        vals = ((None,) + self.validators if isinstance(self, Maybe)
+                else self.validators)
+        return '%s(%s, msg=%r)' % (
+            name, ", ".join(repr(v) for v in vals), self.msg)
 
     def bind(self, dtype):
         checks = [compile_validator(v, dtype) for v in self.validators]
@@ -894,6 +949,9 @@ class Match(Validator):
         self.pattern = pattern if isinstance(pattern, str) else pattern.pattern
         self.msg = msg
 
+    def __repr__(self):
+        return 'Match(%r, msg=%r)' % (self.pattern, self.msg)
+
     def bind(self, dtype):
         if not isinstance(dtype, T.StringType):
             return _pred_check(
@@ -913,6 +971,10 @@ class Replace(Validator):
         self.pattern = pattern if isinstance(pattern, str) else pattern.pattern
         self.substitution = substitution
         self.msg = msg
+
+    def __repr__(self):
+        return 'Replace(%r, %r, msg=%r)' % (
+            self.pattern, self.substitution, self.msg)
 
     def bind(self, dtype):
         return RowCheck(
@@ -1008,6 +1070,13 @@ class Range(Validator):
         self.min_included, self.max_included = min_included, max_included
         self.msg = msg
 
+    def __repr__(self):
+        return (
+            'Range(min=%r, max=%r, min_included=%r, max_included=%r, '
+            'msg=%r)' % (self.min, self.max, self.min_included,
+                         self.max_included, self.msg)
+        )
+
     def bind(self, dtype):
         is_float = isinstance(dtype, (T.FloatType, T.DoubleType))
         # cross-type comparison: the reference's `v >= min` raises
@@ -1071,6 +1140,9 @@ class Clamp(Validator):
         self.min, self.max = min, max
         self.msg = msg
 
+    def __repr__(self):
+        return 'Clamp(min=%s, max=%s)' % (self.min, self.max)
+
     def bind(self, dtype):
         def out(col):
             cur = col
@@ -1101,6 +1173,9 @@ class Length(Validator):
     def __init__(self, min=None, max=None, msg=None):
         self.min, self.max = min, max
         self.msg = msg
+
+    def __repr__(self):
+        return 'Length(min=%s, max=%s)' % (self.min, self.max)
 
     def bind(self, dtype):
         if isinstance(dtype, (T.ArrayType, T.MapType)):
@@ -1206,6 +1281,10 @@ class Datetime(Validator):
         self.format = format or self.DEFAULT_FORMAT
         self.msg = msg
 
+    def __repr__(self):
+        # Datetime/Date print their own class name (validators.py:809-828)
+        return '%s(format=%s)' % (self.__class__.__name__, self.format)
+
     def _probe(self, col):
         probe = F.try_to_timestamp(
             col, F.lit(_strptime_to_spark(self.format))
@@ -1249,6 +1328,9 @@ class In(Validator):
         self.container = list(container)
         self.msg = msg
 
+    def __repr__(self):
+        return 'In(%s)' % (self.container,)
+
     def bind(self, dtype):
         return _pred_check(
             lambda c: c.isin(*self.container),
@@ -1264,6 +1346,9 @@ class NotIn(Validator):
     def __init__(self, container, msg=None):
         self.container = list(container)
         self.msg = msg
+
+    def __repr__(self):
+        return 'NotIn(%s)' % (self.container,)
 
     def bind(self, dtype):
         return _pred_check(
@@ -1281,6 +1366,9 @@ class Contains(Validator):
         self.item = item
         self.msg = msg
 
+    def __repr__(self):
+        return 'Contains(%s)' % (self.item,)
+
     def bind(self, dtype):
         return _pred_check(
             lambda c: F.array_contains(c, F.lit(self.item)),
@@ -1296,6 +1384,10 @@ class ExactSequence(Validator):
     def __init__(self, validators, msg=None):
         self.validators = list(validators)
         self.msg = msg
+
+    def __repr__(self):
+        return 'ExactSequence([%s])' % ", ".join(
+            repr(v) for v in self.validators)
 
     def bind(self, dtype):
         if not isinstance(dtype, T.ArrayType):
@@ -1368,6 +1460,9 @@ class Unique(Validator):
     def __init__(self, msg=None):
         self.msg = msg
 
+    def __repr__(self):
+        return 'Unique()'
+
     def bind(self, dtype):
         if isinstance(dtype, T.StringType):
             # reference supports strings as char iterables ('aabbc')
@@ -1420,6 +1515,9 @@ class Equal(Validator):
         self.target = target
         self.msg = msg
 
+    def __repr__(self):
+        return 'Equal({})'.format(self.target)
+
     def bind(self, dtype):
         def err(col):
             ok = col.eqNullSafe(F.lit(self.target))
@@ -1451,6 +1549,10 @@ class Number(Validator):
         self.precision, self.scale = precision, scale
         self.msg = msg
         self.yield_decimal = yield_decimal
+
+    def __repr__(self):
+        return 'Number(precision=%s, scale=%s, msg=%s)' % (
+            self.precision, self.scale, self.msg)
 
     def bind(self, dtype):
         def parts(col):
@@ -1530,10 +1632,22 @@ class SomeOf(Validator):
     _wants_path = True
 
     def __init__(self, validators, min_valid=None, max_valid=None, msg=None):
-        assert min_valid is not None or max_valid is not None
+        # exact reference assertion text (validators.py:1215-1218)
+        assert min_valid is not None or max_valid is not None, (
+            'when using "%s" you should specify at least one of min_valid '
+            'and max_valid' % (type(self).__name__,)
+        )
         self.validators = list(validators)
         self.min_valid = min_valid or 0
         self.max_valid = max_valid if max_valid is not None else len(self.validators)
+
+    def __repr__(self):
+        return 'SomeOf(min_valid=%s, validators=[%s], max_valid=%s, msg=%r)' % (
+            self.min_valid,
+            ", ".join(repr(v) for v in self.validators),
+            self.max_valid,
+            self.msg,
+        )
         self.msg = msg
 
     def bind(self, dtype, path: tuple = ()):
@@ -1606,6 +1720,10 @@ class Unordered(Validator):
     def __init__(self, validators, msg=None):
         self.validators = list(validators)
         self.msg = msg
+
+    def __repr__(self):
+        return 'Unordered([{}])'.format(
+            ", ".join(repr(v) for v in self.validators))
         if len(self.validators) > self.MAX_N:
             raise UnsupportedSchema(
                 f"Unordered supports up to {self.MAX_N} validators "

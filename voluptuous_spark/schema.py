@@ -195,6 +195,29 @@ class Schema:
             "over dicts); use compile_validator for single columns"
         )
 
+    # -- equality / rendering (schema_builder.py:183-200): two Schemas
+    # compare by schema value (dict order irrelevant), never equal to a
+    # plain string/dict (tests.py:493-552)
+    def __eq__(self, other):
+        if not isinstance(other, Schema):
+            return False
+        return other.schema == self.schema
+
+    def __ne__(self, other):
+        return not (self == other)
+
+    __hash__ = object.__hash__
+
+    def __str__(self):
+        return str(self.schema)
+
+    def __repr__(self):
+        extra_name = {PREVENT_EXTRA: "PREVENT_EXTRA",
+                      ALLOW_EXTRA: "ALLOW_EXTRA",
+                      REMOVE_EXTRA: "REMOVE_EXTRA"}.get(self.extra, "??")
+        return "<Schema(%s, extra=%s, required=%s) object at 0x%x>" % (
+            self.schema, extra_name, self.required, id(self))
+
     # -- reference-style single-document call (schema_builder.py:202-210) ---
     def __call__(self, data: dict, spark=None) -> dict:
         """Validate ONE document exactly like the reference:
@@ -266,16 +289,37 @@ class Schema:
         )
 
     @classmethod
-    def infer(cls, df: DataFrame, **kwargs) -> "Schema":
-        """Derive a type schema from a DataFrame (Schema.infer,
-        schema_builder.py:141-181, infers types not values)."""
+    def infer(cls, data, **kwargs) -> "Schema":
+        """Derive a type schema from concrete data (Schema.infer,
+        schema_builder.py:141-181, infers types not values). Accepts the
+        reference's plain-dict form (recursive: nested dicts stay dicts,
+        lists become element-type alternatives) or, as a Spark-side
+        extension, a DataFrame (column dtypes map to Python types)."""
+        if isinstance(data, dict):
+            def value_to_schema_type(value):
+                if isinstance(value, dict):
+                    if len(value) == 0:
+                        return dict
+                    return {k: value_to_schema_type(v)
+                            for k, v in value.items()}
+                if isinstance(value, list):
+                    if len(value) == 0:
+                        return list
+                    return [value_to_schema_type(v) for v in value]
+                return type(value)
+
+            # keys stay PLAIN (presence follows the required= kwarg);
+            # tests.py:1150-1160 compares equal to Required keys only
+            # because Marker equality unwraps (tests.py:1183-1199 relies
+            # on required=False accepting subsets)
+            return cls(value_to_schema_type(data), **kwargs)
         rev = {
             T.StringType: str, T.BooleanType: bool, T.BinaryType: bytes,
             T.LongType: int, T.IntegerType: int, T.ShortType: int,
             T.ByteType: int, T.DoubleType: float, T.FloatType: float,
         }
         out = {}
-        for f in df.schema.fields:
+        for f in data.schema.fields:
             py = rev.get(type(f.dataType))
             out[Required(f.name)] = py if py else dsl.Validator()
         return cls(out, **kwargs)
