@@ -347,3 +347,39 @@ def test_wildcard_extra_key_allows_and_validates(spark):
     ).validate(df, id_cols=["id"])
     bad = res.violations.collect()
     assert [(r.id, list(r.path)) for r in bad] == [(2, ["note"])]
+
+
+# ---------------------------------------------------------------------------
+# non-string document keys via __call__ (tests.py:1111-1129 ordered dict)
+# ---------------------------------------------------------------------------
+
+
+def test_ordered_dict_number_keys(spark):
+    # Schema({Number(): Number()}) over float->float pairs: the doc rides
+    # one MapType column; entry order is restored on the way out
+    from voluptuous_spark import Number
+
+    schema = Schema({Number(): Number()})
+    data = {5.0: 3.7, 24.0: 8.7, 43.0: 1.5, 62.0: 2.1,
+            71.5: 6.7, 90.5: 4.1, 109.0: 3.9}
+    out = schema(data)
+    assert out == data
+    assert list(out.keys()) == list(data.keys()), "order not preserved"
+
+
+def test_number_keyed_doc_value_error_path(spark):
+    # failing value renders the FLOAT key in the path: data[5.0], not
+    # data['5.0'] (verified against the reference)
+    from voluptuous_spark import MultipleInvalid, Number
+
+    with pytest.raises(MultipleInvalid) as exc:
+        Schema({Number(): Number()})({5.0: "x"})
+    assert str(exc.value) == (
+        "Value must be a number enclosed with string for dictionary "
+        "value @ data[5.0]"
+    )
+
+
+def test_int_keyed_doc_roundtrip(spark):
+    out = Schema({int: str})({1: "a", 2: "b"})
+    assert out == {1: "a", 2: "b"}

@@ -240,12 +240,62 @@ class Schema:
             raise RuntimeError(
                 "Schema.__call__ needs an active SparkSession"
             )
+        if data and not all(isinstance(k, str) for k in data):
+            return self._call_map_doc(data, spark)
         stype = self._infer_doc_type(data)
         df = spark.createDataFrame([_to_row_value(data, stype)], stype)
         res = self.validate(df, id_cols=[])
         raise_if_invalid(res)
         rows = res.valid.collect()
         return rows[0].asDict(recursive=True)
+
+    def _call_map_doc(self, data: dict, spark) -> dict:
+        """Documents with non-string keys (reference tests.py:1111-1129,
+        ``Schema({Number(): Number()})`` interpolation pairs): a struct
+        row cannot carry them, so the doc rides ONE MapType column
+        through the dynamic-key mapping compiler and is unwrapped after.
+        Entry order survives the round trip (Spark's ArrayBasedMapData
+        keeps construction order), matching the reference's
+        order-preservation guarantee."""
+        from pyspark.sql import functions as F
+
+        kt = _infer_spark_type(next(iter(data)))
+        vt = _infer_spark_type(next(iter(data.values())))
+        stype = T.StructType(
+            [T.StructField("__doc__", T.MapType(kt, vt), True)]
+        )
+        df = spark.createDataFrame([(dict(data),)], stype)
+        res = Schema(
+            {"__doc__": self.schema}, required=self.required,
+            extra=self.extra,
+        ).validate(df, id_cols=[])
+        # strip the carrier column from error paths, and restore numeric
+        # key components to their Python type so str(exc) renders
+        # data[5.0], not data['5.0']
+        rows = res.violations.withColumn(
+            "path", F.slice(F.col("path"), 2, 1_000_000)
+        ).limit(1000).collect()
+        if rows:
+            from . import exceptions as er
+
+            errs = [er.invalid_from_row(r) for r in rows]
+            if isinstance(kt, (T.DoubleType, T.FloatType)):
+                for e in errs:
+                    e._path = [
+                        float(p) if isinstance(p, str)
+                        and p.replace('.', '', 1).lstrip('-').isdigit()
+                        else p
+                        for p in e._path
+                    ]
+            raise er.MultipleInvalid(errs)
+        row = res.valid.collect()[0]
+        out = dict(row["__doc__"] or {})
+        if set(out) == set(data):
+            # Spark's map collect does not guarantee entry order; when
+            # keys were not transformed, restore the input order (the
+            # reference preserves OrderedDict order, tests.py:1128-1129)
+            out = {k: out[k] for k in data}
+        return out
 
     def _infer_doc_type(self, data: dict) -> T.StructType:
         hints = {}
