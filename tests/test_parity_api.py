@@ -319,3 +319,26 @@ def test_schema_call_single_document(spark):
     with pytest.raises(MultipleInvalid) as ei2:
         s2({"one": {"two": "nine"}})
     assert "@ data['one']['two']" in str(ei2.value)
+
+
+def test_case_transforms_are_callable_like_reference_functions():
+    """The reference exposes case transforms as bare functions
+    (util.py:15-62; tests.py:1570-1606): ``Lower(3) == '3'``. The
+    classes here are dual-use: called with a value they transform it,
+    called with no args they build the Column validator."""
+    from voluptuous_spark import Capitalize, Lower, Strip, Title, Upper
+
+    assert Lower(3) == "3"
+    assert Lower("3") == "3"
+    assert Lower("A") == "a"
+    assert Upper(3) == "3"
+    assert Upper("a") == "A"
+    assert Capitalize("hello world") == "Hello world"
+    assert Capitalize(4.30) == "4.3"
+    assert Title("hello world") == "Hello World"
+    assert Strip("  text  ") == "text"
+    assert Strip(3) == "3"
+    # zero-arg construction still yields the schema validator object
+    from voluptuous_spark.dsl import _Transform
+
+    assert isinstance(Lower(), _Transform)

@@ -1840,7 +1840,22 @@ class Unordered(Validator):
 
 
 class _Transform(Validator):
+    """Case/whitespace transforms. The reference exposes these as bare
+    FUNCTIONS (util.py:15-62): ``Lower(3) == '3'`` (tests.py:1570-1606).
+    Calling the class WITH a value returns the transformed string
+    directly; no-arg construction yields the Column-compiled validator
+    used in schemas."""
+
     out_type = T.StringType()
+
+    def __new__(cls, *args):
+        if args:
+            return cls._py(args[0])
+        return super().__new__(cls)
+
+    @staticmethod
+    def _py(value):  # pragma: no cover - overridden per class
+        raise NotImplementedError
 
     def _expr(self, col):  # pragma: no cover
         raise NotImplementedError
@@ -1852,6 +1867,10 @@ class _Transform(Validator):
 class Lower(_Transform):
     """util.py:15-23 (str-casts input first)."""
 
+    @staticmethod
+    def _py(value):
+        return str(value).lower()
+
     def _expr(self, col):
         return F.lower(col.cast("string"))
 
@@ -1859,12 +1878,20 @@ class Lower(_Transform):
 class Upper(_Transform):
     """util.py:26-32."""
 
+    @staticmethod
+    def _py(value):
+        return str(value).upper()
+
     def _expr(self, col):
         return F.upper(col.cast("string"))
 
 
 class Capitalize(_Transform):
     """util.py:35-42: str.capitalize — first char upper, REST lower."""
+
+    @staticmethod
+    def _py(value):
+        return str(value).capitalize()
 
     def _expr(self, col):
         s = col.cast("string")
@@ -1876,12 +1903,20 @@ class Capitalize(_Transform):
 class Title(_Transform):
     """util.py:45-52: str.title."""
 
+    @staticmethod
+    def _py(value):
+        return str(value).title()
+
     def _expr(self, col):
         return F.initcap(col.cast("string"))
 
 
 class Strip(_Transform):
     """util.py:55-62: str.strip."""
+
+    @staticmethod
+    def _py(value):
+        return str(value).strip()
 
     def _expr(self, col):
         return F.trim(col.cast("string"))
