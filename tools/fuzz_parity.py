@@ -1,0 +1,304 @@
+"""Seeded randomized differential fuzz vs the reference library.
+
+Generates random schema spec trees (the module-agnostic tuple grammar of
+``tests/test_reference_parity._mk``) plus random documents, validates each
+document through BOTH engines — voluptuous itself (read-only checkout at
+/root/reference) and this engine's single-document shim — and compares
+accept/reject, the transformed document, and the sorted set of rendered
+error strings.
+
+The grammar deliberately EXCLUDES the documented by-design divergences
+(None values = absent keys, transforming validators inside Any branches,
+Coerce(Enum) accept-side, callable key renames) so every mismatch it
+prints is an actionable parity bug.
+
+Usage:
+    python tools/fuzz_parity.py [start_seed] [n_seeds]
+
+Prints one line per mismatch (seed + spec + doc + both outcomes) and a
+final summary; exit code 1 if any mismatch. Found divergences should be
+fixed and frozen as regression cases in tests/test_reference_parity.py.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+# -- value pools -------------------------------------------------------------
+
+INTS = [-5, -1, 0, 1, 2, 3, 4, 5, 7, 9, 10, 11, 25, 49, 50, 99, 100]
+FLOATS = [-2.5, -0.5, 0.0, 0.5, 1.0, 2.5, 5.0, 7.5, 10.0, 49.5, 100.0]
+STRS = [
+    "", "a", "ab", "abc", "abcdef", "zebra", "Hello World", " pad ",
+    "yes", "no", "TRUE", "off", "maybe", "0", "1", "17", "3.5", "x@y.com",
+    "red", "blue",
+]
+MATCH_POOL = [r"^a", r"^ab", r"[0-9]+$", r"^[a-z]{2,4}$", r"\S"]
+DATE_STRS = ["2024-01-02", "2024-02-29", "2024-13-01", "nope", "02/01/2024"]
+
+
+def _ints(rng, lo=0, hi=4):
+    return [rng.choice(INTS) for _ in range(rng.randint(lo, hi))]
+
+
+def _strs(rng, lo=0, hi=4):
+    return [rng.choice(STRS) for _ in range(rng.randint(lo, hi))]
+
+
+# -- spec generators ---------------------------------------------------------
+# each returns (spec, sample_fn) where sample_fn(rng) draws a doc value of
+# the matching static type (pass/fail mix comes from the pools themselves)
+
+
+def gen_int_spec(rng, depth=0):
+    choice = rng.randrange(10 if depth == 0 else 7)
+    if choice == 0:
+        lo, hi = sorted(rng.sample(INTS, 2))
+        args = [lo, hi]
+        if rng.random() < 0.3:
+            args += [rng.random() < 0.5, rng.random() < 0.5]
+        return ("Range", *args), lambda r: r.choice(INTS)
+    if choice == 1:
+        return ("In", _ints(rng, 1, 4)), lambda r: r.choice(INTS)
+    if choice == 2:
+        return ("NotIn", _ints(rng, 1, 3)), lambda r: r.choice(INTS)
+    if choice == 3:
+        return ("Equal", rng.choice(INTS)), lambda r: r.choice(INTS)
+    if choice == 4:
+        lo, hi = sorted(rng.sample(INTS, 2))
+        return ("Clamp", lo, hi), lambda r: r.choice(INTS)
+    if choice == 5:
+        return int, lambda r: r.choice(INTS)
+    if choice == 6:
+        inner, fn = gen_int_spec(rng, depth + 1)
+        return ("Msg", inner, "custom fuzz message"), fn
+    if choice == 7:  # All threading: clamp then range
+        s1, _ = gen_int_spec(rng, depth + 1)
+        s2, fn = gen_int_spec(rng, depth + 1)
+        return ("All", s1, s2), fn
+    if choice == 8:  # Any of non-transforming int validators
+        branches = []
+        for _ in range(rng.randint(2, 3)):
+            b = rng.choice(
+                [("Range", *sorted(rng.sample(INTS, 2))),
+                 ("In", _ints(rng, 1, 3)),
+                 ("Equal", rng.choice(INTS)), int]
+            )
+            branches.append(b)
+        return ("Any", *branches), lambda r: r.choice(INTS)
+    # SomeOf over ranges
+    n = rng.randint(2, 3)
+    vals = [("Range", *sorted(rng.sample(INTS, 2))) for _ in range(n)]
+    min_valid = rng.randint(1, n)
+    return ("SomeOf", vals, min_valid), lambda r: r.choice(INTS)
+
+
+def gen_float_spec(rng, depth=0):
+    choice = rng.randrange(4)
+    if choice == 0:
+        lo, hi = sorted(rng.sample(FLOATS, 2))
+        return ("Range", lo, hi), lambda r: r.choice(FLOATS)
+    if choice == 1:
+        lo, hi = sorted(rng.sample(FLOATS, 2))
+        return ("Clamp", lo, hi), lambda r: r.choice(FLOATS)
+    if choice == 2:
+        return ("Equal", rng.choice(FLOATS)), lambda r: r.choice(FLOATS)
+    return float, lambda r: r.choice(FLOATS)
+
+
+def gen_str_spec(rng, depth=0):
+    choice = rng.randrange(12 if depth == 0 else 9)
+    if choice == 0:
+        return ("In", _strs(rng, 1, 4)), lambda r: r.choice(STRS)
+    if choice == 1:
+        return ("NotIn", _strs(rng, 1, 3)), lambda r: r.choice(STRS)
+    if choice == 2:
+        lo, hi = sorted(rng.sample(range(0, 8), 2))
+        return ("Length", lo, hi), lambda r: r.choice(STRS)
+    if choice == 3:
+        return ("Match", rng.choice(MATCH_POOL)), lambda r: r.choice(STRS)
+    if choice == 4:
+        return ("Equal", rng.choice(STRS)), lambda r: r.choice(STRS)
+    if choice == 5:
+        return str, lambda r: r.choice(STRS)
+    if choice == 6:
+        return ("Boolean",), lambda r: r.choice(STRS)
+    if choice == 7:
+        t = rng.choice(["Lower", "Upper", "Strip", "Title", "Capitalize"])
+        return (t,), lambda r: r.choice(STRS)
+    if choice == 8:
+        return ("Coerce", rng.choice([int, float])), (
+            lambda r: r.choice(STRS)
+        )
+    if choice == 9:
+        return ("Date",), lambda r: r.choice(DATE_STRS)
+    if choice == 10:  # All chain: transform then validate
+        t = rng.choice([("Strip",), ("Lower",)])
+        v, fn = gen_str_spec(rng, depth + 2)
+        return ("All", t, v), fn
+    # Any of non-transforming str validators
+    branches = []
+    for _ in range(rng.randint(2, 3)):
+        branches.append(
+            rng.choice(
+                [("In", _strs(rng, 1, 3)),
+                 ("Match", rng.choice(MATCH_POOL)),
+                 ("Length", 1, 4), str]
+            )
+        )
+    return ("Any", *branches), lambda r: r.choice(STRS)
+
+
+def gen_list_spec(rng):
+    elem_kind = rng.choice(["int", "str"])
+    pool = INTS if elem_kind == "int" else STRS
+
+    def sample(r):
+        return [r.choice(pool) for _ in range(r.randint(0, 4))]
+
+    choice = rng.randrange(5)
+    if choice == 0:
+        es, _ = (gen_int_spec(rng, 2) if elem_kind == "int"
+                 else gen_str_spec(rng, 9))
+        return [es], sample
+    if choice == 1:
+        return ("Unique",), sample
+    if choice == 2:
+        lo, hi = sorted(rng.sample(range(0, 5), 2))
+        return ("Length", lo, hi), sample
+    if choice == 3:
+        n = rng.randint(1, 3)
+        vals = [gen_int_spec(rng, 2)[0] for _ in range(n)]
+        return ("Unordered", vals), (
+            lambda r: [float(r.choice(INTS)) for _ in range(n)]
+            if rng.random() < 0.8 else sample(r)
+        )
+    return ("Contains", rng.choice(pool)), sample
+
+
+def gen_dict_spec(rng, depth):
+    sub = {}
+    samplers = {}
+    for i in range(rng.randint(1, 2)):
+        k = f"n{i}"
+        s, fn = gen_value_spec(rng, depth + 1)
+        sub[k] = s
+        samplers[k] = fn
+
+    def sample(r):
+        return {k: fn(r) for k, fn in samplers.items()}
+
+    return sub, sample
+
+
+def gen_value_spec(rng, depth=0):
+    kinds = ["int", "float", "str", "list"]
+    if depth < 2:
+        kinds.append("dict")
+    kind = rng.choice(kinds)
+    if kind == "int":
+        return gen_int_spec(rng)
+    if kind == "float":
+        return gen_float_spec(rng)
+    if kind == "str":
+        return gen_str_spec(rng)
+    if kind == "list":
+        return gen_list_spec(rng)
+    return gen_dict_spec(rng, depth)
+
+
+def gen_case(seed):
+    """One fuzz case: (spec_dict, schema_kwargs, docs)."""
+    rng = random.Random(seed)
+    kw = {}
+    if rng.random() < 0.25:
+        kw["extra"] = rng.choice([0, 1, 2])
+    if rng.random() < 0.15:
+        kw["required"] = True
+    nkeys = rng.randint(1, 3)
+    schema = {}
+    samplers = []  # (key, sample_fn, marker)
+    for i in range(nkeys):
+        key = f"k{i}"
+        spec, fn = gen_value_spec(rng)
+        p = rng.random()
+        if p < 0.25:
+            kspec = ("Required", key)
+        elif p < 0.40:
+            kspec = ("Optional", key)
+        else:
+            kspec = key
+        schema[kspec] = spec
+        samplers.append((key, fn))
+    docs = []
+    for _ in range(3):
+        doc = {}
+        for key, fn in samplers:
+            if rng.random() < 0.12:
+                continue  # absent key
+            doc[key] = fn(rng)
+        if kw.get("extra") is not None and rng.random() < 0.3:
+            doc["zz_extra"] = rng.choice(STRS)
+        docs.append(doc)
+    return schema, kw, docs
+
+
+def main():
+    start = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+
+    sys.path.insert(0, "/root/reference")
+    import voluptuous as ref  # read-only reference checkout
+
+    from test_reference_parity import _eq, _run_engine, _run_ref
+
+    from voluptuous_spark.session import get_spark
+
+    spark = get_spark(
+        shuffle_partitions=2, extra_conf={"spark.ui.enabled": "false"}
+    )
+    mismatches = 0
+    checked = 0
+    for seed in range(start, start + n):
+        schema, kw, docs = gen_case(seed)
+        for doc in docs:
+            checked += 1
+            try:
+                expected = _run_ref(ref, schema, doc, **kw)
+            except Exception as e:  # reference itself rejects the schema
+                expected = ("schema_err", type(e).__name__)
+            try:
+                got = _run_engine(spark, schema, doc, **kw)
+            except Exception as e:
+                got = ("schema_err", type(e).__name__)
+            ok = (
+                got == expected
+                or (
+                    expected[0] == "ok"
+                    and got[0] == "ok"
+                    and _eq(got[1], expected[1])
+                )
+                # both reject the schema itself: exact exception class
+                # naming is not part of the parity contract
+                or (expected[0] == "schema_err" and got[0] == "schema_err")
+            )
+            if not ok:
+                mismatches += 1
+                print(f"MISMATCH seed={seed}")
+                print(f"  schema={schema!r} kw={kw!r}")
+                print(f"  doc={doc!r}")
+                print(f"  ref   ={expected!r}")
+                print(f"  engine={got!r}")
+    print(f"\n{checked} docs checked, {mismatches} mismatches "
+          f"(seeds {start}..{start + n - 1})")
+    sys.exit(1 if mismatches else 0)
+
+
+if __name__ == "__main__":
+    # the reference import must NOT shadow: voluptuous only exists in
+    # /root/reference, inserted above before the harness import
+    main()
