@@ -474,6 +474,26 @@ CASES = [
     (("AnyReq", {"a": int}, {"b": str}), {}, {"a": 3}, {"b": "x"}),
     (("AnyReq", {"a": ("Any", float, int)}, {"b": int},
       {"c": {"aa": int}}), {}, {"c": {"aa": 5}}),
+    # fuzz regressions (tools/fuzz_parity.py seeds 47/85): cross-type
+    # literals degrade to plain violations under Python equality
+    # semantics — Spark's implicit cast (or AnalysisException) must not
+    # leak through
+    ({"x": ("Contains", 50)}, {"x": []}, {"x": ["a", "b"]}),
+    ({"x": ("Contains", "a")}, {"x": "cat"}, {"x": "xyz"}),  # substring
+    ({"k": {"n": [("Clamp", 11, 100)]}},
+     {"k": {"n": []}}, {"k": {"n": ["s", "t"]}}),
+    ({"x": ("Clamp", 2.5, 7.5)}, {"x": "abc"}),
+    ({"x": ("In", [1, 2])}, {"x": "red"}),
+    ({"x": ("NotIn", ["red", "blue"])}, {"x": 5.0}),
+    ({"x": ("Equal", 5)}, {"x": "5"}),
+    ({"x": 5}, {"x": "5"}),  # literal value schema, cross-type
+    # len() has no meaning for numbers: TypeError -> RangeInvalid
+    # 'invalid value or type' (validators.py:779-781); Spark's length()
+    # would implicitly cast (len(5) == 1)
+    ({"x": ("Length", 1, 3)}, {"x": 5}, {"x": 2.5}),
+    # Coerce(int) on a list raises TypeError -> 'expected int'
+    ({"x": ("Coerce", int)}, {"x": [1, 2]}),
+    ({"x": ("Coerce", float)}, {"x": ["a"]}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

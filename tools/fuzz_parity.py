@@ -54,14 +54,40 @@ def _strs(rng, lo=0, hi=4):
 # the matching static type (pass/fail mix comes from the pools themselves)
 
 
+def _wild(rng):
+    """A value of a random (possibly foreign) type — exercises the
+    cross-type degradation paths (Python equality/ordering semantics vs
+    Spark implicit casts). Excludes None (documented divergence: None
+    values = absent keys) and bool (reference compares bools as ints)."""
+    return rng.choice(
+        [
+            lambda r: r.choice(INTS),
+            lambda r: r.choice(FLOATS),
+            lambda r: r.choice(STRS),
+            lambda r: [r.choice(INTS) for _ in range(r.randint(0, 3))],
+            lambda r: [r.choice(STRS) for _ in range(r.randint(0, 3))],
+        ]
+    )(rng)
+
+
 def gen_int_spec(rng, depth=0):
-    choice = rng.randrange(10 if depth == 0 else 7)
+    choice = rng.randrange(12 if depth == 0 else 7)
+    if choice == 10:
+        return ("Maybe", gen_int_spec(rng, depth + 1)[0]), (
+            lambda r: r.choice(INTS)
+        )
+    if choice == 11:
+        return rng.choice(INTS), lambda r: r.choice(INTS)  # literal value
     if choice == 0:
         lo, hi = sorted(rng.sample(INTS, 2))
         args = [lo, hi]
         if rng.random() < 0.3:
             args += [rng.random() < 0.5, rng.random() < 0.5]
         return ("Range", *args), lambda r: r.choice(INTS)
+    # NOTE mixed-type containers deliberately NOT generated: the
+    # reference itself crashes building the failure message
+    # (str(sorted(container)) on mixed types raises TypeError,
+    # validators.py:849-856) — nothing to be parity-faithful to
     if choice == 1:
         return ("In", _ints(rng, 1, 4)), lambda r: r.choice(INTS)
     if choice == 2:
@@ -110,8 +136,20 @@ def gen_float_spec(rng, depth=0):
     return float, lambda r: r.choice(FLOATS)
 
 
+NUM_STRS = ["1234.01", "123456.712", "0.5", "-17", "1e3", "abc", "12345678"]
+
+
 def gen_str_spec(rng, depth=0):
-    choice = rng.randrange(12 if depth == 0 else 9)
+    choice = rng.randrange(15 if depth == 0 else 9)
+    if choice == 12:
+        return ("Replace", rng.choice(["a", "an", "[0-9]"]),
+                rng.choice(["X", ""])), lambda r: r.choice(STRS)
+    if choice == 13:
+        p = rng.choice([None, 4, 6, 8])
+        s = rng.choice([None, 0, 2])
+        return ("Number", p, s), lambda r: r.choice(NUM_STRS)
+    if choice == 14:
+        return rng.choice(STRS), lambda r: r.choice(STRS)  # literal value
     if choice == 0:
         return ("In", _strs(rng, 1, 4)), lambda r: r.choice(STRS)
     if choice == 1:
@@ -160,7 +198,7 @@ def gen_list_spec(rng):
     def sample(r):
         return [r.choice(pool) for _ in range(r.randint(0, 4))]
 
-    choice = rng.randrange(5)
+    choice = rng.randrange(7)
     if choice == 0:
         es, _ = (gen_int_spec(rng, 2) if elem_kind == "int"
                  else gen_str_spec(rng, 9))
@@ -177,6 +215,17 @@ def gen_list_spec(rng):
             lambda r: [float(r.choice(INTS)) for _ in range(n)]
             if rng.random() < 0.8 else sample(r)
         )
+    if choice == 4:
+        n = rng.randint(1, 3)
+        vals = [gen_int_spec(rng, 2)[0] for _ in range(n)]
+        return ("ExactSequence", vals), (
+            lambda r: [r.choice(INTS)
+                       for _ in range(n if r.random() < 0.7
+                                      else r.randint(0, n + 1))]
+        )
+    if choice == 5:
+        # Contains with a possibly-foreign item type
+        return ("Contains", rng.choice(INTS + STRS)), sample
     return ("Contains", rng.choice(pool)), sample
 
 
@@ -229,7 +278,11 @@ def gen_case(seed):
         if p < 0.25:
             kspec = ("Required", key)
         elif p < 0.40:
-            kspec = ("Optional", key)
+            # Optional, sometimes with a default injected on absence
+            if rng.random() < 0.4 and not isinstance(spec, dict):
+                kspec = ("Optional", key, None, fn(rng))
+            else:
+                kspec = ("Optional", key)
         else:
             kspec = key
         schema[kspec] = spec
@@ -240,7 +293,9 @@ def gen_case(seed):
         for key, fn in samplers:
             if rng.random() < 0.12:
                 continue  # absent key
-            doc[key] = fn(rng)
+            # wild draw: a value of a random type, exercising the
+            # cross-type (Python-semantics) degradation paths
+            doc[key] = _wild(rng) if rng.random() < 0.15 else fn(rng)
         if kw.get("extra") is not None and rng.random() < 0.3:
             doc["zz_extra"] = rng.choice(STRS)
         docs.append(doc)
@@ -265,12 +320,27 @@ def main():
     checked = 0
     for seed in range(start, start + n):
         schema, kw, docs = gen_case(seed)
+        try:
+            rschema = ref.Schema(_mk(ref, schema), **kw)
+        except Exception as e:  # reference rejects the schema itself
+            rschema = None
+            construct_err = type(e).__name__
         for doc in docs:
             checked += 1
-            try:
-                expected = _run_ref(ref, schema, doc, **kw)
-            except Exception as e:  # reference itself rejects the schema
-                expected = ("schema_err", type(e).__name__)
+            if rschema is None:
+                expected = ("schema_err", construct_err)
+            else:
+                try:
+                    expected = ("ok", rschema(dict(doc)))
+                except ref.MultipleInvalid as e:
+                    expected = ("err", sorted(str(x) for x in e.errors))
+                except ref.Invalid as e:
+                    expected = ("err", [str(e)])
+                except Exception:
+                    # the reference CRASHED outside its own error model
+                    # (e.g. Replace/re.sub on a non-string raises raw
+                    # TypeError) — nothing to be parity-faithful to
+                    expected = ("ref_crash", None)
             try:
                 got = _run_engine(spark, schema, doc, **kw)
             except Exception as e:
@@ -285,6 +355,7 @@ def main():
                 # both reject the schema itself: exact exception class
                 # naming is not part of the parity contract
                 or (expected[0] == "schema_err" and got[0] == "schema_err")
+                or expected[0] == "ref_crash"
             )
             if not ok:
                 mismatches += 1

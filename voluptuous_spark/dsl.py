@@ -154,6 +154,28 @@ def _lit_for(value):
     return F.lit(value)
 
 
+def _lit_comparable(value, dt) -> bool:
+    """Can ``value`` compare equal to a cell of Spark type ``dt`` under
+    Python semantics?  Cross-type equality in Python is simply False
+    (``50 in ['a']`` -> False, never an error), but Spark would either
+    implicitly cast (``'5' = 5`` coerces, silently ACCEPTING what the
+    reference rejects) or fail analysis (``array_contains(arr<string>,
+    int)``).  Resolve the mismatch statically at bind time instead."""
+    if value is None or dt is None:
+        return True
+    if isinstance(value, bool):
+        return isinstance(dt, T.BooleanType)
+    if isinstance(value, (int, float)):
+        return _is_numeric(dt)
+    if isinstance(value, str):
+        return isinstance(dt, T.StringType)
+    if isinstance(value, bytes):
+        return isinstance(dt, T.BinaryType)
+    if isinstance(value, (list, tuple)):
+        return isinstance(dt, T.ArrayType)
+    return True
+
+
 # ---------------------------------------------------------------------------
 # compile dispatch (reference `_compile_scalar`, schema_builder.py:770-818)
 
@@ -200,7 +222,13 @@ def compile_validator(v, dtype: T.DataType, path: tuple = ()) -> RowCheck:
         # Invalid propagates its message/class). Slow path by nature;
         # for anything expressible as a Column, use a built-in.
         return CallableValidator(v).bind(dtype)
-    # literal value -> equality (schema_builder.py:812-816)
+    # literal value -> equality (schema_builder.py:812-816); a literal of
+    # a different Python type than the column never matches (Spark's
+    # implicit string<->numeric cast would wrongly accept '5' for 5)
+    if not _lit_comparable(v, dtype):
+        return _pred_check(
+            lambda c: F.lit(False), "not a valid value", "ScalarInvalid"
+        )
     return _pred_check(
         lambda c: c.eqNullSafe(F.lit(v)), "not a valid value", "ScalarInvalid"
     )
@@ -578,6 +606,23 @@ class Coerce(Validator):
             target, out_t = "boolean", T.BooleanType()
         else:
             raise UnsupportedSchema(f"Coerce({name}) has no Spark cast")
+
+        scalar_src = _is_numeric(dtype) or isinstance(
+            dtype, (T.StringType, T.BooleanType)
+        )
+        if not scalar_src and self.type is bool:
+            # Python bool(v) is plain truthiness for ANY type
+            return RowCheck(
+                lambda c: _truthy(c, dtype), lambda c: F.lit(None),
+                T.BooleanType(),
+            )
+        if not scalar_src and self.type in (int, float):
+            # int([...]) / float({...}) raise TypeError in the reference
+            # -> CoerceInvalid (validators.py:152-157); Spark's try_cast
+            # would fail analysis on array/map/struct sources instead
+            return _pred_check(
+                lambda c: F.lit(False), message, "CoerceInvalid"
+            )
 
         is_str_src = isinstance(dtype, T.StringType)
 
@@ -1144,6 +1189,29 @@ class Clamp(Validator):
         return 'Clamp(min=%s, max=%s)' % (self.min, self.max)
 
     def bind(self, dtype):
+        # same bind-time comparability rule as Range: the reference's
+        # `v < self.min` raises TypeError on cross-type comparison ->
+        # RangeInvalid (validators.py:745-749); Spark's greatest/least
+        # would fail analysis on string-vs-numeric instead
+        bounds = [b for b in (self.min, self.max) if b is not None]
+        num_bounds = all(
+            isinstance(b, (int, float)) and not isinstance(b, bool)
+            for b in bounds
+        )
+        str_bounds = all(isinstance(b, str) for b in bounds)
+        comparable = not bounds or (
+            (num_bounds and _is_numeric(dtype))
+            or (str_bounds and isinstance(dtype, T.StringType))
+        )
+        if not comparable:
+            return _pred_check(
+                lambda c: F.lit(False),
+                self._m(
+                    "invalid value or type (must have a partial ordering)"
+                ),
+                "RangeInvalid",
+            )
+
         def out(col):
             cur = col
             if self.min is not None:
@@ -1180,8 +1248,18 @@ class Length(Validator):
     def bind(self, dtype):
         if isinstance(dtype, (T.ArrayType, T.MapType)):
             ln = F.size
-        else:
+        elif isinstance(dtype, (T.StringType, T.BinaryType)):
             ln = F.length
+        else:
+            # no len() for this type: the reference's len(v) raises
+            # TypeError -> RangeInvalid 'invalid value or type'
+            # (validators.py:779-781); Spark's length() would instead
+            # implicitly cast numbers to strings (len(5) == 1)
+            return _pred_check(
+                lambda c: F.lit(False),
+                self._m("invalid value or type"),
+                "RangeInvalid",
+            )
 
         def err(col):
             e = F.when(
@@ -1332,11 +1410,13 @@ class In(Validator):
         return 'In(%s)' % (self.container,)
 
     def bind(self, dtype):
-        return _pred_check(
-            lambda c: c.isin(*self.container),
-            self._m(f"value must be one of {_sorted_repr(self.container)}"),
-            "InInvalid",
-        )
+        # only same-Python-type members can match (`5.0 in ['red']` is
+        # False in Python; Spark's implicit cast would diverge)
+        members = [m for m in self.container if _lit_comparable(m, dtype)]
+        msg = self._m(f"value must be one of {_sorted_repr(self.container)}")
+        if not members:
+            return _pred_check(lambda c: F.lit(False), msg, "InInvalid")
+        return _pred_check(lambda c: c.isin(*members), msg, "InInvalid")
 
 
 class NotIn(Validator):
@@ -1351,9 +1431,17 @@ class NotIn(Validator):
         return 'NotIn(%s)' % (self.container,)
 
     def bind(self, dtype):
+        members = [m for m in self.container if _lit_comparable(m, dtype)]
+        msg = self._m(
+            f"value must not be one of {_sorted_repr(self.container)}"
+        )
+        if not members:
+            # no member can equal a value of this type -> always passes
+            # (`5.0 not in ['red']` is True in Python)
+            return _pred_check(lambda c: F.lit(True), msg, "NotInInvalid")
         return _pred_check(
-            lambda c: ~F.coalesce(c.isin(*self.container), F.lit(True)),
-            self._m(f"value must not be one of {_sorted_repr(self.container)}"),
+            lambda c: ~F.coalesce(c.isin(*members), F.lit(True)),
+            msg,
             "NotInInvalid",
         )
 
@@ -1370,11 +1458,24 @@ class Contains(Validator):
         return 'Contains(%s)' % (self.item,)
 
     def bind(self, dtype):
-        return _pred_check(
-            lambda c: F.array_contains(c, F.lit(self.item)),
-            self._m("value is not allowed"),
-            "ContainsInvalid",
-        )
+        msg = self._m("value is not allowed")
+        if isinstance(dtype, T.ArrayType) and _lit_comparable(
+            self.item, dtype.elementType
+        ):
+            return _pred_check(
+                lambda c: F.array_contains(c, F.lit(self.item)),
+                msg,
+                "ContainsInvalid",
+            )
+        if isinstance(dtype, T.StringType) and isinstance(self.item, str):
+            # Python `'a' in 'abc'` is a substring test
+            return _pred_check(
+                lambda c: c.contains(self.item), msg, "ContainsInvalid"
+            )
+        # item of a foreign type is never contained; non-sequence values
+        # raise TypeError in the reference -> same ContainsInvalid
+        # (validators.py:908-912)
+        return _pred_check(lambda c: F.lit(False), msg, "ContainsInvalid")
 
 
 class ExactSequence(Validator):
@@ -1520,7 +1621,12 @@ class Equal(Validator):
 
     def bind(self, dtype):
         def err(col):
-            ok = col.eqNullSafe(F.lit(self.target))
+            if _lit_comparable(self.target, dtype):
+                ok = col.eqNullSafe(F.lit(self.target))
+            else:
+                # cross-type equality is False in Python; Spark's
+                # implicit cast would wrongly accept '5' for 5
+                ok = F.lit(False)
             if self.msg:
                 m = F.lit(self.msg)
             else:
