@@ -309,7 +309,7 @@ def main():
     sys.path.insert(0, "/root/reference")
     import voluptuous as ref  # read-only reference checkout
 
-    from test_reference_parity import _eq, _run_engine, _run_ref
+    from test_reference_parity import _eq, _mk, _run_engine
 
     from voluptuous_spark.session import get_spark
 
