@@ -494,6 +494,14 @@ CASES = [
     # Coerce(int) on a list raises TypeError -> 'expected int'
     ({"x": ("Coerce", int)}, {"x": [1, 2]}),
     ({"x": ("Coerce", float)}, {"x": ["a"]}),
+    # ExactSequence shape errors raise ExactSequenceInvalid(None) which
+    # str()-renders as the literal 'None' (validators.py:947-948)
+    ({"x": ("ExactSequence", [("In", [99]), int])},
+     {"x": 5}, {"x": [99]}, {"x": [99, 1, 2]}),
+    # nested dict gate carries the enclosing mapping's 'dictionary
+    # value' context; the root gate renders bare
+    ({"k": {"n": int}}, {"k": "no"}),
+    ({"k": {"n": {"m": int}}}, {"k": {"n": 5}}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

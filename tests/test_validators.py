@@ -444,7 +444,9 @@ def test_exact_sequence_element_error_surfaces(validate_one):
     assert out[0][0] == "ok"
     assert out[1][1][0][0] == "value must be at least 5.0"
     assert out[1][1][0][1] == "RangeInvalid"
-    assert out[2][1][0][0] == "not a valid value"
+    # the reference raises ExactSequenceInvalid(None) on shape errors,
+    # which str()-renders as the literal 'None' (validators.py:947-948)
+    assert out[2][1][0][0] == "None"
     assert out[2][1][0][1] == "ExactSequenceInvalid"
 
 

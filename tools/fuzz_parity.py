@@ -278,9 +278,11 @@ def gen_case(seed):
         if p < 0.25:
             kspec = ("Required", key)
         elif p < 0.40:
-            # Optional, sometimes with a default injected on absence
-            if rng.random() < 0.4 and not isinstance(spec, dict):
-                kspec = ("Optional", key, None, fn(rng))
+            # Optional, sometimes with a scalar default injected on
+            # absence (list defaults would make the key spec unhashable)
+            dflt = fn(rng)
+            if rng.random() < 0.4 and isinstance(dflt, (int, float, str)):
+                kspec = ("Optional", key, None, dflt)
             else:
                 kspec = ("Optional", key)
         else:

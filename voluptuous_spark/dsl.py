@@ -1491,9 +1491,12 @@ class ExactSequence(Validator):
             repr(v) for v in self.validators)
 
     def bind(self, dtype):
+        # shape errors raise ExactSequenceInvalid(self.msg) with msg=None
+        # in the reference (validators.py:947-948), which str()-renders as
+        # the literal 'None' — reproduce that exact rendering
         if not isinstance(dtype, T.ArrayType):
             return _pred_check(lambda c: F.lit(False),
-                               self._m("expected a list"), "ExactSequenceInvalid")
+                               self._m("None"), "ExactSequenceInvalid")
         elem_t = dtype.elementType
         checks = [compile_validator(v, elem_t) for v in self.validators]
         n = len(checks)
@@ -1532,7 +1535,7 @@ class ExactSequence(Validator):
             msg = (
                 F.when(col.isNull(), F.lit(None).cast("string"))
                 .when(F.size(col) != F.lit(n),
-                      F.lit(self._m("not a valid value")))
+                      F.lit(self._m("None")))
                 .otherwise(elem_msg)
             )
             et = (

@@ -1772,15 +1772,21 @@ class Schema:
             return out_col, errs
 
         if not isinstance(dtype, T.StructType):
+            # raised AT the key's own path: when there IS an enclosing
+            # mapping (non-empty prefix) it stamps the 'dictionary value'
+            # context (schema_builder.py:368-371); at the root there is
+            # no enclosing mapping and the error renders bare
+            gate_ctx = "dictionary value" if prefix else None
             if as_object:
                 cls = getattr(self.schema, "cls", dsl.UNDEFINED)
                 m = (f"expected a {cls!r}" if cls is not dsl.UNDEFINED
                      else "expected an object")
                 emit(prefix, F.lit(m), "ObjectInvalid",
-                     F.lit("None"), col.isNotNull())
+                     F.lit("None"), col.isNotNull(), ctx=gate_ctx)
                 return finish(col)
             emit(prefix, F.lit("expected a dictionary"),
-                 "DictInvalid", F.lit("None"), col.isNotNull())
+                 "DictInvalid", F.lit("None"), col.isNotNull(),
+                 ctx=gate_ctx)
             return finish(col)
         by_name = {f.name: f.dataType for f in dtype.fields}
         outs: list[Column] = []
@@ -1816,9 +1822,12 @@ class Schema:
                     continue
                 if not isinstance(sub_t, T.StructType):
                     # the sub-gate error is depth 1 relative to a wrapping
-                    # Msg -> own-level (overridable)
+                    # Msg -> own-level (overridable); it is raised AT the
+                    # key's own path, so the enclosing mapping stamps the
+                    # 'dictionary value' context (schema_builder.py:368-371)
                     emit(path, F.lit("expected a dictionary"), "DictInvalid",
-                         F.lit("None"), col.isNotNull() & sub_col.isNotNull())
+                         F.lit("None"), col.isNotNull() & sub_col.isNotNull(),
+                         ctx="dictionary value")
                     outs.append(sub_col.alias(name))
                     continue
                 o, e = sub_schema._validate_struct(
