@@ -502,6 +502,33 @@ CASES = [
     # value' context; the root gate renders bare
     ({"k": {"n": int}}, {"k": "no"}),
     ({"k": {"n": {"m": int}}}, {"k": {"n": 5}}),
+    # Unique on a non-iterable scalar: the reference wraps the Python
+    # TypeError text (validators.py:978-983)
+    ({"x": ("Unique",)}, {"x": 5.0}, {"x": 3}),
+    # Equal renders containers as Python str(list)
+    ({"x": ("Equal", -1)}, {"x": ["yes", " pad "]}, {"x": [1, 2]}),
+    # Number on a list: Decimal(list) raises ValueError -> the callable
+    # wrapper's 'not a valid value', NOT the enclosed-number message
+    ({"x": ("Number", 4, 0)}, {"x": []}, {"x": ["17"]}),
+    # cross-family marker default cannot live in the column: no
+    # injection (and no analysis crash); present values still validate
+    ({("Optional", "k", None, 5.0): ("Range", 49.5, 100.0)},
+     {"k": ["zebra"]}, {"k": 50.0}),
+    # same-family default casts to the COLUMN's type so present values
+    # keep their renderings (value:25, not value:25.0)
+    ({("Optional", "k", None, 10.0): ("Equal", 7.5)}, {"k": 25}),
+    # a default injected for an ABSENT key is validated like any present
+    # value (schema_builder.py:299-307)
+    ({("Optional", "k", None, 10): ("In", [25, 7, 11, 1])}, {}, {"k": 7}),
+    ({("Optional", "k", None, 3): ("Range", 1, 5)}, {}),
+    # Number understands scientific notation via Decimal.as_tuple()
+    # (precision=1, scale=-3 for '1e3') and drops leading zeros across
+    # the whole digit string ('0.05' -> precision 1)
+    ({"x": ("Number", 4, 2)}, {"x": "1e3"}, {"x": "0.05"}, {"x": "1.5e-2"}),
+    ({"x": ("Number", 1, None)}, {"x": "1e3"}, {"x": "0.05"}),
+    ({"x": ("Number", None, 3)}, {"x": "1e-3"}, {"x": "1.5e2"}),
+    # strptime of a non-string -> the format message, not a cast crash
+    ({"x": ("Date",)}, {"x": 100.0}, {"x": 5}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

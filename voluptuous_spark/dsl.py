@@ -154,6 +154,32 @@ def _lit_for(value):
     return F.lit(value)
 
 
+def _py_str(col, dt):
+    """Python ``str(v)`` rendering of a column value (used in message
+    interpolation like Equal's 'value:{} != target:{}'): scalars render
+    via Spark's string cast, booleans as True/False, arrays as Python
+    lists with repr'd string elements (str(['a']) == \"['a']\")."""
+    if isinstance(dt, T.ArrayType):
+        et = dt.elementType
+        if isinstance(et, T.StringType):
+            elems = F.transform(
+                col, lambda x: F.concat(F.lit("'"), x, F.lit("'"))
+            )
+        elif isinstance(et, T.BooleanType):
+            elems = F.transform(
+                col,
+                lambda x: F.when(x, F.lit("True")).otherwise(F.lit("False")),
+            )
+        else:
+            elems = F.transform(col, lambda x: x.cast("string"))
+        return F.concat(
+            F.lit("["), F.array_join(elems, ", "), F.lit("]")
+        )
+    if isinstance(dt, T.BooleanType):
+        return F.when(col, F.lit("True")).otherwise(F.lit("False"))
+    return col.cast("string")
+
+
 def _lit_comparable(value, dt) -> bool:
     """Can ``value`` compare equal to a cell of Spark type ``dt`` under
     Python semantics?  Cross-type equality in Python is simply False
@@ -1376,6 +1402,17 @@ class Datetime(Validator):
     def bind(self, dtype):
         if isinstance(dtype, (T.TimestampType, T.DateType)):
             return RowCheck.passing(dtype)
+        if not isinstance(dtype, T.StringType):
+            # strptime of a non-string raises TypeError, which the
+            # reference catches into the same format message
+            # (validators.py:800-807)
+            return _pred_check(
+                lambda c: F.lit(False),
+                self._m(
+                    f"value does not match expected format {self.format}"
+                ),
+                self.error_type,
+            )
         return _pred_check(
             lambda c: self._probe(c).isNotNull(),
             self._m(f"value does not match expected format {self.format}"),
@@ -1572,9 +1609,31 @@ class Unique(Validator):
             # reference supports strings as char iterables ('aabbc')
             def arr(c):
                 return F.split(c, "")
-        else:
+        elif isinstance(dtype, T.ArrayType):
             def arr(c):
                 return c
+        elif isinstance(dtype, T.MapType):
+            # set(dict) iterates the (always-unique) keys: passes
+            return _pred_check(lambda c: F.lit(True),
+                               self._m("contains duplicate items: []"),
+                               "Invalid")
+        else:
+            # set(5.0) raises TypeError -> the reference wraps the
+            # Python message: "contains unhashable elements: '<T>'
+            # object is not iterable" (validators.py:978-983)
+            name = _PYTYPE_NAME.get(
+                bool if isinstance(dtype, T.BooleanType)
+                else int if isinstance(dtype, _INTEGRALS)
+                else float if isinstance(dtype, _FRACTIONALS)
+                else object,
+                dtype.simpleString(),
+            )
+            return _pred_check(
+                lambda c: F.lit(False),
+                self._m(f"contains unhashable elements: "
+                        f"'{name}' object is not iterable"),
+                "TypeInvalid",
+            )
 
         def err(col):
             a = arr(col)
@@ -1635,7 +1694,7 @@ class Equal(Validator):
             else:
                 m = F.format_string(
                     "Values are not equal: value:%s != target:%s",
-                    col.cast("string"),
+                    _py_str(col, dtype),
                     F.lit(str(self.target)),
                 )
             return F.when(ok, F.lit(None)).otherwise(
@@ -1652,7 +1711,7 @@ class Number(Validator):
     string'. precision/scale derived like Decimal.as_tuple(): leading
     zeros dropped, trailing fraction zeros kept."""
 
-    _NUM_RE = r"^\s*[+-]?([0-9]+)?(\.([0-9]+))?\s*$"
+    _NUM_RE = r"^\s*[+-]?([0-9]+)?(\.([0-9]+))?([eE]([+-]?[0-9]+))?\s*$"
 
     def __init__(self, precision=None, scale=None, msg=None, yield_decimal=False):
         self.precision, self.scale = precision, scale
@@ -1664,21 +1723,40 @@ class Number(Validator):
             self.precision, self.scale, self.msg)
 
     def bind(self, dtype):
+        if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
+            # Decimal(list) raises ValueError (lists parse as the
+            # sign-digits-exponent tuple form), which the callable
+            # wrapper turns into ValueInvalid 'not a valid value'
+            # (schema_builder.py:800-807) — the Number msg= does NOT
+            # apply on this path
+            return _pred_check(
+                lambda c: F.lit(False), "not a valid value", "ValueInvalid"
+            )
+
         def parts(col):
             s = F.trim(col.cast("string"))
             intp = F.regexp_extract(s, self._NUM_RE, 1)
             frac = F.regexp_extract(s, self._NUM_RE, 3)
-            return s, intp, frac
+            exp = F.regexp_extract(s, self._NUM_RE, 5)
+            return s, intp, frac, exp
 
         def err(col):
-            s, intp, frac = parts(col)
+            s, intp, frac, exp = parts(col)
             is_num = s.rlike(self._NUM_RE) & (
                 (F.length(intp) > 0) | (F.length(frac) > 0)
             )
-            digits = F.concat(F.regexp_replace(intp, "^0+", ""), frac)
+            # Decimal.as_tuple() semantics (validators.py:1182-1198):
+            # precision = len(digits) with leading zeros dropped across
+            # the WHOLE digit string (Decimal('0.05') -> digits (5,)),
+            # scale = -exponent, so scientific notation shifts it
+            # (Decimal('1e3') -> precision 1, scale -3)
+            digits = F.regexp_replace(F.concat(intp, frac), "^0+", "")
             digits = F.when(F.length(digits) == 0, F.lit("0")).otherwise(digits)
             precision = F.length(digits)
-            scale = F.length(frac)
+            exp_i = F.coalesce(
+                F.when(F.length(exp) > 0, exp.try_cast("int")), F.lit(0)
+            )
+            scale = F.length(frac) - exp_i
             e = F.when(col.isNull(), F.lit(None)).when(
                 ~is_num,
                 err_struct(

@@ -705,7 +705,27 @@ class Schema:
             if dtype is None:
                 # column absent from the DataFrame entirely
                 if fld.default is not UNDEFINED:
-                    out_cols[fld.name] = F.lit(_resolve_default(fld.default))
+                    # the injected default is validated like any present
+                    # value (the reference injects defaults BEFORE the
+                    # candidate loop, schema_builder.py:299-307) — the
+                    # check is a row-constant Catalyst folds away
+                    dval = _resolve_default(fld.default)
+                    d_t = _PY_SPARK_TYPE.get(type(dval))
+                    v_spec = _unwrap_marker(fld.validator)
+                    if d_t is not None and not isinstance(v_spec, dict):
+                        check = compile_validator(
+                            v_spec, d_t, path=fld.path
+                        )
+                        dlit = F.lit(dval)
+                        derr = check.err(dlit)
+                        err_entries.append(_violation(
+                            fld.path, derr["message"], derr["error_type"],
+                            py_repr_col(dlit, d_t), derr.isNotNull(),
+                            ctx="dictionary value",
+                        ))
+                        out_cols[fld.name] = check.out(dlit)
+                    else:
+                        out_cols[fld.name] = F.lit(dval)
                 elif fld.required:
                     err_entries.append(
                         _violation(
@@ -920,11 +940,11 @@ class Schema:
             check = compile_validator(
                 _unwrap_marker(fld.validator), dtype, path=fld.path
             )
-            defaulted = (
-                F.coalesce(col, F.lit(_resolve_default(fld.default)))
-                if fld.default is not UNDEFINED
-                else col
+            _dlit = (
+                _default_lit(fld.default, dtype)
+                if fld.default is not UNDEFINED else None
             )
+            defaulted = F.coalesce(col, _dlit) if _dlit is not None else col
             present = defaulted.isNotNull()
             out = check.out(defaulted)
             err = check.err(defaulted)
@@ -1848,10 +1868,10 @@ class Schema:
                     arrays.extend(seq_arrs)
                 continue
             check = compile_validator(_unwrap_marker(val), sub_t, path=path)
-            base = (
-                F.coalesce(sub_col, F.lit(_resolve_default(default)))
-                if default is not UNDEFINED else sub_col
-            )
+            _dlit = (_default_lit(default, sub_t)
+                     if default is not UNDEFINED else None)
+            base = (F.coalesce(sub_col, _dlit)
+                    if _dlit is not None else sub_col)
             present = base.isNotNull()
             if required:
                 emit(path,
@@ -1972,10 +1992,37 @@ def _to_row_value(value, dtype):
     return value
 
 
+_PY_SPARK_TYPE = {
+    bool: T.BooleanType(),
+    int: T.LongType(),
+    float: T.DoubleType(),
+    str: T.StringType(),
+    bytes: T.BinaryType(),
+}
+
+
 def _resolve_default(d):
     """Callable defaults are factories (default_factory,
     schema_builder.py:29-50), resolved once at compile time."""
     return d() if (d is not UNDEFINED and callable(d)) else d
+
+
+def _default_lit(default, dtype):
+    """Literal for a marker default, resolved against the column's STATIC
+    type. Same-family defaults cast to the column type — the column wins,
+    so a ``10.0`` default on an int column injects ``10`` rather than
+    silently promoting every present value to double (which would change
+    offending-value renderings). Cross-family defaults (``5.0`` on an
+    array column) cannot be represented in the column at all: return None
+    (no injection) instead of letting coalesce fail analysis — a
+    documented static-typing divergence from the reference, which only
+    materializes the default on absent keys."""
+    v = _resolve_default(default)
+    if v is None:
+        return None
+    if dsl._lit_comparable(v, dtype):
+        return F.lit(v).try_cast(dtype)
+    return None
 
 
 def _key_name(key):
