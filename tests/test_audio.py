@@ -199,3 +199,104 @@ def test_pcm_expr_matches_arrow_decoder(spark, clips):
         if r["jvm_err"] != r["py_err"]
     ]
     assert not diffs, diffs[:10]
+
+
+# -- signal features + quality gates ------------------------------------------
+
+
+def _wav_df(spark, named_samples, sr=16000):
+    from voluptuous_spark.audio import encode_wav_pcm16
+
+    rows = [
+        (cid, encode_wav_pcm16(s.astype(np.int16), sr), sr,
+         round(len(s) * 1000 / sr), "wav")
+        for cid, s in named_samples
+    ]
+    return spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
+    )
+
+
+def test_audio_features_known_signals(spark):
+    from voluptuous_spark.audio import audio_features
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    sine = 16384 * np.sin(2 * np.pi * 440 * t)  # -9.03 dBFS RMS
+    square = np.where(np.sin(2 * np.pi * 100 * t) >= 0, 32767, -32767)
+    silence = np.zeros(sr)
+    dc = np.full(sr, 3277)  # +0.1 FS constant
+
+    df = _wav_df(spark, [("sine", sine), ("square", square),
+                         ("silence", silence), ("dc", dc)], sr)
+    feats = {r["clip_id"]: r for r in audio_features(df).collect()}
+
+    assert "bytes" not in audio_features(df).columns
+    s = feats["sine"]
+    assert s["n_samples"] == sr
+    assert abs(s["rms_db"] - (-9.03)) < 0.1
+    assert s["clipping_ratio"] == 0.0
+    assert abs(s["dc_offset"]) < 1e-3
+    assert abs(s["zcr"] - 2 * 440 / sr) < 0.005  # 2 crossings per cycle
+
+    sq = feats["square"]
+    assert sq["clipping_ratio"] > 0.99
+    assert abs(sq["peak_db"]) < 0.01  # full scale ~ 0 dBFS
+
+    sil = feats["silence"]
+    assert sil["rms_db"] == -120.0 and sil["peak_db"] == -120.0
+
+    d = feats["dc"]
+    assert abs(d["dc_offset"] - 0.1) < 1e-3
+
+
+def test_audio_features_null_for_undecodable(spark):
+    df = spark.createDataFrame(
+        [("bad", b"JUNKJUNKJUNK", 16000, 100, "wav"),
+         ("opus", b"OggS****", 16000, 100, "opus"),
+         ("none", None, 16000, 100, "wav")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    from voluptuous_spark.audio import audio_features
+
+    for r in audio_features(df).collect():
+        assert r["rms_db"] is None and r["n_samples"] is None
+
+
+def test_audio_quality_violations(spark):
+    from voluptuous_spark.audio import audio_features, audio_quality_violations
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    good = 16384 * np.sin(2 * np.pi * 440 * t)
+    quiet = 5 * np.sin(2 * np.pi * 440 * t)          # ~-73 dBFS
+    hot = np.clip(3.0 * 32767 * np.sin(2 * np.pi * 440 * t), -32767, 32767)
+    biased = good * 0.5 + 3277                        # DC ~ +0.1
+
+    df = _wav_df(spark, [("good", good), ("quiet", quiet),
+                         ("hot", hot), ("biased", biased)], sr)
+    v = audio_quality_violations(audio_features(df))
+    by_clip = {}
+    for r in v.collect():
+        by_clip.setdefault(r["clip_id"], []).append(r["path"][0])
+    assert "good" not in by_clip
+    assert by_clip["quiet"] == ["rms_db"]
+    assert by_clip["hot"] == ["clipping_ratio"]
+    assert by_clip["biased"] == ["dc_offset"]
+    msgs = {r["path"][0]: r["message"] for r in v.collect()}
+    assert "silent" in msgs["rms_db"] and "clipped" in msgs["clipping_ratio"]
+
+
+def test_audio_feature_report(spark):
+    from voluptuous_spark.audio import audio_features, audio_feature_report
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    df = _wav_df(spark, [
+        ("a", 16384 * np.sin(2 * np.pi * 440 * t)),
+        ("b", np.zeros(sr)),
+    ], sr)
+    rep = audio_feature_report(audio_features(df)).collect()[0]
+    assert rep["n_clips"] == 2
+    assert rep["silent_rate"] == 0.5
+    assert rep["clipped_rate"] == 0.0

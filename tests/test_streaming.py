@@ -84,3 +84,43 @@ def test_stateful_duplicates_survive_restart(spark):
         # 'b' was seen in run 1: state restored from checkpoint flags it
         assert second["b"] == (2, True)
         assert second["c"] == (1, False)
+
+
+def test_streaming_pcm_check_composes(spark):
+    """The Arrow PCM decode (mapInArrow) composes with readStream: audio
+    validation-on-ingest — payload decoded once per micro-batch, bytes
+    dropped before the sink."""
+    import numpy as np
+
+    from voluptuous_spark.audio import PCM_ERR_COL, encode_wav_pcm16, with_pcm_check
+
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        sr = 8000
+        good = encode_wav_pcm16(
+            (1000 * np.sin(np.arange(sr) / 10)).astype(np.int16), sr
+        )
+        df = spark.createDataFrame(
+            [("ok", good, sr, 1000, "wav"),
+             ("bad", b"JUNKJUNKJUNK", sr, 1000, "wav")],
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+        )
+        df.write.parquet(in_dir)
+
+        stream = spark.readStream.schema(
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
+        ).parquet(in_dir)
+        q = (
+            with_pcm_check(stream)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(out_dir)
+        assert "bytes" not in out.columns
+        errs = {r["clip_id"]: r[PCM_ERR_COL] for r in out.collect()}
+        assert errs["ok"] is None
+        assert "decode failed" in errs["bad"]

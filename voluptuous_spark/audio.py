@@ -461,6 +461,208 @@ def with_pcm_check(
     return df.mapInArrow(gen, out_schema_ddl)
 
 
+# ---------------------------------------------------------------------------
+# per-clip signal features + quality gates (training-data tier)
+#
+# The reference has no audio notion at all — these are the table-scale
+# additions a validation tier for AUDIO training data needs beyond "does it
+# decode": silence, clipping, DC offset, and activity-rate gates, the checks
+# that catch recording-chain defects (dead mics, hot gain staging, decoupled
+# preamps) that decode fine but poison a training corpus.
+
+AUDIO_FEATURE_COLS = (
+    "n_samples", "rms_db", "peak_db", "clipping_ratio", "dc_offset", "zcr"
+)
+
+# digital silence clamp: 16-bit quantization noise floor is ~-96 dBFS, so
+# -120 is strictly below any representable signal
+_SILENCE_DB = -120.0
+
+
+def _features_one(buf, codec):
+    """Signal features for one clip -> tuple per AUDIO_FEATURE_COLS, or
+    all-None when the payload is absent/undecodable/non-PCM (the decode
+    errors themselves are with_pcm_check/pcm_check_expr's job).
+
+    Single float32 working copy of the samples; every statistic is a
+    numpy reduction over it (no per-sample Python), keeping this
+    cache-resident like the SNR hot loop above."""
+    if buf is None or (codec is not None and codec != "wav"):
+        return (None,) * len(AUDIO_FEATURE_COLS)
+    try:
+        s, _sr = decode_wav_numpy(memoryview(buf))
+    except ValueError:
+        return (None,) * len(AUDIO_FEATURE_COLS)
+    n = int(s.shape[0])
+    if n == 0:
+        return (0, _SILENCE_DB, _SILENCE_DB, 0.0, 0.0, 0.0)
+    a = s.astype(np.float32)
+    power = float(np.dot(a, a)) / n
+    rms = np.sqrt(power) / 32768.0
+    rms_db = max(20.0 * np.log10(rms), _SILENCE_DB) if rms > 0 else _SILENCE_DB
+    peak = float(np.max(np.abs(a))) / 32768.0
+    peak_db = max(20.0 * np.log10(peak), _SILENCE_DB) if peak > 0 else _SILENCE_DB
+    clipping = float(np.count_nonzero(np.abs(s) >= 32767)) / n
+    dc = float(np.mean(a)) / 32768.0
+    neg = np.signbit(a)
+    zcr = (
+        float(np.count_nonzero(neg[1:] != neg[:-1])) / (n - 1)
+        if n > 1 else 0.0
+    )
+    return (n, float(rms_db), float(peak_db), clipping, dc, zcr)
+
+
+def audio_features(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    drop_bytes: bool = True,
+) -> DataFrame:
+    """Per-clip signal features via ``mapInArrow`` — same zero-copy shape
+    as ``with_pcm_check``: the audio payload crosses the JVM->Python
+    boundary once as raw Arrow buffers, is reduced to six narrow feature
+    columns in the worker, and is dropped from the output batch so no
+    downstream plan carries it again.
+
+    Appends: n_samples long, rms_db / peak_db (dBFS, clamped at -120 for
+    digital silence), clipping_ratio (|s| at full scale), dc_offset
+    (mean/32768), zcr (zero-crossing rate). NULL features = payload
+    absent, undecodable, or non-PCM codec.
+    """
+    import pyarrow as pa
+
+    out_fields = [
+        f for f in df.schema.fields if not (drop_bytes and f.name == bytes_col)
+    ]
+    keep_names = [f.name for f in out_fields]
+    out_schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+    ) + (", `n_samples` long, `rms_db` double, `peak_db` double,"
+         " `clipping_ratio` double, `dc_offset` double, `zcr` double")
+
+    def gen(batches):
+        for batch in batches:
+            bcol = batch.column(batch.schema.get_field_index(bytes_col))
+            codec = batch.column(
+                batch.schema.get_field_index(codec_col)
+            ).to_pylist()
+            feats = []
+            for i in range(batch.num_rows):
+                sc = bcol[i]
+                feats.append(_features_one(
+                    sc.as_buffer() if sc.is_valid else None, codec[i]
+                ))
+            cols = [
+                batch.column(batch.schema.get_field_index(n))
+                for n in keep_names
+            ]
+            ftypes = [pa.int64()] + [pa.float64()] * 5
+            yield pa.RecordBatch.from_arrays(
+                cols + [
+                    pa.array([f[j] for f in feats], type=ftypes[j])
+                    for j in range(len(AUDIO_FEATURE_COLS))
+                ],
+                names=keep_names + list(AUDIO_FEATURE_COLS),
+            )
+
+    return df.mapInArrow(gen, out_schema_ddl)
+
+
+def audio_quality_violations(
+    features: DataFrame,
+    id_col: str = "clip_id",
+    min_rms_db: float = -60.0,
+    max_clipping_ratio: float = 0.01,
+    max_dc_offset: float = 0.02,
+    min_zcr: float = 0.0,
+) -> DataFrame:
+    """Quality-gate violations over an ``audio_features`` output — pure
+    Column expressions (one codegen stage, zero shuffles), same row shape
+    as the suite's violations table. One row per failed gate so a clip
+    that is both silent AND DC-biased reports both defects."""
+    def _viol(cond, path, message, offending):
+        return F.when(
+            cond,
+            F.struct(
+                F.array(F.lit(path)).alias("path"),
+                message.alias("message"),
+                F.lit("ValueInvalid").alias("error_type"),
+                offending.cast("string").alias("offending"),
+            ),
+        ).otherwise(F.lit(None))
+
+    entries = F.array(
+        _viol(
+            F.col("rms_db") < min_rms_db,
+            "rms_db",
+            F.format_string(
+                "clip is silent or near-silent (RMS %sdB < %sdB floor)",
+                F.round("rms_db", 1).cast("string"),
+                F.lit(str(min_rms_db)),
+            ),
+            F.col("rms_db"),
+        ),
+        _viol(
+            F.col("clipping_ratio") > max_clipping_ratio,
+            "clipping_ratio",
+            F.format_string(
+                "clip is clipped (%s%% of samples at full scale)",
+                F.round(F.col("clipping_ratio") * 100, 2).cast("string"),
+            ),
+            F.col("clipping_ratio"),
+        ),
+        _viol(
+            F.abs("dc_offset") > max_dc_offset,
+            "dc_offset",
+            F.format_string(
+                "clip has DC offset %s (|offset| > %s)",
+                F.round("dc_offset", 4).cast("string"),
+                F.lit(str(max_dc_offset)),
+            ),
+            F.col("dc_offset"),
+        ),
+        _viol(
+            (F.col("zcr") < min_zcr) & (F.col("n_samples") > 1),
+            "zcr",
+            F.format_string(
+                "clip activity too low (zero-crossing rate %s < %s)",
+                F.round("zcr", 5).cast("string"),
+                F.lit(str(min_zcr)),
+            ),
+            F.col("zcr"),
+        ),
+    )
+    e = F.explode(F.filter(entries, lambda x: x.isNotNull())).alias("e")
+    return features.filter(F.col("rms_db").isNotNull()).select(
+        id_col, e
+    ).select(
+        id_col,
+        F.col("e.path").alias("path"),
+        F.col("e.message").alias("message"),
+        F.col("e.error_type").alias("error_type"),
+        F.col("e.offending").alias("offending"),
+    )
+
+
+def audio_feature_report(features: DataFrame) -> DataFrame:
+    """Corpus-level distribution of the signal features: ONE hash
+    aggregation (map-side partial + final, no sort), the scale-safe shape
+    for a 10^12-row feature table."""
+    return features.filter(F.col("rms_db").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.avg("rms_db").alias("avg_rms_db"),
+        F.min("rms_db").alias("min_rms_db"),
+        F.max("peak_db").alias("max_peak_db"),
+        F.avg("clipping_ratio").alias("avg_clipping_ratio"),
+        F.avg(F.abs("dc_offset")).alias("avg_abs_dc_offset"),
+        F.avg("zcr").alias("avg_zcr"),
+        F.avg((F.col("rms_db") < -60.0).cast("double")).alias("silent_rate"),
+        F.avg((F.col("clipping_ratio") > 0.01).cast("double")).alias(
+            "clipped_rate"
+        ),
+    )
+
+
 def transcript_equality_violations(
     clips: DataFrame,
     transcripts: DataFrame,
