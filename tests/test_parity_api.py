@@ -262,6 +262,30 @@ def test_validate_decorator_scalar_types():
         double("x")
 
 
+def test_validate_decorator_per_value(spark):
+    """Non-DataFrame args with validator specs run the reference's
+    per-value path (schema_builder.py:1366-1372): the function receives
+    the TRANSFORMED argument, and the return value is validated too."""
+
+    @validate(n=vs.All(Coerce(int), Range(min=1, max=10)))
+    def triple(n):
+        assert isinstance(n, int)  # Coerce output reaches the body
+        return n * 3
+
+    assert triple("4") == 12
+    with pytest.raises(MultipleInvalid) as ei:
+        triple(50)
+    assert "data['n']" in str(ei.value)
+
+
+def test_validate_decorator_dict_arg(spark):
+    @validate(doc=Schema({Required("k"): vs.Coerce(int)}))
+    def get_k(doc):
+        return doc["k"]
+
+    assert get_k({"k": "7"}) == 7
+
+
 # -- default_factory / misc aliases -----------------------------------------
 
 

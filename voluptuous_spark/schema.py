@@ -2071,19 +2071,23 @@ def _violation(path, message: Column, error_type,
 
 
 def validate(*a, **kw):
-    """Decorator validating function arguments (schema_builder.py:1329-1376),
-    re-targeted at pipeline functions: positional/keyword schemas map to
-    arguments by name; ``__return__`` validates the return value.
+    """Decorator validating function arguments (schema_builder.py:1329-1376):
+    positional/keyword schemas map to arguments by name; ``__return__``
+    validates the return value. Like the reference, validated (possibly
+    transformed) argument values are what the function receives.
 
-    Spark-first semantics (documented divergence from the per-value
-    reference): a ``Schema`` arg-schema applied to a DataFrame argument
-    performs a STATIC bind check — every required key must exist in
-    ``df.schema`` and every validator must compile against the column types
-    (this is the useful guard for 10^12-row pipelines: fail in the driver
-    before launching a job, never per row). Python types check
-    ``isinstance``; anything else must be a ``Validator`` whose bind acts
-    as a static type gate. Per-value Python validation is intentionally
-    not re-implemented here.
+    Hybrid semantics per argument kind:
+
+    - ``Schema`` arg-schema on a **DataFrame** argument: a STATIC bind
+      check — every required key must exist in ``df.schema`` and every
+      validator must compile against the column types (the useful guard
+      for 10^12-row pipelines: fail in the driver before launching a job,
+      never per row).
+    - plain Python **type** schema: ``isinstance`` (no Spark needed).
+    - any other spec (``Validator``, dict, value literal, ``Schema`` over
+      a plain value): reference-equivalent per-value validation via the
+      single-document engine (``Schema.__call__`` one-row round trip) —
+      needs an active SparkSession.
     """
     from functools import wraps
 
@@ -2092,25 +2096,35 @@ def validate(*a, **kw):
     RETURNS_KEY = "__return__"
     return_schema = kw.pop(RETURNS_KEY, None)
 
+    def _static_df_check(name, schema, value):
+        fields, _, _complex = schema._bind_fields(value.schema)
+        by_name = {f.name for f in value.schema.fields}
+        for fld in fields:
+            if (fld.required and fld.default is UNDEFINED
+                    and fld.name not in by_name):
+                raise er.RequiredFieldInvalid(
+                    "required key not provided", [name, fld.name])
+
+    def _validate_value(name, spec, value):
+        """Per-value path: ride the value through a one-key carrier doc
+        (the single-document engine); the carrier key IS the arg name, so
+        raised errors already match the reference's arg-dict rendering
+        (``... @ data['<argname>']``)."""
+        carrier = Schema({dsl.Required(name): spec})
+        return carrier({name: value})[name]
+
     def _check(name, schema, value):
         if isinstance(schema, Schema):
-            if not isinstance(value, DataFrame):
-                raise er.Invalid(f"expected a DataFrame", [name])
-            fields, _, _complex = schema._bind_fields(value.schema)
-            by_name = {f.name for f in value.schema.fields}
-            for fld in fields:
-                if (fld.required and fld.default is UNDEFINED
-                        and fld.name not in by_name):
-                    raise er.RequiredFieldInvalid(
-                        "required key not provided", [name, fld.name])
-            return
+            if isinstance(value, DataFrame):
+                _static_df_check(name, schema, value)
+                return value
+            return _validate_value(name, schema.schema, value)
         if isinstance(schema, type):
             if not isinstance(value, schema):
                 raise er.TypeInvalid(
                     f"expected {schema.__name__}", [name])
-            return
-        raise er.SchemaError(
-            f"unsupported argument schema for {name!r}: {schema!r}")
+            return value
+        return _validate_value(name, schema, value)
 
     def decorator(func):
         arg_names = func.__code__.co_varnames[: func.__code__.co_argcount]
@@ -2123,10 +2137,10 @@ def validate(*a, **kw):
             bound.update(kwargs)
             for name, schema in schemas.items():
                 if name in bound:
-                    _check(name, schema, bound[name])
-            out = func(*args, **kwargs)
+                    bound[name] = _check(name, schema, bound[name])
+            out = func(**bound)
             if return_schema is not None:
-                _check(RETURNS_KEY, return_schema, out)
+                out = _check(RETURNS_KEY, return_schema, out)
             return out
 
         return wrapper
