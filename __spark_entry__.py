@@ -403,16 +403,38 @@ def _dedup_exact(spark, sf_dir):
     )
 
 
-def _fingerprints(spark, sf_dir):
-    from voluptuous_spark.textops import doc_fingerprint
+def _doc_profile(spark, sf_dir):
+    """Fingerprint + token counts in ONE scan of documents (merged from
+    the separate doc_fingerprints / token_counts queries — same operators,
+    same oracle branches, one query slot)."""
+    from voluptuous_spark.textops import normalize_text
 
-    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")
+    t = normalize_text(F.col("text"))
+    words = F.split(t, " ")
+    return d.select(
+        "doc_id",
+        F.md5(t).alias("fingerprint"),
+        F.when(F.length(t) == 0, 0).otherwise(F.size(words)).alias("n_tokens"),
+        F.ceil(F.length(t) / 4).cast("long").alias("n_bpe_est"),
+    )
 
 
-def _token_counts(spark, sf_dir):
-    from voluptuous_spark.textops import token_count
+def _dedup_clusters(spark, sf_dir):
+    """Transitive closure of the MinHash/LSH candidate pairs: duplicate
+    CLUSTERS via large-star/small-star connected components, minimum
+    member marked canonical."""
+    from voluptuous_spark.graph import duplicate_clusters
+    from voluptuous_spark.textops import minhash_lsh_candidates
 
-    return token_count(_t(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_candidates(
+        _t(spark, sf_dir, "documents"), basis="ranked"
+    )
+    return duplicate_clusters(pairs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_canonical",
+    )
 
 
 def _lang_id(spark, sf_dir):
@@ -510,8 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_quantity": _ks_quantity,
         "histogram_priority": _histogram_priority,
         "dedup_exact": _dedup_exact,
-        "doc_fingerprints": _fingerprints,
-        "token_counts": _token_counts,
+        "doc_profile": _doc_profile,
+        "dedup_clusters": _dedup_clusters,
         "lang_id": _lang_id,
         "quality_scores": _quality,
         "jaccard_pairs": _jaccard_pairs,
@@ -613,8 +635,11 @@ _MINHASH_COEFS_SQL = [
     (715_225_739, 524_287), (413_158_511, 6_700_417),
 ]
 
-_MINHASH_ORACLE = r"""
-    WITH w AS (
+# shared CTE chain (shingle -> rank -> minhash signature -> bands); the
+# RECURSIVE keyword is inert for the non-recursive consumers and required
+# by the dedup_clusters reachability walk appended after it
+_MINHASH_ORACLE_CTE = r"""
+    WITH RECURSIVE w AS (
       SELECT doc_id,
              string_split(lower(trim(regexp_replace(
                  text, '\s+', ' ', 'g'))), ' ') AS ws
@@ -643,6 +668,9 @@ _MINHASH_ORACLE = r"""
     for bi in range(4)
 ) + """
     )
+"""
+
+_MINHASH_ORACLE = _MINHASH_ORACLE_CTE + """
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.id < b.id
@@ -897,19 +925,39 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids_str
             FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
         """,
-        "doc_fingerprints": r"""
+        "doc_profile": r"""
             SELECT doc_id,
-                   md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
-            FROM documents
-        """,
-        "token_counts": r"""
-            SELECT doc_id,
+                   md5(t) AS fingerprint,
                    CASE WHEN length(t) = 0 THEN 0
                         ELSE len(string_split(t, ' ')) END AS n_tokens,
                    CAST(ceil(length(t) / 4.0) AS BIGINT) AS n_bpe_est
             FROM (SELECT doc_id,
                          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
                   FROM documents)
+        """,
+        # transitive closure of the MinHash band-join pairs: reachability
+        # recursive CTE, component label = min reachable id (the engine
+        # computes the same fixpoint via large-star/small-star rounds)
+        "dedup_clusters": _MINHASH_ORACLE_CTE + r"""
+    , pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.id < b.id
+    ), nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+      )
+    ), sym AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT walk.id, sym.v FROM walk JOIN sym ON sym.u = walk.r
+    )
+    SELECT id, min(r) AS cluster_id,
+           (id = min(r)) AS is_canonical
+    FROM walk GROUP BY id
         """,
         "lang_id": r"""
             WITH h AS (

@@ -344,10 +344,15 @@ def write_baseline_md(queries: dict, scaling: dict,
         "every fixture corruption class) — the audio payload never "
         "crosses the JVM->Python",
         "boundary. Measured effect vs round 1: local[1] per-core "
-        "throughput ~2x, and the",
-        "single-thread baseline now matches the reference library's "
-        "single-threaded rate",
-        "while also computing uniqueness/referential/stats/drift.",
+        "throughput ~2x while also",
+        "computing uniqueness/referential/stats/drift. Single-CORE the "
+        "engine's row+PCM-only",
+        "rate trades within noise of the reference library's (both sides "
+        "swing with this VM's",
+        "page-cache/co-tenant state; the reference itself measured 3.6k "
+        "one round and 7.8k the",
+        "next on identical code+data) — the per-NODE comparison below is "
+        "the stable one.",
         "",
         "n1_to_4 is the representative N -> 4N pair: walls stay >20s so "
         "fixed per-run",

@@ -232,6 +232,10 @@ CASES = [
     ({"s": ("In", [])}, {"s": "x"}),
     ({"q": ("Msg", ("Range", 1, 5), "boom")}, {"q": 3}),
     ({"t": ("Title",)}, {"t": "hello world"}),
+    # str.title() uppercases after ANY non-letter, not just whitespace
+    # (fuzz seed 201): 'x@y.com' -> 'X@Y.Com', 'a1b' -> 'A1B'
+    ({"t": ("Title",)}, {"t": "x@y.com"}, {"t": "a1b"}, {"t": "they're"},
+     {"t": "ABC dEF"}, {"t": ""}, {"t": " pad "}),
     ({"t": ("Set",)}, {"t": [1, 1, 2]}),
     # multiple failing fields accumulate (error SET compare)
     (

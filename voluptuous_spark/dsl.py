@@ -2088,14 +2088,38 @@ class Capitalize(_Transform):
 
 
 class Title(_Transform):
-    """util.py:45-52: str.title."""
+    """util.py:45-52: str.title.
+
+    NOT ``initcap``: Python's ``str.title()`` uppercases a letter after
+    ANY non-letter ('x@y.com' -> 'X@Y.Com', 'a1b' -> 'A1B'), while
+    initcap only splits on whitespace (and Spark's also lowercases the
+    rest — close but wrong at the boundaries). Replicated as a JVM-side
+    character fold: uppercase a letter whose predecessor is not a letter,
+    lowercase a letter whose predecessor is one, pass everything else
+    through. Per-cell cost is linear in string length inside codegen —
+    no Python."""
 
     @staticmethod
     def _py(value):
         return str(value).title()
 
     def _expr(self, col):
-        return F.initcap(col.cast("string"))
+        s = col.cast("string")
+        folded = F.aggregate(
+            F.split(s, ""),
+            F.struct(F.lit("").alias("acc"), F.lit("").alias("prev")),
+            lambda a, c: F.struct(
+                F.concat(
+                    a["acc"],
+                    F.when(a["prev"].rlike(r"\p{L}"), F.lower(c)).otherwise(
+                        F.upper(c)
+                    ),
+                ).alias("acc"),
+                c.alias("prev"),
+            ),
+            lambda a: a["acc"],
+        )
+        return F.when(s.isNull(), F.lit(None)).otherwise(folded)
 
 
 class Strip(_Transform):

@@ -1,0 +1,146 @@
+"""Distributed connected components + duplicate clustering.
+
+The dedup pipeline (textops) stops at PAIRS: exact fingerprint groups,
+MinHash/LSH candidate pairs, SimHash neighbors. Training-data dedup needs
+one more step — transitive closure: if A~B and B~C, then {A,B,C} is ONE
+duplicate cluster and exactly one member survives. That closure is
+connected components on the near-dup candidate graph.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+DataFrame ops — the scale-correct choice:
+
+- converges in O(log n) rounds on any graph (vs O(diameter) for naive
+  label propagation — a duplicate CHAIN a~b~c~...~z would take one round
+  per link under min-label propagation);
+- every round is a groupBy(min) + a co-partitioned join on the SAME key,
+  so at 10^12 edges each round is one shuffle of the edge list and the
+  join reuses the aggregation's partitioning;
+- no collect_list: star centers (which accumulate O(component-size)
+  degree by design) are aggregated with `min`, never materialized as an
+  in-memory neighbor array — the skew a dedup graph always has (one
+  boilerplate string duplicated 10^6 times) stays inside Spark's
+  partial-aggregation machinery.
+
+Driver-side iteration with a convergence check is the idiomatic Spark
+shape for iterative graph algorithms (GraphFrames does the same); lineage
+is cut per round with localCheckpoint — on a real cluster set a
+checkpoint dir and use `df.checkpoint()` for fault tolerance instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(df: DataFrame) -> DataFrame:
+    """Canonical undirected edge form: (u, v) with u > v, self-loops
+    dropped, distinct."""
+    return (
+        df.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star(u): connect every LARGER neighbor of u to the minimum
+    of u's neighborhood (including u). One groupBy + one join, both keyed
+    on u."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    m = F.least(F.col("u"), F.col("mv")).alias("m")
+    return _canon(
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star(u): connect every SMALLER neighbor of u (and u itself)
+    to the minimum of those neighbors. Operates directly on the canonical
+    u>v orientation."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    withm = edges.join(mins, "u")
+    pairs = withm.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        mins.select("u", F.col("m").alias("v"))
+    )
+    return _canon(pairs)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, cluster_id) for every node of ``edges``; cluster_id is the
+    minimum node id of the component. Nodes with no edges are absent
+    (they are their own cluster — callers left-join and coalesce).
+
+    Converges when a large-star + small-star round leaves the edge set
+    unchanged (checked via count + order-independent hash sum — one tiny
+    aggregate per round, no driver-side edge materialization). The
+    fixpoint is a forest of stars centered at each component's minimum.
+    """
+    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    e = e.localCheckpoint(eager=True)
+
+    def _sig(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig2 = _sig(e2)
+        e = e2
+        if sig2 == sig:
+            break
+        sig = sig2
+
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+        .union(
+            e.select(F.col("v").alias("id"), F.col("v").alias("cluster_id"))
+        )
+        .distinct()
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Near-dup candidate pairs -> (id, cluster_id, is_canonical): the
+    transitive closure of the pair relation, with the minimum id of each
+    cluster marked canonical (the member a dedup pass keeps)."""
+    cc = connected_components(pairs, src, dst)
+    return cc.select(
+        "id",
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def dedup_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    src: str = "id_a", dst: str = "id_b",
+) -> DataFrame:
+    """Drop every non-canonical member of every duplicate cluster: keeps
+    docs that are unclustered (no candidate pair — the overwhelming
+    majority, which the left_anti join never shuffles wide) or the
+    cluster minimum. Two shuffles beyond the CC itself: one broadcast-or-
+    hash join against the (tiny) non-canonical id list."""
+    drop = duplicate_clusters(pairs, src, dst).filter(~F.col("is_canonical"))
+    return df.join(
+        drop.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
