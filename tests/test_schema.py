@@ -15,6 +15,7 @@ from voluptuous_spark import (
     Coerce,
     Exclusive,
     In,
+    MultipleInvalid,
     Inclusive,
     Length,
     Optional,
@@ -194,9 +195,36 @@ def test_infer(spark):
     assert res.valid.count() == 1
 
 
-def test_non_dict_schema_rejected():
+def test_non_dict_schema_rejected_for_tables(spark):
+    # constructing is fine (reference compiles any root), but TABLE
+    # validation needs a dict of column -> validator
+    s = Schema([1, 2, 3])
+    df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(UnsupportedSchema):
-        Schema([1, 2, 3])
+        s.validate(df)
+
+
+def test_scalar_schema_single_doc(spark):
+    # reference schema_builder.py:202-205: any root schema validates a
+    # single value through __call__
+    assert Schema(int)(5) == 5
+    assert Schema([int])([1, 2]) == [1, 2]
+    from voluptuous_spark import All, Coerce, Range
+
+    assert Schema(All(Coerce(int), Range(min=1)))("7") == 7
+    with pytest.raises(MultipleInvalid) as ei:
+        Schema(int)("x")
+    assert str(ei.value) == "expected int"
+    with pytest.raises(MultipleInvalid) as ei:
+        Schema({"k": int})(5)
+    assert str(ei.value) == "expected a dictionary"
+    with pytest.raises(MultipleInvalid) as ei:
+        Schema([int])([1, None, 3])
+    assert str(ei.value) == "expected int @ data[1]"
+    # mixed-type sequences have no column type: clear UnsupportedSchema,
+    # not a py4j type error (documented static-typing divergence)
+    with pytest.raises(UnsupportedSchema):
+        Schema([int])([1, "a"])
 
 
 def test_report_partitions(spark):

@@ -178,6 +178,7 @@ class Schema:
         self.required = required
         self.extra = extra
         self._compiled_cache: dict = {}
+        self._value_only = False
         if isinstance(schema, dict):
             return
         if (
@@ -190,10 +191,11 @@ class Schema:
             # match >=1 branch (reference Schema(Any({...}, {...},
             # required=True)), tests.py:1607-1622)
             return
-        raise UnsupportedSchema(
-            "table Schema must be a dict of column -> validator (or Any "
-            "over dicts); use compile_validator for single columns"
-        )
+        # non-dict root (Schema(int), Schema([str]), Schema(All(...))):
+        # the reference compiles these uniformly (schema_builder.py:212-
+        # 234); here they serve the single-document call path only —
+        # table validation needs a dict of column -> validator
+        self._value_only = True
 
     # -- equality / rendering (schema_builder.py:183-200): two Schemas
     # compare by schema value (dict order irrelevant), never equal to a
@@ -230,16 +232,14 @@ class Schema:
 
         from .exceptions import raise_if_invalid
 
-        if not isinstance(data, dict):
-            raise UnsupportedSchema(
-                "Schema.__call__ validates dict documents; wrap scalars in "
-                "a dict or use compile_validator"
-            )
         spark = spark or SparkSession.getActiveSession()
         if spark is None:
             raise RuntimeError(
                 "Schema.__call__ needs an active SparkSession"
             )
+        _assert_representable(data)
+        if not isinstance(data, dict):
+            return self._call_scalar_doc(data, spark)
         if data and not all(isinstance(k, str) for k in data):
             return self._call_map_doc(data, spark)
         stype = self._infer_doc_type(data)
@@ -248,6 +248,37 @@ class Schema:
         raise_if_invalid(res)
         rows = res.valid.collect()
         return rows[0].asDict(recursive=True)
+
+    def _call_scalar_doc(self, data, spark):
+        """Top-level NON-dict document (``Schema(int)(5)`` -> ``5``,
+        ``Schema([str])(['a'])`` — reference schema_builder.py:202-205
+        dispatches uniformly): ride the value through a one-key carrier
+        row and strip the carrier from error paths so ``str(exc)`` renders
+        path-less exactly like the reference's root-value errors.
+
+        Engine-wide divergence note applies: a None value is an absent
+        key in column land, so ``Schema(int)(None)`` reports 'required
+        key not provided' rather than the reference's 'expected int'."""
+        from . import exceptions as er
+
+        if isinstance(self.schema, dict):
+            raise er.MultipleInvalid(
+                [er.DictInvalid("expected a dictionary")]
+            )
+        carrier = Schema({dsl.Required("__v__"): self.schema})
+        try:
+            return carrier({"__v__": data}, spark)["__v__"]
+        except er.MultipleInvalid as e:
+            for sub in e.errors:
+                if sub.path and sub.path[0] == "__v__":
+                    sub._path = sub.path[1:]
+                    # the root value's own gate error carried the dict
+                    # compiler's 'dictionary value' ctx; a real root
+                    # scalar error renders bare (validators raise with
+                    # no ctx at the top level)
+                    if not sub._path and sub.error_type == "dictionary value":
+                        sub.error_type = None
+            raise er.MultipleInvalid(e.errors) from None
 
     def _call_map_doc(self, data: dict, spark) -> dict:
         """Documents with non-string keys (reference tests.py:1111-1129,
@@ -634,6 +665,13 @@ class Schema:
         py4j expression-building cost linear. Compiled selections are
         memoized per input schema — the reference compiles once per Schema
         too (schema_builder.py:138)."""
+        if self._value_only:
+            raise UnsupportedSchema(
+                "table Schema must be a dict of column -> validator (or "
+                "Any over dicts); a non-dict Schema validates single "
+                "documents via Schema.__call__, or use compile_validator "
+                "for single columns"
+            )
         memo_key = (
             id(df.sparkSession),  # compiled Columns are session-scoped
             df.schema.simpleString(),
@@ -1975,6 +2013,29 @@ def _infer_spark_type(value, hint=None) -> T.DataType:
         if t is not None:
             return t
     return T.StringType()
+
+
+def _assert_representable(data, path=()):
+    """Single-document mode rides a typed one-row DataFrame, so a MIXED-
+    type sequence ([1, 'a']) has no column type. Raise the engine's
+    UnsupportedSchema with the path instead of a deep py4j type error —
+    a documented static-typing divergence from the reference, which
+    validates heterogeneous lists element-by-element."""
+    if isinstance(data, dict):
+        for k, v in data.items():
+            _assert_representable(v, path + (k,))
+    elif isinstance(data, (list, tuple, set, frozenset)):
+        kinds = {
+            bool if isinstance(x, bool) else type(x)
+            for x in data if x is not None
+        }
+        if len(kinds) > 1:
+            raise UnsupportedSchema(
+                "mixed-type sequence %r at %s is not representable as a "
+                "typed column (single-document mode)" % (data, list(path))
+            )
+        for i, v in enumerate(data):
+            _assert_representable(v, path + (i,))
 
 
 def _to_row_value(value, dtype):
