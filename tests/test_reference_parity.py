@@ -403,6 +403,19 @@ CASES = [
     # Remove values from a list (tests.py:215-223)
     ({"x": [("Remove", 1), int]}, {"x": [1, 2, 3, 4, 1, 5, 6, 1, 1, 1]}),
     ({"x": [1.0, ("Remove", float)]}, {"x": [1.0, 2.0, 3.0, 1.0]}),
+    # Remove fall-through (fuzz seeds 5012/5032): the key is removed only
+    # when its VALUE schema passes; a failing value routes to the extra
+    # policy — kept raw under ALLOW_EXTRA, 'extra keys not allowed' under
+    # PREVENT (schema_builder.py:350-368,385-396)
+    ({("Remove", "k"): ("Range", 0, 10), "w": int},
+     {"k": 5, "w": 1}, {"k": 99, "w": 1}),
+    # nested Msg over a dict schema one level down (fuzz seed 5019):
+    # depth<=1 override applies at any nesting level
+    ({"k": {"n0": ("Msg", {"m": int}, "inner dict msg"),
+            "n1": int}},
+     {"k": {"n0": {"m": 1}, "n1": 2}},
+     {"k": {"n0": {"m": "x"}, "n1": 2}},
+     {"k": {"n0": 5, "n1": 2}}),
     # Remove with callable key + callable wildcard (tests.py:226-247)
     ({("Remove", ("All", str, ("PyCallable", "starts_with_dot"))): object,
       ("PyCallable", "no_dot"): object},
@@ -538,6 +551,12 @@ CASES = [
 # (schema spec, schema kwargs, docs...) — policy/flag cases
 KW_CASES = [
     ({"a": int}, {"extra": 1}, {"a": 3, "zzz": "keep"}),
+    # Remove fall-through under ALLOW_EXTRA (fuzz seed 5032): a failing
+    # value keeps the key with its RAW value; a passing value removes it
+    ({("Remove", "k"): ("Range", 0, 10), "a": int}, {"extra": 1},
+     {"k": 5, "a": 3}, {"k": 99, "a": 3}),
+    ({("Remove", "k"): {"n": ("Range", 0, 10)}, "a": int}, {"extra": 1},
+     {"k": {"n": 99}, "a": 3}, {"k": {"n": 3}, "a": 3}),
     ({"a": int}, {"extra": 0}, {"a": 3, "zzz": "nope"}),
     ({"a": int, "b": str}, {"required": True}, {"a": 3}),
     ({"a": int}, {"extra": 2}, {"a": 3, "zzz": "drop"}),

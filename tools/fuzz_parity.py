@@ -39,6 +39,15 @@ STRS = [
 ]
 MATCH_POOL = [r"^a", r"^ab", r"[0-9]+$", r"^[a-z]{2,4}$", r"\S"]
 DATE_STRS = ["2024-01-02", "2024-02-29", "2024-13-01", "nope", "02/01/2024"]
+EMAILISH = ["x@y.com", "a.b@c.d.org", "@nope.com", "x@", "plain", "x y@z.com"]
+URLISH = [
+    "http://example.com/a?b=1", "https://x.io", "ftp://files.org/f",
+    "nota url", "http://", "//missing.scheme",
+]
+DT_STRS = [
+    "2024-01-02T10:20:30.000Z", "2024-01-02 10:20:30",
+    "2024-02-30T00:00:00.000Z", "nope", "2024-01-02",
+]
 
 
 def _ints(rng, lo=0, hi=4):
@@ -140,7 +149,13 @@ NUM_STRS = ["1234.01", "123456.712", "0.5", "-17", "1e3", "abc", "12345678"]
 
 
 def gen_str_spec(rng, depth=0):
-    choice = rng.randrange(15 if depth == 0 else 9)
+    choice = rng.randrange(18 if depth == 0 else 9)
+    if choice == 15:
+        return ("Email",), lambda r: r.choice(EMAILISH + STRS[:4])
+    if choice == 16:
+        return ("Url",), lambda r: r.choice(URLISH)
+    if choice == 17:
+        return ("Datetime",), lambda r: r.choice(DT_STRS)
     if choice == 12:
         return ("Replace", rng.choice(["a", "an", "[0-9]"]),
                 rng.choice(["X", ""])), lambda r: r.choice(STRS)
@@ -241,6 +256,11 @@ def gen_dict_spec(rng, depth):
     def sample(r):
         return {k: fn(r) for k, fn in samplers.items()}
 
+    if rng.random() < 0.2:
+        # Msg over a nested dict schema: the depth<=1 override rule
+        # (schema_builder.py:946-949) — only direct descendants get the
+        # custom message
+        return ("Msg", sub, "fuzz dict message"), sample
     return sub, sample
 
 
@@ -275,7 +295,10 @@ def gen_case(seed):
         key = f"k{i}"
         spec, fn = gen_value_spec(rng)
         p = rng.random()
-        if p < 0.25:
+        if p < 0.08:
+            # Remove: value never validated, key dropped from the output
+            kspec = ("Remove", key)
+        elif p < 0.25:
             kspec = ("Required", key)
         elif p < 0.40:
             # Optional, sometimes with a scalar default injected on

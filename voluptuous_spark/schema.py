@@ -247,7 +247,15 @@ class Schema:
         res = self.validate(df, id_cols=[])
         raise_if_invalid(res)
         rows = res.valid.collect()
-        return rows[0].asDict(recursive=True)
+        out = rows[0].asDict(recursive=True)
+        for k in self.schema if isinstance(self.schema, dict) else ():
+            # per-row Remove: null = removed (a kept fall-through value
+            # is non-null by construction)
+            if isinstance(k, Remove):
+                n = _key_name(k)
+                if n in out and out[n] is None:
+                    del out[n]
+        return out
 
     def _call_scalar_doc(self, data, spark):
         """Top-level NON-dict document (``Schema(int)(5)`` -> ``5``,
@@ -511,6 +519,37 @@ class Schema:
                 and not isinstance(val_schema, bool)):
             return not dsl._pytype_matches(type(val_schema), dtype)
         return False
+
+    def _value_fail_cond(self, v, col, dtype, path) -> Column:
+        """Per-row boolean: does ``v`` REJECT the (present) cell? Used by
+        the Remove fall-through — the failure routes to the extra policy,
+        not to value errors, so only the condition is harvested (the
+        violation structs built here are throwaway driver-side Columns)."""
+        v = _unwrap_marker(v)
+        arrs: list = []
+        if isinstance(v, dsl.Msg) and isinstance(v.schema, dict):
+            v = v.schema
+        if isinstance(v, dict):
+            sub = Schema(v, required=self.required, extra=self.extra)
+            if isinstance(dtype, T.MapType):
+                _, errs, arrs = sub._validate_map(col, dtype, path)
+            else:
+                _, errs = sub._validate_struct(
+                    col, dtype, path, root=self.schema, arrays=arrs
+                )
+        elif isinstance(v, list) and isinstance(dtype, T.ArrayType):
+            _, errs, arrs = self._validate_sequence(v, col, dtype, path)
+        else:
+            check = compile_validator(v, dtype, path=path)
+            errs = [check.err(col)]
+            if check.multi is not None:
+                arrs = [check.multi(col)]
+        cond = F.lit(False)
+        for e in errs:
+            cond = cond | e.isNotNull()
+        for a in arrs:
+            cond = cond | F.coalesce(F.size(a) > 0, F.lit(False))
+        return cond & col.isNotNull()
 
     def _bind_fields(self, struct: T.StructType, prefix: tuple[str, ...] = ()):
         fields: list[_Field] = []
@@ -778,7 +817,31 @@ class Schema:
 
             col = _fcol(fld.name)
             if fld.remove:
-                continue  # dropped from output, never validated
+                # reference Remove semantics (schema_builder.py:350-368,
+                # 385-396): the key is removed only when its VALUE schema
+                # passes; a failing value falls through to the extra
+                # policy (kept under ALLOW_EXTRA, 'extra keys not
+                # allowed' under PREVENT, dropped under REMOVE). Columns
+                # are static, so removal is per-ROW: null = absent.
+                dtype = by_name.get(fld.name)
+                if (
+                    dtype is None
+                    or self.extra == REMOVE_EXTRA
+                    or _value_statically_passes(fld.validator, dtype)
+                ):
+                    continue  # static drop: the value can never fail
+                fails = self._value_fail_cond(
+                    fld.validator, col, dtype, fld.path
+                )
+                out_cols[fld.name] = (
+                    F.when(fails, col).otherwise(F.lit(None).cast(dtype))
+                )
+                if self.extra == PREVENT_EXTRA:
+                    err_entries.append(_violation(
+                        fld.path, F.lit("extra keys not allowed"),
+                        "Invalid", py_repr_col(col, dtype), fails,
+                    ))
+                continue
             if isinstance(fld.validator, dsl.StaticKeyInvalid):
                 # column name failed a callable key schema: key error on
                 # every row where the key (column) is present, bare path
@@ -1866,6 +1929,15 @@ class Schema:
                 continue
             sub_col = col[name]
             val = root if val is dsl.Self else val
+            sub_msg_override = None
+            if isinstance(val, dsl.Msg) and isinstance(val.schema, dict):
+                # Msg over a mapping schema nested BELOW the top level:
+                # same depth<=1 override rule as the root field loop
+                # (schema_builder.py:942-949)
+                et = val.cls if isinstance(val.cls, str) else (
+                    val.cls.__name__ if val.cls else "Invalid")
+                sub_msg_override = (val.msg, et)
+                val = val.schema
             if isinstance(val, dict):
                 sub_schema = Schema(val, required=self.required, extra=self.extra)
                 if isinstance(sub_t, T.MapType):
@@ -1883,7 +1955,12 @@ class Schema:
                     # Msg -> own-level (overridable); it is raised AT the
                     # key's own path, so the enclosing mapping stamps the
                     # 'dictionary value' context (schema_builder.py:368-371)
-                    emit(path, F.lit("expected a dictionary"), "DictInvalid",
+                    g_msg, g_et = (
+                        sub_msg_override
+                        if sub_msg_override is not None
+                        else ("expected a dictionary", "DictInvalid")
+                    )
+                    emit(path, F.lit(g_msg), g_et,
                          F.lit("None"), col.isNotNull() & sub_col.isNotNull(),
                          ctx="dictionary value")
                     outs.append(sub_col.alias(name))
@@ -1891,6 +1968,7 @@ class Schema:
                 o, e = sub_schema._validate_struct(
                     sub_col, sub_t, path,
                     as_object=isinstance(val, dsl.Object), root=root,
+                    msg_override=sub_msg_override,
                     arrays=arrays,
                 )
                 outs.append(o.alias(name))
@@ -2013,6 +2091,18 @@ def _infer_spark_type(value, hint=None) -> T.DataType:
         if t is not None:
             return t
     return T.StringType()
+
+
+def _value_statically_passes(v, dtype) -> bool:
+    """True when the value schema provably ACCEPTS every non-null cell of
+    a column with static type ``dtype`` — a type schema matching the
+    column type. Remove keys with such values drop the column statically
+    (the reference removes on every row, so no row can fall through to
+    the extra policy)."""
+    v = _unwrap_marker(v)
+    return isinstance(v, type) and dtype is not None and dsl._pytype_matches(
+        v, dtype
+    )
 
 
 def _assert_representable(data, path=()):
