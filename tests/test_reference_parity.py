@@ -416,6 +416,54 @@ CASES = [
      {"k": {"n0": {"m": 1}, "n1": 2}},
      {"k": {"n0": {"m": "x"}, "n1": 2}},
      {"k": {"n0": 5, "n1": 2}}),
+    # transforms str()-cast ANY input first (util.py:15-62, fuzz seed
+    # 5422): str(['a']).lower() is "['a']" (len 5), Python rendering
+    ({"k0": ("All", ("Lower",), ("Length", 5, 6)), "k1": float},
+     {"k0": ["a"], "k1": 0.5}, {"k0": [1, 22], "k1": 1.0}),
+    # Remove with a PASSING list value removes per-row (fuzz seed 5557)
+    ({("Remove", "k1"): [str], "k2": int},
+     {"k1": ["red", "", "17"], "k2": 1}, {"k1": [], "k2": 1}),
+    # Unordered's per-element errors survive a wrapping Msg when the
+    # FIRST error is deep (fuzz seed 5717) — the multi-error channel
+    # participates in the all-or-nothing computation at its key position
+    ({("Required", "k0"): ("Msg", {"n0": {"n0": ("Boolean",),
+                                          "n1": ("Range", 0.0, 10.0)},
+                                   "n1": ("Unordered", [("In", [10]),
+                                                        ("In", [5, 49, 9, 7]),
+                                                        ("Equal", 1)])},
+      "fuzz dict message")},
+     {"k0": {"n0": {"n0": "zebra", "n1": 2.5}, "n1": [2.0, 7.0, -5.0]}},
+     {"k0": {"n0": {"n0": "1", "n1": 2.5}, "n1": [10.0, 7.0, 1.0]}}),
+    # Msg is all-or-nothing on the FIRST error (fuzz seed 5257): a deep
+    # first error passes the WHOLE set through (shallow errors included);
+    # a shallow first error collapses everything to Invalid(msg)
+    ({"k1": ("Msg", {"n0": {"n0": ("Range", -2.5, 5.0)},
+                     "n1": ("ExactSequence", [("Equal", 10)])}, "fuzz m")},
+     {"k1": {"n0": {"n0": 100.0}, "n1": [0]}},
+     {"k1": {"n0": {"n0": 1.0}, "n1": [0]}}),
+    ({"k1": ("Msg", {"n1": ("ExactSequence", [("Equal", 10)]),
+                     "n0": {"n0": ("Range", -2.5, 5.0)}}, "fuzz m")},
+     {"k1": {"n1": [0], "n0": {"n0": 100.0}}}),
+    # missing-required inside a Msg dict orders AFTER value errors
+    # (schema_builder.py:399-405): the deep value error is first
+    ({"k1": ("Msg", {("Required", "r"): int,
+                     "n0": {"n0": ("Range", 0, 1)}}, "m!")},
+     {"k1": {"n0": {"n0": 5.0}}}, {"k1": {"n0": {"n0": 0.5}}}),
+    # Number on a FLOAT feeds Decimal(float) — exact binary, so dyadic
+    # 10.0 is Decimal('10'): scale 0 matches, only precision message
+    # (fuzz seed 5089)
+    ({"x": ("Number", 4, 0)}, {"x": 10.0}, {"x": 0.5}, {"x": 100.0}),
+    ({"x": ("Number", 4, 1)}, {"x": 10.0}),
+    # SomeOf raises with an EMPTY own path through the default-injection
+    # route too (fuzz seed 5232)
+    ({("Optional", "k", None, -1): ("SomeOf", [("Range", 0, 5),
+                                               ("Range", 2, 25)], 1)}, {}),
+    # Remove inside a NESTED dict schema: removed when the value passes,
+    # extra policy when it fails; never subject to required=True
+    ({"k": {("Remove", "r"): int, "n": int}},
+     {"k": {"r": 1, "n": 2}}),
+    ({"k": {("Remove", "r"): ("Range", 0, 1), "n": int}},
+     {"k": {"r": 5, "n": 2}}, {"k": {"r": 0, "n": 2}}),
     # Remove with callable key + callable wildcard (tests.py:226-247)
     ({("Remove", ("All", str, ("PyCallable", "starts_with_dot"))): object,
       ("PyCallable", "no_dot"): object},

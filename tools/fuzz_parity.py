@@ -327,6 +327,29 @@ def gen_case(seed):
     return schema, kw, docs
 
 
+_DUPES_RE = None
+
+
+def _norm_outcome(outcome):
+    """Canonicalize hash-seed-dependent renderings: the reference's
+    Unique builds its duplicate list via ``list(set(...))``
+    (validators.py:966-967) whose string order depends on
+    PYTHONHASHSEED — sort the bracketed items on both sides."""
+    global _DUPES_RE
+    import re as _re
+
+    if _DUPES_RE is None:
+        _DUPES_RE = _re.compile(r"(contains duplicate items: )\[([^\]]*)\]")
+    if outcome[0] != "err":
+        return outcome
+
+    def _fix(m):
+        items = sorted(x.strip() for x in m.group(2).split(",") if x.strip())
+        return m.group(1) + "[" + ", ".join(items) + "]"
+
+    return ("err", sorted(_DUPES_RE.sub(_fix, s) for s in outcome[1]))
+
+
 def main():
     start = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
@@ -370,6 +393,8 @@ def main():
                 got = _run_engine(spark, schema, doc, **kw)
             except Exception as e:
                 got = ("schema_err", type(e).__name__)
+            expected = _norm_outcome(expected)
+            got = _norm_outcome(got)
             ok = (
                 got == expected
                 or (

@@ -1735,6 +1735,15 @@ class Number(Validator):
 
         def parts(col):
             s = F.trim(col.cast("string"))
+            if isinstance(dtype, _FRACTIONALS):
+                # float input: the reference feeds the FLOAT to Decimal()
+                # — the exact binary value, so a dyadic 10.0 is
+                # Decimal('10') (scale 0), not '10.0' (fuzz seed 5089).
+                # Spark renders doubles with a trailing .0; strip it.
+                # Non-dyadic floats (0.1 -> 55 exact digits) remain a
+                # documented divergence — not representable in a 38-digit
+                # Spark decimal.
+                s = F.regexp_replace(s, r"\.0$", "")
             intp = F.regexp_extract(s, self._NUM_RE, 1)
             frac = F.regexp_extract(s, self._NUM_RE, 3)
             exp = F.regexp_extract(s, self._NUM_RE, 5)
@@ -2048,7 +2057,14 @@ class _Transform(Validator):
         raise NotImplementedError
 
     def bind(self, dtype):
-        return RowCheck(self._expr, lambda c: F.lit(None), self.out_type)
+        def out(c):
+            # the reference str()-casts ANY input first (util.py:15-62):
+            # str(['a']).lower() == "['a']" — Python rendering, not
+            # Spark's bare array cast ('[a]')
+            base = c if isinstance(dtype, T.StringType) else _py_str(c, dtype)
+            return self._expr(base)
+
+        return RowCheck(out, lambda c: F.lit(None), self.out_type)
 
 
 class Lower(_Transform):

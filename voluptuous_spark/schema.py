@@ -248,13 +248,8 @@ class Schema:
         raise_if_invalid(res)
         rows = res.valid.collect()
         out = rows[0].asDict(recursive=True)
-        for k in self.schema if isinstance(self.schema, dict) else ():
-            # per-row Remove: null = removed (a kept fall-through value
-            # is non-null by construction)
-            if isinstance(k, Remove):
-                n = _key_name(k)
-                if n in out and out[n] is None:
-                    del out[n]
+        if isinstance(self.schema, dict):
+            _strip_removed(out, self.schema)
         return out
 
     def _call_scalar_doc(self, data, spark):
@@ -600,6 +595,9 @@ class Schema:
             group_ex = group_in = None
             if isinstance(key, Remove):
                 remove = True
+                # the required flag never applies to Remove keys
+                # (schema_builder.py:246)
+                required = False
             if isinstance(key, Required):
                 required = True
                 default = key.default
@@ -796,7 +794,11 @@ class Schema:
                         dlit = F.lit(dval)
                         derr = check.err(dlit)
                         err_entries.append(_violation(
-                            fld.path, derr["message"], derr["error_type"],
+                            # drop_path checks (SomeOf) raise with an
+                            # empty own path even through the default-
+                            # injection route (fuzz seed 5232)
+                            () if check.drop_path else fld.path,
+                            derr["message"], derr["error_type"],
                             py_repr_col(dlit, d_t), derr.isNotNull(),
                             ctx="dictionary value",
                         ))
@@ -830,9 +832,18 @@ class Schema:
                     or _value_statically_passes(fld.validator, dtype)
                 ):
                     continue  # static drop: the value can never fail
-                fails = self._value_fail_cond(
-                    fld.validator, col, dtype, fld.path
+                # the fail condition MUST evaluate as a hidden stage-1
+                # column: in stage 2 the output column is aliased to the
+                # field's own name, and Spark 4's lateral column alias
+                # resolution would rebind the condition's column refs to
+                # the REPLACED (nulled) column, flipping the verdict
+                f_alias = f"__rm_{len(hidden)}"
+                hidden.append(
+                    self._value_fail_cond(
+                        fld.validator, col, dtype, fld.path
+                    ).alias(f_alias)
                 )
+                fails = F.col(f_alias)
                 out_cols[fld.name] = (
                     F.when(fails, col).otherwise(F.lit(None).cast(dtype))
                 )
@@ -1859,38 +1870,74 @@ class Schema:
                          prefix: tuple[str, ...], as_object: bool = False,
                          root: dict | None = None,
                          msg_override: tuple[str, str] | None = None,
-                         arrays: list | None = None):
+                         arrays: list | None = None,
+                         entries_out: list | None = None):
         """Validate a StructType column field-by-field; returns
         (output struct column, error entries with nested paths).
         ``as_object``: Object schema (schema_builder.py:413-441) — same
         mapping behavior, ObjectInvalid type gate. ``root``: the top-level
-        schema dict that ``Self`` re-enters. ``msg_override``: (msg,
-        error_type) from a wrapping ``Msg`` — the reference overrides only
-        errors whose path depth is <=1 relative to the Msg
-        (schema_builder.py:942-949), i.e. this level's own errors; errors
-        from deeper recursion keep their original message."""
-        root = root if root is not None else self.schema
-        own_conds: list[Column] = []
-        errs: list[Column] = []
+        schema dict that ``Self`` re-enters.
 
-        def emit(path, message, et, off, cond, ctx=None):
-            if msg_override is not None:
-                own_conds.append(cond)
-            else:
-                errs.append(_violation(path, message, et, off, cond, ctx=ctx))
+        ``msg_override``: (msg, error_type) from a wrapping ``Msg``. The
+        reference's Msg is ONE try/except around the whole inner Schema
+        call (schema_builder.py:942-949): if the FIRST raised error has
+        path depth <=1 relative to the Msg, the ENTIRE error set collapses
+        to Invalid(msg); otherwise everything — shallow errors included —
+        passes through unchanged. Error order approximates the reference's
+        data-key iteration: schema-key order, with missing-required
+        appended last (schema_builder.py:399-405) and element-level error
+        arrays treated as always-deep.
+
+        ``entries_out``: internal — collects (violation, abs path len)
+        pairs so a wrapping Msg one level up can order/depth-classify
+        errors from this recursion."""
+        root = root if root is not None else self.schema
+        # entry = (violation | None, abs path len, cond | None): a None
+        # violation is an ORDER-ONLY marker (e.g. a multi-error array's
+        # position) participating in the Msg first-error computation but
+        # emitted through the array channel
+        entries: list[tuple] = []
+        late: list[tuple] = []
+        arr_start = len(arrays) if arrays is not None else 0
+
+        def emit(path, message, et, off, cond, ctx=None, late_=False):
+            v = _violation(path, message, et, off, cond, ctx=ctx)
+            (late if late_ else entries).append((v, len(path), None))
 
         def finish(out_col):
-            if msg_override is not None and own_conds:
-                cond = F.lit(False)
-                for c in own_conds:
-                    cond = cond | c
+            all_e = entries + late
+            if msg_override is not None and (
+                all_e or (arrays is not None and len(arrays) > arr_start)
+            ):
+                S = F.lit(False)
+                not_prev = F.lit(True)
+                for v, plen, cond in all_e:
+                    c = (F.coalesce(cond, F.lit(False)) if cond is not None
+                         else F.coalesce(v.isNotNull(), F.lit(False)))
+                    if plen - len(prefix) <= 1:
+                        S = S | (not_prev & c)
+                    not_prev = not_prev & ~c
                 # the enclosing mapping stamps the Msg-raised Invalid with
                 # the 'dictionary value' context (schema_builder.py:369-371)
-                errs.insert(0, _violation(
+                collapsed = _violation(
                     prefix, F.lit(msg_override[0]), msg_override[1],
-                    F.lit("None"), cond, ctx="dictionary value",
-                ))
-            return out_col, errs
+                    F.lit("None"), S, ctx="dictionary value",
+                )
+                # the collapsed error sits AT the Msg'd key's own path, so
+                # an enclosing Msg one level up classifies it as shallow
+                all_e = [(collapsed, len(prefix), None)] + [
+                    (F.when(~S, v) if v is not None else None, plen, cond)
+                    for v, plen, cond in all_e
+                ]
+                if arrays is not None:
+                    for i in range(arr_start, len(arrays)):
+                        arrays[i] = F.when(~S, arrays[i])
+            if entries_out is not None:
+                entries_out.extend(
+                    (v, plen, cond) for v, plen, cond in all_e
+                    if v is not None
+                )
+            return out_col, [v for v, _, _ in all_e if v is not None]
 
         if not isinstance(dtype, T.StructType):
             # raised AT the key's own path: when there IS an enclosing
@@ -1915,7 +1962,8 @@ class Schema:
         for key, val in self.schema.items():
             name = _key_name(key)
             declared.add(name)
-            required = self.required or isinstance(key, Required)
+            required = (self.required or isinstance(key, Required)) and \
+                not isinstance(key, (Optional, Remove))
             default = getattr(key, "default", UNDEFINED)
             marker_msg = getattr(key, "msg", None)
             sub_t = by_name.get(name)
@@ -1925,10 +1973,30 @@ class Schema:
                     emit(path,
                          F.lit(marker_msg or "required key not provided"),
                          "RequiredFieldInvalid", F.lit("None"),
-                         col.isNotNull())
+                         col.isNotNull(), late_=True)
                 continue
             sub_col = col[name]
             val = root if val is dsl.Self else val
+            if isinstance(key, Remove):
+                # nested Remove: same per-row fall-through as the root
+                # field loop — removed (null) when the value passes,
+                # extra policy when it fails
+                if (
+                    self.extra == REMOVE_EXTRA
+                    or _value_statically_passes(val, sub_t)
+                ):
+                    continue  # static drop from the output struct
+                fails = self._value_fail_cond(val, sub_col, sub_t, path)
+                outs.append(
+                    F.when(fails, sub_col)
+                    .otherwise(F.lit(None).cast(sub_t))
+                    .alias(name)
+                )
+                if self.extra == PREVENT_EXTRA:
+                    emit(path, F.lit("extra keys not allowed"), "Invalid",
+                         py_repr_col(sub_col, sub_t),
+                         fails & col.isNotNull())
+                continue
             sub_msg_override = None
             if isinstance(val, dsl.Msg) and isinstance(val.schema, dict):
                 # Msg over a mapping schema nested BELOW the top level:
@@ -1946,7 +2014,9 @@ class Schema:
                         sub_col, sub_t, path
                     )
                     outs.append(o.alias(name))
-                    errs.extend(sub_singles)
+                    # map-level gate errors sit at the key path (shallow);
+                    # per-entry errors ride the array channel (deep)
+                    entries.extend((v, len(path), None) for v in sub_singles)
                     if arrays is not None:
                         arrays.extend(sub_arrs)
                     continue
@@ -1965,21 +2035,25 @@ class Schema:
                          ctx="dictionary value")
                     outs.append(sub_col.alias(name))
                     continue
-                o, e = sub_schema._validate_struct(
+                child_entries: list = []
+                o, _ = sub_schema._validate_struct(
                     sub_col, sub_t, path,
                     as_object=isinstance(val, dsl.Object), root=root,
                     msg_override=sub_msg_override,
                     arrays=arrays,
+                    entries_out=child_entries,
                 )
                 outs.append(o.alias(name))
-                errs.extend(e)
+                entries.extend(child_entries)
                 continue
             if isinstance(val, list) and isinstance(sub_t, T.ArrayType):
                 o, seq_singles, seq_arrs = self._validate_sequence(
                     val, sub_col, sub_t, path
                 )
                 outs.append(o.alias(name))
-                errs.extend(seq_singles)
+                # sequence own-level errors (type/shape gates) sit at the
+                # key path — shallow relative to a wrapping Msg
+                entries.extend((v, len(path), None) for v in seq_singles)
                 if arrays is not None:
                     arrays.extend(seq_arrs)
                 continue
@@ -1990,12 +2064,13 @@ class Schema:
                     if _dlit is not None else sub_col)
             present = base.isNotNull()
             if required:
+                # missing-required errors append AFTER value errors in the
+                # reference (schema_builder.py:399-405) — late for Msg order
                 emit(path,
                      F.lit(marker_msg or "required key not provided"),
                      "RequiredFieldInvalid", F.lit("None"),
-                     col.isNotNull() & ~present)
-            if (check.multi is not None and arrays is not None
-                    and msg_override is None):
+                     col.isNotNull() & ~present, late_=True)
+            if check.multi is not None and arrays is not None:
                 # multi-error channel (e.g. Unordered): one violation per
                 # accumulated entry at this field's path
                 from .errors import truncate_repr
@@ -2003,8 +2078,9 @@ class Schema:
                 m = check.multi(base)
                 path_lits = _path_lits(path)
                 ctx_s = "object value" if as_object else "dictionary value"
+                m_cond = col.isNotNull() & present & m.isNotNull()
                 arrays.append(F.when(
-                    col.isNotNull() & present & m.isNotNull(),
+                    m_cond,
                     F.transform(m, lambda s: F.struct(
                         F.array(*path_lits).alias("path"),
                         s["message"].alias("message"),
@@ -2014,6 +2090,14 @@ class Schema:
                         F.lit(ctx_s).alias("ctx"),
                     )),
                 ))
+                if msg_override is not None:
+                    # order-only marker: the multi errors sit at the key
+                    # path (shallow) in the Msg first-error computation;
+                    # the array itself gets the blanket ~S wrap in finish
+                    entries.append((
+                        None, len(path),
+                        m_cond & (F.coalesce(F.size(m), F.lit(0)) > 0),
+                    ))
                 outs.append(check.out(base).alias(name))
                 continue
             e = check.err(base)
@@ -2091,6 +2175,22 @@ def _infer_spark_type(value, hint=None) -> T.DataType:
         if t is not None:
             return t
     return T.StringType()
+
+
+def _strip_removed(out: dict, schema_dict: dict) -> None:
+    """Single-document unwrap: delete null-valued Remove keys (null =
+    removed per-row; a kept fall-through value is non-null by
+    construction), recursing into nested dict schemas."""
+    for k, v in schema_dict.items():
+        n = _key_name(k)
+        if isinstance(k, Remove):
+            if n in out and out[n] is None:
+                del out[n]
+            continue
+        if isinstance(v, dsl.Msg) and isinstance(v.schema, dict):
+            v = v.schema
+        if isinstance(v, dict) and isinstance(out.get(n), dict):
+            _strip_removed(out[n], v)
 
 
 def _value_statically_passes(v, dtype) -> bool:
