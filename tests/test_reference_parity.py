@@ -594,6 +594,16 @@ CASES = [
     ({"x": ("Number", None, 3)}, {"x": "1e-3"}, {"x": "1.5e2"}),
     # strptime of a non-string -> the format message, not a cast crash
     ({"x": ("Date",)}, {"x": 100.0}, {"x": 5}),
+    # Clamp substitutes the BOUND OBJECT itself (validators.py:740-744):
+    # int bounds over a float value change downstream str(v) — Equal must
+    # render 'value:4', not 'value:4.0' (fuzz seed 677). Covers max-
+    # substitution, min-substitution, pass-through, and Msg forwarding.
+    ({"k": ("All", ("Clamp", 0, 4), ("Equal", 100))},
+     {"k": 5.0}, {"k": -2.5}, {"k": 2.5}),
+    ({"k": ("All", ("Msg", ("Clamp", 0, 4), "mm"), ("Equal", 100))},
+     {"k": 7.5}),
+    # mixed bounds: the float bound renders identically either way
+    ({"k": ("All", ("Clamp", 0, 4.5), ("Equal", 100))}, {"k": 7.5}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

@@ -351,8 +351,14 @@ def _norm_outcome(outcome):
 
 
 def main():
-    start = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    arg1 = sys.argv[1] if len(sys.argv) > 1 else "0"
+    if "," in arg1:  # explicit seed list: re-verify prior mismatches
+        seeds = [int(s) for s in arg1.split(",") if s]
+        start, n = seeds[0], len(seeds)
+    else:
+        start = int(arg1)
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+        seeds = list(range(start, start + n))
 
     sys.path.insert(0, "/root/reference")
     import voluptuous as ref  # read-only reference checkout
@@ -366,7 +372,7 @@ def main():
     )
     mismatches = 0
     checked = 0
-    for seed in range(start, start + n):
+    for seed in seeds:
         schema, kw, docs = gen_case(seed)
         try:
             rschema = ref.Schema(_mk(ref, schema), **kw)

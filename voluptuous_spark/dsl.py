@@ -49,7 +49,7 @@ class RowCheck:
     """A compiled row-level validator over a single Column."""
 
     __slots__ = ("out", "err", "out_type", "drop_path", "multi",
-                 "err_arr", "out_arr")
+                 "err_arr", "out_arr", "pystr_out", "err_pystr")
 
     _ERR_T = "struct<message:string,error_type:string>"
     _MULTI_T = "array<struct<message:string,error_type:string>>"
@@ -82,6 +82,16 @@ class RowCheck:
         # and pre-compute per-alternative arrays OUTSIDE the lambdas.
         self.err_arr = None
         self.out_arr = None
+        # per-row Python-str threading (reference parity): a transform
+        # that substitutes a PYTHON literal of a different type than the
+        # column (Clamp's int bound over a float column,
+        # validators.py:740-744) changes how downstream validators render
+        # the value (str(4) vs str(4.0)). pystr_out(in_col, base_str_col)
+        # -> string Column giving str() of out(in_col); err_pystr(col,
+        # pystr_col) -> err struct rendered with the threaded str. Both
+        # optional; All composes them, Msg forwards pystr_out.
+        self.pystr_out = None
+        self.err_pystr = None
 
     @staticmethod
     def passing(out_type=None):
@@ -571,7 +581,12 @@ class Msg(Validator):
                          e["error_type"].alias("error_type"))
             )
 
-        return RowCheck(inner.out, err, inner.out_type)
+        rc = RowCheck(inner.out, err, inner.out_type)
+        # a Msg-wrapped transform still substitutes the same values:
+        # forward the per-row Python-str channel (the override replaces
+        # messages, which never interpolate the threaded value)
+        rc.pystr_out = inner.pystr_out
+        return rc
 
 
 class Extra(Validator):
@@ -762,10 +777,11 @@ class All(Validator):
         )
 
     def bind(self, dtype):
-        checks, cur_t = [], dtype
+        checks, in_ts, cur_t = [], [], dtype
         for v in self.validators:
             ch = compile_validator(v, cur_t)
             checks.append(ch)
+            in_ts.append(cur_t)
             cur_t = ch.out_type or cur_t
 
         def out(col):
@@ -774,11 +790,27 @@ class All(Validator):
                 cur = ch.out(cur)
             return cur
 
-        def err(col):
+        def _chain(col, cur_str=None):
+            """Run the stage pipeline collecting per-stage errs, threading
+            the per-row Python-str of the current value (see
+            RowCheck.pystr_out): a stage without pystr_out invalidates the
+            custom rendering (conservative — falls back to the column's
+            own string form)."""
             cur, errs = col, []
-            for ch in checks:
-                errs.append(ch.err(cur))
+            for ch, t_in in zip(checks, in_ts):
+                if cur_str is not None and ch.err_pystr is not None:
+                    errs.append(ch.err_pystr(cur, cur_str))
+                else:
+                    errs.append(ch.err(cur))
+                if ch.pystr_out is not None:
+                    base = cur_str if cur_str is not None else _py_str(cur, t_in)
+                    cur_str = ch.pystr_out(cur, base)
+                else:
+                    cur_str = None
                 cur = ch.out(cur)
+            return errs, cur_str
+
+        def _err_of(errs):
             e = F.coalesce(*errs, F.lit(None).cast("struct<message:string,error_type:string>"))
             if self.msg:
                 return F.when(e.isNull(), F.lit(None)).otherwise(
@@ -786,7 +818,13 @@ class All(Validator):
                 )
             return e
 
+        def err(col):
+            return _err_of(_chain(col)[0])
+
         rc = RowCheck(out, err, cur_t)
+        rc.err_pystr = lambda c, s: _err_of(_chain(c, s)[0]).cast(RowCheck._ERR_T)
+        if checks and checks[-1].pystr_out is not None:
+            rc.pystr_out = lambda c, base: _chain(c, base)[1]
         if any(ch.err_arr is not None for ch in checks):
             # a stage is UDF-backed: compose the array-mode lift so the
             # sequence compiler can evaluate this All over a whole array
@@ -1256,7 +1294,30 @@ class Clamp(Validator):
                 )
             )
 
-        return RowCheck(out, err, dtype)
+        rc = RowCheck(out, err, dtype)
+        if num_bounds and isinstance(dtype, _FRACTIONALS) and any(
+            isinstance(b, int) and not isinstance(b, bool) for b in bounds
+        ):
+            # the reference substitutes the BOUND OBJECT itself
+            # (validators.py:740-744): an int bound over a float value
+            # makes downstream str(v) render '4', not '4.0' — thread the
+            # per-row Python-str so e.g. a following Equal interpolates
+            # the bound's own repr
+            mn, mx = self.min, self.max
+
+            def pystr_out(c, base):
+                after_min = F.greatest(c, F.lit(mn)) if mn is not None else c
+                e = base
+                if mn is not None:
+                    e = F.when(c < F.lit(mn), F.lit(str(mn))).otherwise(e)
+                if mx is not None:
+                    e = F.when(
+                        after_min > F.lit(mx), F.lit(str(mx))
+                    ).otherwise(e)
+                return e
+
+            rc.pystr_out = pystr_out
+        return rc
 
 
 class Length(Validator):
@@ -1682,7 +1743,7 @@ class Equal(Validator):
         return 'Equal({})'.format(self.target)
 
     def bind(self, dtype):
-        def err(col):
+        def _err(col, pystr=None):
             if _lit_comparable(self.target, dtype):
                 ok = col.eqNullSafe(F.lit(self.target))
             else:
@@ -1694,14 +1755,16 @@ class Equal(Validator):
             else:
                 m = F.format_string(
                     "Values are not equal: value:%s != target:%s",
-                    _py_str(col, dtype),
+                    pystr if pystr is not None else _py_str(col, dtype),
                     F.lit(str(self.target)),
                 )
             return F.when(ok, F.lit(None)).otherwise(
                 F.struct(m.alias("message"), F.lit("Invalid").alias("error_type"))
             )
 
-        return RowCheck(lambda c: c, err, dtype)
+        rc = RowCheck(lambda c: c, _err, dtype)
+        rc.err_pystr = lambda c, s: _err(c, s).cast(RowCheck._ERR_T)
+        return rc
 
 
 class Number(Validator):
