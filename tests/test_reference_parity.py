@@ -679,6 +679,27 @@ def test_differential_parity_flags(spark, ref, case):
             assert got == expected, (doc, got, expected)
 
 
+def test_someof_custom_msg(spark, ref):
+    """SomeOf(msg=...) overrides the joined sub-error message
+    (validators.py:1256-1262); regression: the kwarg was silently dropped
+    by a class-attribute mask."""
+    rs = ref.Schema({"x": ref.SomeOf(
+        [ref.Range(0, 2), ref.Range(50, 100)], min_valid=2, msg="need both")})
+    es = vs.Schema({"x": vs.SomeOf(
+        [vs.Range(0, 2), vs.Range(50, 100)], min_valid=2, msg="need both")})
+    try:
+        rs({"x": 1})
+        expected = None
+    except ref.MultipleInvalid as exc:
+        expected = sorted(str(x) for x in exc.errors)
+    try:
+        es({"x": 1}, spark=spark)
+        got = None
+    except vse.MultipleInvalid as exc:
+        got = sorted(str(x) for x in exc.errors)
+    assert expected is not None and got == expected
+
+
 def _eq(a, b):
     """Structural equality where NaN == NaN and set==list-of-same (a Row
     round-trip returns lists for the set carrier)."""

@@ -80,7 +80,26 @@ def _wild(rng):
 
 
 def gen_int_spec(rng, depth=0):
-    choice = rng.randrange(12 if depth == 0 else 7)
+    choice = rng.randrange(15 if depth == 0 else 7)
+    if choice == 12:
+        # Coerce in a chain: int(v)/float(v) then a bounds check
+        t = rng.choice([int, float])
+        v, _ = gen_int_spec(rng, depth + 1)
+        return ("All", ("Coerce", t), v), lambda r: r.choice(INTS)
+    if choice == 13:
+        # SomeOf threads transformed values (validators.py:1243-1249):
+        # a Clamp stage feeds the NEXT validator the clamped value
+        lo, hi = sorted(rng.sample(INTS, 2))
+        a, b = sorted(rng.sample(INTS, 2))
+        return (
+            ("SomeOf", [("Clamp", lo, hi), ("Range", a, b)],
+             rng.randint(1, 2)),
+            lambda r: r.choice(INTS),
+        )
+    if choice == 14:
+        return (rng.choice(["IsTrue", "IsFalse"]),), (
+            lambda r: r.choice(INTS)
+        )
     if choice == 10:
         return ("Maybe", gen_int_spec(rng, depth + 1)[0]), (
             lambda r: r.choice(INTS)
@@ -133,7 +152,19 @@ def gen_int_spec(rng, depth=0):
 
 
 def gen_float_spec(rng, depth=0):
-    choice = rng.randrange(4)
+    choice = rng.randrange(6)
+    if choice == 4:
+        # Clamp with INT bounds over floats: the reference substitutes
+        # the bound object itself, changing downstream str(v) rendering
+        lo, hi = sorted(rng.sample(INTS[:12], 2))
+        return (
+            ("All", ("Clamp", lo, hi),
+             ("Equal", rng.choice(INTS + FLOATS))),
+            lambda r: r.choice(FLOATS),
+        )
+    if choice == 5:
+        # int(v) truncates toward zero in both engines
+        return ("Coerce", int), lambda r: r.choice(FLOATS)
     if choice == 0:
         lo, hi = sorted(rng.sample(FLOATS, 2))
         return ("Range", lo, hi), lambda r: r.choice(FLOATS)

@@ -1086,6 +1086,16 @@ class Replace(Validator):
             self.pattern, self.substitution, self.msg)
 
     def bind(self, dtype):
+        if not isinstance(dtype, T.StringType):
+            # the reference CRASHES here (re.sub on a non-string raises a
+            # raw TypeError, outside the Invalid model) — degrade to a
+            # per-row violation instead of poisoning the whole plan with
+            # an AnalysisException, so sibling columns still validate
+            return _pred_check(
+                lambda c: F.lit(False),
+                self._m("expected string or buffer"),
+                "Invalid",
+            )
         return RowCheck(
             lambda c: F.regexp_replace(c, self.pattern, self.substitution),
             lambda c: F.lit(None),
@@ -1899,6 +1909,7 @@ class SomeOf(Validator):
         self.validators = list(validators)
         self.min_valid = min_valid or 0
         self.max_valid = max_valid if max_valid is not None else len(self.validators)
+        self.msg = msg
 
     def __repr__(self):
         return 'SomeOf(min_valid=%s, validators=[%s], max_valid=%s, msg=%r)' % (
@@ -1907,7 +1918,6 @@ class SomeOf(Validator):
             self.max_valid,
             self.msg,
         )
-        self.msg = msg
 
     def bind(self, dtype, path: tuple = ()):
         suffix = (
@@ -1979,15 +1989,15 @@ class Unordered(Validator):
     def __init__(self, validators, msg=None):
         self.validators = list(validators)
         self.msg = msg
-
-    def __repr__(self):
-        return 'Unordered([{}])'.format(
-            ", ".join(repr(v) for v in self.validators))
         if len(self.validators) > self.MAX_N:
             raise UnsupportedSchema(
                 f"Unordered supports up to {self.MAX_N} validators "
                 "(consumed-set bitmask is a long)"
             )
+
+    def __repr__(self):
+        return 'Unordered([{}])'.format(
+            ", ".join(repr(v) for v in self.validators))
 
     def bind(self, dtype):
         if not isinstance(dtype, T.ArrayType):
