@@ -604,6 +604,9 @@ CASES = [
      {"k": 7.5}),
     # mixed bounds: the float bound renders identically either way
     ({"k": ("All", ("Clamp", 0, 4.5), ("Equal", 100))}, {"k": 7.5}),
+    # the threaded str survives intermediate pure-predicate stages
+    ({"k": ("All", ("Clamp", 0, 4), ("Range", -100, 100), ("Equal", 99))},
+     {"k": 5.0}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

@@ -49,7 +49,8 @@ class RowCheck:
     """A compiled row-level validator over a single Column."""
 
     __slots__ = ("out", "err", "out_type", "drop_path", "multi",
-                 "err_arr", "out_arr", "pystr_out", "err_pystr")
+                 "err_arr", "out_arr", "pystr_out", "err_pystr",
+                 "identity_out")
 
     _ERR_T = "struct<message:string,error_type:string>"
     _MULTI_T = "array<struct<message:string,error_type:string>>"
@@ -92,10 +93,22 @@ class RowCheck:
         # optional; All composes them, Msg forwards pystr_out.
         self.pystr_out = None
         self.err_pystr = None
+        # True when out is the identity (pure predicate validators): a
+        # threaded Python-str stays valid across such stages
+        self.identity_out = False
 
     @staticmethod
     def passing(out_type=None):
-        return RowCheck(lambda c: c, lambda c: F.lit(None), out_type)
+        rc = RowCheck(lambda c: c, lambda c: F.lit(None), out_type)
+        rc.identity_out = True
+        return rc
+
+
+def _identity_check(err, out_type=None, **kw):
+    """RowCheck for a pure predicate validator (identity out)."""
+    rc = RowCheck(lambda c: c, err, out_type, **kw)
+    rc.identity_out = True
+    return rc
 
 
 def _err_arr_of(rc: "RowCheck"):
@@ -125,7 +138,9 @@ def _pred_check(pred, message, error_type, out=None, out_type=None):
             F.struct(m.alias("message"), et.alias("error_type"))
         )
 
-    return RowCheck(out or (lambda c: c), err, out_type)
+    rc = RowCheck(out or (lambda c: c), err, out_type)
+    rc.identity_out = out is None
+    return rc
 
 
 # ---------------------------------------------------------------------------
@@ -418,7 +433,7 @@ def _set_check(schema, dtype) -> RowCheck:
             err_struct(f"invalid value in {type_name}", "Invalid")
         )
 
-    return RowCheck(lambda c: c, err, dtype)
+    return _identity_check(err, dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -805,7 +820,7 @@ class All(Validator):
                 if ch.pystr_out is not None:
                     base = cur_str if cur_str is not None else _py_str(cur, t_in)
                     cur_str = ch.pystr_out(cur, base)
-                else:
+                elif not ch.identity_out:
                     cur_str = None
                 cur = ch.out(cur)
             return errs, cur_str
@@ -822,8 +837,17 @@ class All(Validator):
             return _err_of(_chain(col)[0])
 
         rc = RowCheck(out, err, cur_t)
+        rc.identity_out = all(ch.identity_out for ch in checks)
         rc.err_pystr = lambda c, s: _err_of(_chain(c, s)[0]).cast(RowCheck._ERR_T)
-        if checks and checks[-1].pystr_out is not None:
+        # a live threaded str at chain end: some stage set one and every
+        # later stage either composed it (pystr_out) or was identity
+        live = False
+        for ch in checks:
+            if ch.pystr_out is not None:
+                live = True
+            elif not ch.identity_out:
+                live = False
+        if live:
             rc.pystr_out = lambda c, base: _chain(c, base)[1]
         if any(ch.err_arr is not None for ch in checks):
             # a stage is UDF-backed: compose the array-mode lift so the
@@ -1249,7 +1273,7 @@ class Range(Validator):
                 e = e.when(bad, err_struct(m, "RangeInvalid"))
             return e.otherwise(F.lit(None))
 
-        return RowCheck(lambda c: c, err, dtype)
+        return _identity_check(err, dtype)
 
 
 class Clamp(Validator):
@@ -1381,7 +1405,7 @@ class Length(Validator):
                 )
             return e.otherwise(F.lit(None))
 
-        return RowCheck(lambda c: c, err, dtype)
+        return _identity_check(err, dtype)
 
 
 def _strptime_to_regex(fmt: str) -> str | None:
@@ -1738,7 +1762,7 @@ class Unique(Validator):
                 F.struct(m.alias("message"), F.lit("Invalid").alias("error_type"))
             )
 
-        return RowCheck(lambda c: c, err, dtype)
+        return _identity_check(err, dtype)
 
 
 class Equal(Validator):
@@ -1773,6 +1797,7 @@ class Equal(Validator):
             )
 
         rc = RowCheck(lambda c: c, _err, dtype)
+        rc.identity_out = True
         rc.err_pystr = lambda c, s: _err(c, s).cast(RowCheck._ERR_T)
         return rc
 
@@ -2101,7 +2126,7 @@ class Unordered(Validator):
                 F.lit("Invalid").alias("error_type"),
             ))
 
-        return RowCheck(lambda c: c, err, dtype,
+        return _identity_check(err, dtype,
                         multi=lambda c: as_structs(msgs(c)))
 
 
