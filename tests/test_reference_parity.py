@@ -607,6 +607,14 @@ CASES = [
     # the threaded str survives intermediate pure-predicate stages
     ({"k": ("All", ("Clamp", 0, 4), ("Range", -100, 100), ("Equal", 99))},
      {"k": 5.0}),
+    # TRANSFORMING sequence alternatives: matched elements are replaced
+    # by the alternative's output, so the array's element type changes
+    # (fuzz seed 1204: [Boolean] over ints crashed type unification)
+    ({"k0": float, ("Optional", "k1"): [("Boolean",)]},
+     {"k0": -0.5, "k1": [9, 10, 50]}),
+    ({"k": [("Boolean",)]}, {"k": ["yes", "0", "true"]},
+     {"k": ["yes", "maybe"]}),
+    ({"k": [("Coerce", float)]}, {"k": [1, 2]}, {"k": []}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

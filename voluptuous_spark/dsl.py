@@ -318,6 +318,26 @@ def _sequence_check(alternatives, dtype) -> RowCheck:
     ]
     keep_checks = [ch for ch, rm in checks if not rm]
     udf_mode = any(ch.err_arr is not None for ch, _ in checks)
+    # output element type: transforming alternatives (Boolean, Coerce,
+    # Lower, ...) replace matched elements with their output — one array
+    # column must hold them all, so the keep alternatives' out types must
+    # agree (the reference would build a mixed-type Python list, which has
+    # no ArrayType carrier)
+    out_elem_ts = [ch.out_type or elem_t for ch in keep_checks]
+    if len({t.simpleString() for t in out_elem_ts}) > 1:
+        raise UnsupportedSchema(
+            "sequence alternatives transform elements to different types "
+            f"({[t.simpleString() for t in out_elem_ts]}); a mixed-type "
+            "list is not representable as one array column"
+        )
+    out_elem_t = out_elem_ts[0] if out_elem_ts else elem_t
+    transforms = out_elem_t.simpleString() != elem_t.simpleString()
+    out_arr_t = T.ArrayType(out_elem_t, True) if transforms else dtype
+    # non-matching elements are filtered out before the output transform,
+    # so the no-match fallback is dead — but it must still TYPE-unify
+    # with the alternatives' outputs
+    _fallback = (lambda x: F.lit(None).cast(out_elem_t)) if transforms \
+        else (lambda x: x)
 
     if udf_mode:
         # a UDF-backed alternative cannot be referenced inside a
@@ -348,7 +368,7 @@ def _sequence_check(alternatives, dtype) -> RowCheck:
                 return expr
 
             def out_s(s):
-                expr = s["v"]
+                expr = _fallback(s["v"])
                 for j, k in reversed(list(enumerate(keep_idx))):
                     expr = F.when(
                         s[f"e{k}"].isNull(), s[f"o{j}"]
@@ -371,7 +391,7 @@ def _sequence_check(alternatives, dtype) -> RowCheck:
                 col.isNull() | ~bad, F.lit(None)
             ).otherwise(err_struct("not a valid value", "ValueInvalid"))
 
-        return RowCheck(out, err, dtype)
+        return RowCheck(out, err, out_arr_t)
 
     def elem_ok(x):
         ok = F.lit(False)
@@ -388,7 +408,7 @@ def _sequence_check(alternatives, dtype) -> RowCheck:
 
     def elem_out(x):
         # first matching keep alternative's transform wins
-        expr = x
+        expr = _fallback(x)
         for ch in reversed(keep_checks):
             expr = F.when(ch.err(x).isNull(), ch.out(x)).otherwise(expr)
         return expr
@@ -402,7 +422,7 @@ def _sequence_check(alternatives, dtype) -> RowCheck:
             col.isNull() | ~bad, F.lit(None)
         ).otherwise(err_struct("not a valid value", "ValueInvalid"))
 
-    return RowCheck(out, err, dtype)
+    return RowCheck(out, err, out_arr_t)
 
 
 def _set_check(schema, dtype) -> RowCheck:
