@@ -615,6 +615,15 @@ CASES = [
     ({"k": [("Boolean",)]}, {"k": ["yes", "0", "true"]},
      {"k": ["yes", "maybe"]}),
     ({"k": [("Coerce", float)]}, {"k": [1, 2]}, {"k": []}),
+    # Msg(dict) is a Schema RE-ENTRY (schema_builder.py:937): SomeOf's
+    # embedded sub-error paths freeze RELATIVE to it, and its empty-path
+    # error prepends only the boundary key (fuzz seed 1693)
+    ({"k2": ("Msg", {"n0": {"n0": ("Number", 8, 0)},
+                     "n1": ("SomeOf", [("Range", -5, -1), ("Range", 11, 99),
+                                       ("Range", 3, 9)], 1)},
+             "fuzz dict message")},
+     {"k2": {"n0": {"n0": "abc"}, "n1": 2}},
+     {"k2": {"n0": {"n0": "123"}, "n1": 5}}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

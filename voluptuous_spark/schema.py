@@ -1024,6 +1024,7 @@ class Schema:
                     root=self.schema,
                     msg_override=msg_override,
                     arrays=err_arrays,
+                    rebase=len(fld.path) if msg_override is not None else 0,
                 )
                 out_cols[fld.name] = out_col
                 err_entries.extend(sub_errs)
@@ -1871,7 +1872,8 @@ class Schema:
                          root: dict | None = None,
                          msg_override: tuple[str, str] | None = None,
                          arrays: list | None = None,
-                         entries_out: list | None = None):
+                         entries_out: list | None = None,
+                         rebase: int = 0):
         """Validate a StructType column field-by-field; returns
         (output struct column, error entries with nested paths).
         ``as_object``: Object schema (schema_builder.py:413-441) — same
@@ -1890,7 +1892,15 @@ class Schema:
 
         ``entries_out``: internal — collects (violation, abs path len)
         pairs so a wrapping Msg one level up can order/depth-classify
-        errors from this recursion."""
+        errors from this recursion.
+
+        ``rebase``: length of the path prefix belonging to scopes OUTSIDE
+        the nearest Schema re-entry. A Msg-wrapped dict value compiles a
+        fresh ``Schema(schema)`` in the reference (schema_builder.py:937),
+        so validators whose messages embed rendered paths (SomeOf) freeze
+        paths RELATIVE to that re-entry, and their raised empty-path error
+        is prepended only up to the boundary key (validate_callable,
+        schema_builder.py:807-809)."""
         root = root if root is not None else self.schema
         # entry = (violation | None, abs path len, cond | None): a None
         # violation is an ORDER-ONLY marker (e.g. a multi-error array's
@@ -2042,6 +2052,8 @@ class Schema:
                     msg_override=sub_msg_override,
                     arrays=arrays,
                     entries_out=child_entries,
+                    rebase=len(path) if sub_msg_override is not None
+                    else rebase,
                 )
                 outs.append(o.alias(name))
                 entries.extend(child_entries)
@@ -2057,7 +2069,8 @@ class Schema:
                 if arrays is not None:
                     arrays.extend(seq_arrs)
                 continue
-            check = compile_validator(_unwrap_marker(val), sub_t, path=path)
+            check = compile_validator(_unwrap_marker(val), sub_t,
+                                      path=path[rebase:])
             _dlit = (_default_lit(default, sub_t)
                      if default is not UNDEFINED else None)
             base = (F.coalesce(sub_col, _dlit)
@@ -2101,7 +2114,7 @@ class Schema:
                 outs.append(check.out(base).alias(name))
                 continue
             e = check.err(base)
-            emit(() if check.drop_path else path,
+            emit(path[:rebase] if check.drop_path else path,
                  e["message"], e["error_type"],
                  py_repr_col(base, sub_t),
                  col.isNotNull() & present & e.isNotNull(),
