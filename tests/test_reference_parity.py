@@ -624,6 +624,10 @@ CASES = [
              "fuzz dict message")},
      {"k2": {"n0": {"n0": "abc"}, "n1": 2}},
      {"k2": {"n0": {"n0": "123"}, "n1": 5}}),
+    # the threaded str reaches an Any's surfaced first-branch error
+    ({"k": ("All", ("Clamp", 0, 4),
+            ("Any", ("Equal", 100), ("Range", 50, 60)))},
+     {"k": 5.0}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

@@ -962,7 +962,7 @@ class Any(Validator):
                     expr = F.when(ch.err(col).isNull(), ch.out(col)).otherwise(expr)
                 return expr
 
-        def err(col):
+        def _err(col, pystr=None):
             ok = F.lit(False)
             for ch in checks:
                 ok = ok | ch.err(col).isNull()
@@ -971,12 +971,22 @@ class Any(Validator):
             elif checks:
                 # all branches failed here, so the first branch's err
                 # struct is non-null: reference raises that error verbatim
-                losing = checks[0].err(col)
+                # (rendered with the threaded Python-str when one is live)
+                losing = (
+                    checks[0].err_pystr(col, pystr)
+                    if pystr is not None and checks[0].err_pystr is not None
+                    else checks[0].err(col)
+                )
             else:
                 losing = err_struct(self.default_msg, self.error_type)
             return F.when(col.isNull() | ok, F.lit(None)).otherwise(losing)
 
+        err = _err
         rc = RowCheck(out, err, out_t)
+        rc.identity_out = len(out_types) > 1 or all(
+            ch.identity_out for ch in checks
+        )
+        rc.err_pystr = lambda c, s: _err(c, s).cast(RowCheck._ERR_T)
         if any(ch.err_arr is not None for ch in checks):
             msg, etype, dmsg = self.msg, self.error_type, self.default_msg
 
