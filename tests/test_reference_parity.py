@@ -628,6 +628,14 @@ CASES = [
     ({"k": ("All", ("Clamp", 0, 4),
             ("Any", ("Equal", 100), ("Range", 50, 60)))},
      {"k": 5.0}),
+    # Schema instances as dict values: callable re-entry with the
+    # sub-schema's OWN flags and boundary-key path prepend
+    ({"a": ("Schema", {"b": int})}, {"a": {"b": "x"}}, {"a": {"b": 3}}),
+    ({"a": ("Schema", int)}, {"a": 3}, {"a": "x"}),
+    ({"a": ("Schema", {"b": int}, True)}, {"a": {}}),
+    ({"a": ("Schema", {"n": ("SomeOf", [("Range", 11, 99), ("Range", 3, 9)],
+                            2)})},
+     {"a": {"n": 2}}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

@@ -34,6 +34,10 @@ from pyspark.sql import types as T
 
 from .errors import err_struct
 
+# populated by schema.py at import time (avoids a circular import):
+# Schema instances used as value validators unwrap to their inner schema
+SCHEMA_TYPES: tuple = ()
+
 # ---------------------------------------------------------------------------
 # extra-key policies (schema_builder.py:20-22)
 PREVENT_EXTRA = 0
@@ -242,6 +246,11 @@ def compile_validator(v, dtype: T.DataType, path: tuple = ()) -> RowCheck:
     compile-time path, consumed by validators whose reference semantics
     embed rendered sub-error paths in their message (SomeOf).
     """
+    if SCHEMA_TYPES and isinstance(v, SCHEMA_TYPES):
+        # a Schema instance used as a value validator: unwrap to its
+        # inner schema (the reference calls it; dict inners are handled
+        # at the schema layer with re-entry path semantics)
+        return compile_validator(v.schema, dtype, path=path)
     if isinstance(v, Validator):
         if getattr(v, "_wants_path", False):
             return v.bind(dtype, path=path)

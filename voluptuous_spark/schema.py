@@ -1007,9 +1007,19 @@ class Schema:
                     )
                 out_cols[fld.name] = cur
                 continue
+            is_reentry = msg_override is not None
+            if isinstance(v, Schema) and isinstance(v.schema, dict):
+                # Schema instance as a dict value: the reference calls it
+                # as a validator (a fresh Schema root with ITS OWN
+                # required/extra flags) and prepends the key path on
+                # unwind (validate_callable, schema_builder.py:807-809)
+                is_reentry = True
+                sub0, v = v, v.schema
+            else:
+                sub0 = None
             if isinstance(v, dict):
-                sub = Schema(v, required=self.required,
-                             extra=self.extra)
+                sub = sub0 or Schema(v, required=self.required,
+                                     extra=self.extra)
                 if isinstance(dtype, T.MapType):
                     out_col, sub_errs, sub_arrs = sub._validate_map(
                         col, dtype, fld.path
@@ -1021,10 +1031,10 @@ class Schema:
                 out_col, sub_errs = sub._validate_struct(
                     col, dtype, fld.path,
                     as_object=isinstance(v, dsl.Object),
-                    root=self.schema,
+                    root=v if sub0 is not None else self.schema,
                     msg_override=msg_override,
                     arrays=err_arrays,
-                    rebase=len(fld.path) if msg_override is not None else 0,
+                    rebase=len(fld.path) if is_reentry else 0,
                 )
                 out_cols[fld.name] = out_col
                 err_entries.extend(sub_errs)
@@ -2016,8 +2026,16 @@ class Schema:
                     val.cls.__name__ if val.cls else "Invalid")
                 sub_msg_override = (val.msg, et)
                 val = val.schema
+            sub_is_reentry = sub_msg_override is not None
+            sub0 = None
+            if isinstance(val, Schema) and isinstance(val.schema, dict):
+                # Schema instance as a nested dict value: re-entry with
+                # the sub-schema's own flags (see root field loop)
+                sub_is_reentry = True
+                sub0, val = val, val.schema
             if isinstance(val, dict):
-                sub_schema = Schema(val, required=self.required, extra=self.extra)
+                sub_schema = sub0 or Schema(
+                    val, required=self.required, extra=self.extra)
                 if isinstance(sub_t, T.MapType):
                     # nested dynamic-key map inside a struct
                     o, sub_singles, sub_arrs = sub_schema._validate_map(
@@ -2048,12 +2066,12 @@ class Schema:
                 child_entries: list = []
                 o, _ = sub_schema._validate_struct(
                     sub_col, sub_t, path,
-                    as_object=isinstance(val, dsl.Object), root=root,
+                    as_object=isinstance(val, dsl.Object),
+                    root=val if sub0 is not None else root,
                     msg_override=sub_msg_override,
                     arrays=arrays,
                     entries_out=child_entries,
-                    rebase=len(path) if sub_msg_override is not None
-                    else rebase,
+                    rebase=len(path) if sub_is_reentry else rebase,
                 )
                 outs.append(o.alias(name))
                 entries.extend(child_entries)
@@ -2410,3 +2428,9 @@ def validate(*a, **kw):
         return wrapper
 
     return decorator
+
+
+# register Schema with the DSL compiler so Schema instances used as value
+# validators unwrap to their inner schema (reference: a Schema is a
+# callable validator, schema_builder.py:800-811)
+dsl.SCHEMA_TYPES = (Schema,)
