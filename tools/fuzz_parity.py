@@ -287,11 +287,16 @@ def gen_dict_spec(rng, depth):
     def sample(r):
         return {k: fn(r) for k, fn in samplers.items()}
 
-    if rng.random() < 0.2:
+    p = rng.random()
+    if p < 0.2:
         # Msg over a nested dict schema: the depth<=1 override rule
         # (schema_builder.py:946-949) — only direct descendants get the
         # custom message
         return ("Msg", sub, "fuzz dict message"), sample
+    if p < 0.32:
+        # Schema instance as the value: callable re-entry with its OWN
+        # required flag and boundary-key path prepend
+        return ("Schema", sub, rng.random() < 0.5), sample
     return sub, sample
 
 
