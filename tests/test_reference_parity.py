@@ -636,6 +636,23 @@ CASES = [
     ({"a": ("Schema", {"n": ("SomeOf", [("Range", 11, 99), ("Range", 3, 9)],
                             2)})},
      {"a": {"n": 2}}),
+    # Msg first-error ordering: a DEEP sequence-element error for an
+    # earlier key beats a later shallow error -> everything passes
+    # through, no collapse (fuzz seed 2325)
+    ({"k0": ("Msg", {"n0": [("Equal", 3)], "n1": "red"},
+             "fuzz dict message")},
+     {"k0": {"n0": [49, 49], "n1": "no"}},
+     {"k0": {"n0": [3, 3], "n1": "no"}}),
+    # NESTED sequence schemas: a deeper-than-index error aborts the whole
+    # validation with the INNER errors (schema_builder.py:616-620) —
+    # earlier shallow accumulation is discarded; Msg's depth<=1 rule sees
+    # the deep path and passes everything through
+    ({"x": [["one", "two", int]]},
+     {"x": [["three"]]}, {"x": [["one"], ["three"]]},
+     {"x": [[]]}, {"x": [["one"], ["two"]]}),
+    ({"x": ("Msg", [["one", int]], "no!")},
+     {"x": [["three"]]}, {"x": ["flat"]}, {"x": [["one"]]}),
+    ({"x": [[[int]]]}, {"x": [[["a"]]]}, {"x": [[[1, 2]], [[3]]]}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

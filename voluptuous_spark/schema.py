@@ -878,6 +878,15 @@ class Schema:
                     v.cls.__name__ if v.cls else "Invalid")
                 msg_override = (v.msg, et)
                 v = v.schema
+            seq_msg_override = None
+            if (isinstance(v, dsl.Msg) and isinstance(v.schema, list)
+                    and isinstance(dtype, T.ArrayType)):
+                # Msg over a list schema: the depth<=1 rule is decided per
+                # row from the element errors' runtime paths
+                et = v.cls if isinstance(v.cls, str) else (
+                    v.cls.__name__ if v.cls else "Invalid")
+                seq_msg_override = (v.msg, et)
+                v = v.schema
             if (
                 isinstance(v, dsl.Any)
                 and not isinstance(v, dsl.Maybe)
@@ -1045,6 +1054,27 @@ class Schema:
                 out_col, seq_singles, seq_arrs = self._validate_sequence(
                     v, col, dtype, fld.path
                 )
+                if seq_msg_override is not None:
+                    seq_singles, seq_arrs = _msg_collapse_seq(
+                        seq_msg_override, fld.path, seq_singles, seq_arrs
+                    )
+                    # evaluate the gated channel in stage 1: in stage 2
+                    # the output alias REPLACES the source column (the
+                    # element-filtered array) and Spark 4's lateral
+                    # column alias resolution would rebind the collapse
+                    # condition to it, flipping the verdict
+                    staged = []
+                    for s_ in seq_singles:
+                        al = f"__ms_{len(hidden)}"
+                        hidden.append(s_.alias(al))
+                        staged.append(F.col(al))
+                    seq_singles = staged
+                    staged = []
+                    for a_ in seq_arrs:
+                        al = f"__ms_{len(hidden)}"
+                        hidden.append(a_.cast(_VIOL_ARR_T).alias(al))
+                        staged.append(F.col(al))
+                    seq_arrs = staged
                 if fld.required:
                     err_entries.append(
                         _violation(
@@ -1812,6 +1842,24 @@ class Schema:
                 ),
             ).otherwise(F.lit(None))
 
+        keep_srcs = [a for a in alternatives if not isinstance(a, Remove)]
+        if (isinstance(elem_t, T.ArrayType) and keep_srcs and not removes
+                and all(isinstance(a, list) for a in keep_srcs)):
+            # NESTED sequence schemas ([[...]]): the reference re-raises
+            # any error DEEPER than the element index immediately
+            # (schema_builder.py:616-620), so the first element whose
+            # inner sequence fails aborts the whole validation with the
+            # inner errors (paths [i][j]); shallow errors accumulated for
+            # earlier elements are discarded. Only the FIRST list
+            # alternative is ever reachable for a non-null element (its
+            # inner failure aborts before later alternatives are tried).
+            arr = F.when(
+                col.isNotNull() & (F.size(col) > 0),
+                self._seq_viols(alternatives, col, dtype,
+                                list(prefix_lits)),
+            )
+            return out_col, [], [arr]
+
         arr = F.when(
             col.isNotNull() & (F.size(col) > 0),
             F.filter(
@@ -1822,6 +1870,100 @@ class Schema:
             ),
         )
         return out_col, [], [arr]
+
+    def _seq_viols(self, alternatives: list, col: Column,
+                   dtype: T.ArrayType, path_cols: list):
+        """Violations array for one ARRAY cell against list alternatives
+        with the reference's abort semantics (schema_builder.py:605-631):
+        shallow per-element errors (paths ``path + [i]``) accumulate; the
+        first element producing DEEPER errors aborts — only its inner
+        errors surface. ``path_cols`` are ready string Columns/literals so
+        runtime indices nest arbitrarily deep."""
+        from .errors import truncate_repr
+
+        elem_t = dtype.elementType
+        keep_srcs = [a for a in alternatives if not isinstance(a, Remove)]
+        nested = (isinstance(elem_t, T.ArrayType) and keep_srcs
+                  and all(isinstance(a, list) for a in keep_srcs))
+        empty = F.array().cast(_VIOL_ARR_T)
+
+        if nested:
+            inner_alts = keep_srcs[0]
+
+            def per(i):
+                x = F.try_element_at(col, (i + 1).cast("int"))
+                deep = F.when(
+                    x.isNotNull() & (F.size(x) > 0),
+                    self._seq_viols(inner_alts, x, elem_t,
+                                    path_cols + [i.cast("string")]),
+                ).otherwise(empty)
+                shallow = F.when(
+                    x.isNull(),
+                    F.struct(
+                        F.array(*path_cols,
+                                i.cast("string")).alias("path"),
+                        F.lit("expected a list").alias("message"),
+                        F.lit("SequenceTypeInvalid").alias("error_type"),
+                        F.lit("None").alias("offending"),
+                        F.lit(None).cast("string").alias("ctx"),
+                    ),
+                ).otherwise(F.lit(None))
+                return F.struct(deep.alias("deep"), shallow.alias("shallow"))
+
+            z = F.transform(F.sequence(F.lit(0), F.size(col) - 1), per)
+            deeps = F.filter(
+                F.transform(z, lambda s: s["deep"]),
+                lambda a: F.size(a) > 0,
+            )
+            shallows = F.filter(
+                F.transform(z, lambda s: s["shallow"]),
+                lambda s: s.isNotNull(),
+            ).cast(_VIOL_ARR_T)
+            return F.when(
+                F.size(deeps) > 0, F.element_at(deeps, 1)
+            ).otherwise(shallows)
+
+        removes_c = [compile_validator(a.schema, elem_t)
+                     for a in alternatives if isinstance(a, Remove)]
+        keeps_c = [compile_validator(a, elem_t) for a in keep_srcs]
+
+        def per_flat(i):
+            x = F.try_element_at(col, (i + 1).cast("int"))
+            removed = F.lit(False)
+            for rc in removes_c:
+                removed = removed | rc.err(x).isNull()
+            matched = F.lit(False)
+            kp_errs = [kc.err(x) for kc in keeps_c]
+            for e in kp_errs:
+                matched = matched | e.isNull()
+            if keeps_c:
+                last = kp_errs[-1]
+                msg, et = last["message"], last["error_type"]
+            else:
+                msg = F.lit("not a valid value")
+                et = F.lit("ValueInvalid")
+            failing = ~F.coalesce(removed, F.lit(False)) & ~F.coalesce(
+                matched, F.lit(False))
+            return F.when(
+                failing,
+                F.struct(
+                    F.array(*path_cols, i.cast("string")).alias("path"),
+                    msg.alias("message"),
+                    et.alias("error_type"),
+                    truncate_repr(
+                        py_repr_col(x, elem_t)).alias("offending"),
+                    F.lit(None).cast("string").alias("ctx"),
+                ),
+            ).otherwise(F.lit(None))
+
+        return F.when(
+            F.size(col) > 0,
+            F.filter(
+                F.transform(F.sequence(F.lit(0), F.size(col) - 1),
+                            per_flat),
+                lambda s: s.isNotNull(),
+            ).cast(_VIOL_ARR_T),
+        ).otherwise(empty)
 
     def _validate_dict_elements(self, schema_dict: dict, col: Column,
                                 dtype: T.ArrayType,
@@ -1953,10 +2095,9 @@ class Schema:
                     for i in range(arr_start, len(arrays)):
                         arrays[i] = F.when(~S, arrays[i])
             if entries_out is not None:
-                entries_out.extend(
-                    (v, plen, cond) for v, plen, cond in all_e
-                    if v is not None
-                )
+                # keep ORDER-ONLY (None-violation) markers: a parent Msg
+                # needs deep array errors to participate in ITS ordering
+                entries_out.extend(all_e)
             return out_col, [v for v, _, _ in all_e if v is not None]
 
         if not isinstance(dtype, T.StructType):
@@ -2026,6 +2167,15 @@ class Schema:
                     val.cls.__name__ if val.cls else "Invalid")
                 sub_msg_override = (val.msg, et)
                 val = val.schema
+            seq_msg_override = None
+            if (isinstance(val, dsl.Msg) and isinstance(val.schema, list)
+                    and isinstance(sub_t, T.ArrayType)):
+                # Msg over a list schema: depth<=1 rule decided per row
+                # from the element errors' runtime paths
+                et = val.cls if isinstance(val.cls, str) else (
+                    val.cls.__name__ if val.cls else "Invalid")
+                seq_msg_override = (val.msg, et)
+                val = val.schema
             sub_is_reentry = sub_msg_override is not None
             sub0 = None
             if isinstance(val, Schema) and isinstance(val.schema, dict):
@@ -2043,10 +2193,17 @@ class Schema:
                     )
                     outs.append(o.alias(name))
                     # map-level gate errors sit at the key path (shallow);
-                    # per-entry errors ride the array channel (deep)
+                    # per-entry errors ride the array channel (deep) —
+                    # with an ORDER-ONLY marker so a wrapping Msg's
+                    # first-error computation sees them at this position
                     entries.extend((v, len(path), None) for v in sub_singles)
                     if arrays is not None:
-                        arrays.extend(sub_arrs)
+                        for a in sub_arrs:
+                            arrays.append(a)
+                            entries.append((
+                                None, len(path) + 1,
+                                F.coalesce(F.size(a) > 0, F.lit(False)),
+                            ))
                     continue
                 if not isinstance(sub_t, T.StructType):
                     # the sub-gate error is depth 1 relative to a wrapping
@@ -2080,12 +2237,24 @@ class Schema:
                 o, seq_singles, seq_arrs = self._validate_sequence(
                     val, sub_col, sub_t, path
                 )
+                if seq_msg_override is not None:
+                    seq_singles, seq_arrs = _msg_collapse_seq(
+                        seq_msg_override, path, seq_singles, seq_arrs
+                    )
                 outs.append(o.alias(name))
                 # sequence own-level errors (type/shape gates) sit at the
-                # key path — shallow relative to a wrapping Msg
+                # key path — shallow relative to a wrapping Msg; element
+                # errors ride the array channel (deep) with an ORDER-ONLY
+                # marker so the Msg first-error computation sees them at
+                # this schema-key position (fuzz seed 2325)
                 entries.extend((v, len(path), None) for v in seq_singles)
                 if arrays is not None:
-                    arrays.extend(seq_arrs)
+                    for a in seq_arrs:
+                        arrays.append(a)
+                        entries.append((
+                            None, len(path) + 1,
+                            F.coalesce(F.size(a) > 0, F.lit(False)),
+                        ))
                 continue
             check = compile_validator(_unwrap_marker(val), sub_t,
                                       path=path[rebase:])
@@ -2328,6 +2497,46 @@ def _path_lits(path) -> list[Column]:
     strings; runtime components (e.g. a sequence index inside
     ``F.transform``) are already Columns and pass through."""
     return [p if isinstance(p, Column) else F.lit(str(p)) for p in path]
+
+
+_VIOL_ARR_T = (
+    "array<struct<path:array<string>,message:string,"
+    "error_type:string,offending:string,ctx:string>>"
+)
+
+
+def _msg_collapse_seq(msg_override, key_path, singles, arrs,
+                      gate_ctx="dictionary value"):
+    """Reference Msg depth<=1 rule over a LIST value's error channels
+    (schema_builder.py:946-951): ``Msg([alt], m)`` wraps a fresh
+    ``Schema(list)``, so a flat element error ([idx], depth 1) or a gate
+    error (depth 0) collapses the whole set to Invalid(m) at the key
+    path, while a NESTED element error ([idx][j], depth 2) passes
+    everything through untouched. Depth is decided per row from the
+    violation's own runtime path. Returns (new_singles, new_arrs)."""
+    m, et = msg_override
+    shallow = F.lit(False)
+    for s in singles:
+        # own-level gates sit at the key path (depth 0) — always shallow
+        shallow = shallow | s.isNotNull()
+    empty = F.array().cast(_VIOL_ARR_T)
+    combined = (
+        F.concat(*[F.coalesce(a.cast(_VIOL_ARR_T), empty) for a in arrs])
+        if arrs else empty
+    )
+    first = F.element_at(combined, 1)
+    arr_fired = F.coalesce(F.size(combined) > 0, F.lit(False))
+    first_shallow = (
+        F.size(first["path"]) - len(key_path)
+    ) <= 1
+    S = shallow | (arr_fired & F.coalesce(first_shallow, F.lit(False)))
+    collapsed = _violation(
+        key_path, F.lit(m), et, F.lit("None"), S,
+        ctx=gate_ctx if key_path else None,
+    )
+    new_singles = [collapsed] + [F.when(~S, s) for s in singles]
+    new_arrs = [F.when(~S, a) for a in arrs]
+    return new_singles, new_arrs
 
 
 def _violation(path, message: Column, error_type,
