@@ -653,6 +653,14 @@ CASES = [
     ({"x": ("Msg", [["one", int]], "no!")},
      {"x": [["three"]]}, {"x": ["flat"]}, {"x": [["one"]]}),
     ({"x": [[[int]]]}, {"x": [[["a"]]]}, {"x": [[[1, 2]], [[3]]]}),
+    # Msg over a dict whose sequence value TRANSFORMS elements ([Boolean]
+    # over strings): the collapse condition must see the ORIGINAL column,
+    # not the stage-2 replaced one (fuzz seed 2638)
+    ({"k0": ("In", [10]),
+      "k1": ("Msg", {"n0": [("Boolean",)], "n1": ("Match", "^a")},
+             "fuzz dict message")},
+     {"k0": 5, "k1": {"n0": ["abc"], "n1": "blue"}},
+     {"k0": 10, "k1": {"n0": ["yes", "off"], "n1": "abc"}}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

@@ -1046,7 +1046,18 @@ class Schema:
                     rebase=len(fld.path) if is_reentry else 0,
                 )
                 out_cols[fld.name] = out_col
-                err_entries.extend(sub_errs)
+                if msg_override is not None:
+                    # the Msg collapse condition references the ORIGINAL
+                    # nested column; evaluate the returned entries as
+                    # stage-1 columns so stage-2 lateral alias resolution
+                    # cannot rebind them to the REPLACED (transformed)
+                    # struct (fuzz seed 2638)
+                    for v_ in sub_errs:
+                        al = f"__sv_{len(hidden)}"
+                        hidden.append(v_.alias(al))
+                        err_entries.append(F.col(al))
+                else:
+                    err_entries.extend(sub_errs)
                 continue
 
             if isinstance(v, list) and isinstance(dtype, T.ArrayType):
