@@ -661,6 +661,20 @@ CASES = [
              "fuzz dict message")},
      {"k0": 5, "k1": {"n0": ["abc"], "n1": "blue"}},
      {"k0": 10, "k1": {"n0": ["yes", "off"], "n1": "abc"}}),
+    # wildcard keys in NESTED dict schemas resolve against the struct's
+    # static field names (literal keys claim first; unmatched keys
+    # surface the recorded key error under PREVENT)
+    ({"k": {str: int}}, {"k": {"a": 3, "b": 4}}, {"k": {"a": "x"}}),
+    ({"k": ("Msg", {str: int}, "mm")}, {"k": {"a": 3}}, {"k": {"a": "x"}}),
+    ({"k": {("Match", "^a"): int}}, {"k": {"ab": 3}}, {"k": {"zb": 3}}),
+    ({"k": {("Remove", str): int, "keep": int}},
+     {"k": {"drop": 5, "keep": 7}}),
+    ({"k": {"lit": str, str: int}}, {"k": {"lit": "v", "other": 7}}),
+    # Remove key whose value is a Schema instance: the fall-through fail
+    # condition evaluates with the sub-schema's own flags (seeds 3748/3815)
+    ({("Remove", "k0"): ("Schema", {"n0": ("Length", 1, 4)}, False),
+      "k1": int},
+     {"k0": {"n0": "abcdef"}, "k1": 9}, {"k0": {"n0": "ab"}, "k1": 9}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

@@ -524,8 +524,13 @@ class Schema:
         arrs: list = []
         if isinstance(v, dsl.Msg) and isinstance(v.schema, dict):
             v = v.schema
+        sub = None
+        if isinstance(v, Schema) and isinstance(v.schema, dict):
+            # Schema instance as the Remove key's value: fail condition
+            # evaluates with the sub-schema's OWN flags
+            sub, v = v, v.schema
         if isinstance(v, dict):
-            sub = Schema(v, required=self.required, extra=self.extra)
+            sub = sub or Schema(v, required=self.required, extra=self.extra)
             if isinstance(dtype, T.MapType):
                 _, errs, arrs = sub._validate_map(col, dtype, path)
             else:
@@ -2131,7 +2136,54 @@ class Schema:
         by_name = {f.name: f.dataType for f in dtype.fields}
         outs: list[Column] = []
         declared = set()
-        for key, val in self.schema.items():
+        # wildcard keys ({str: v}, {Match('^x'): v}, {Extra: v}) in a
+        # NESTED dict schema resolve against the struct's static field
+        # names, mirroring _bind_fields' top-level pass: literal keys
+        # claim theirs first, then wildcards in reference candidate
+        # priority; matched fields bind as non-required literal keys
+        items = [(k, v) for k, v in self.schema.items()
+                 if isinstance(_key_name(k), str)]
+        wilds = [(k, v) for k, v in self.schema.items()
+                 if not isinstance(_key_name(k), str)]
+        wild_key_errs: dict[str, tuple] = {}
+        if wilds:
+            def _wprio(kv):
+                k = kv[0]
+                if k is dsl.Extra or isinstance(k, dsl.Extra):
+                    return 5
+                if isinstance(k, Remove):
+                    return 1
+                if isinstance(k, Marker):
+                    return 2
+                if isinstance(k, type):
+                    return 4
+                return 3
+
+            wilds.sort(key=_wprio)
+            lit_names = {_key_name(k) for k, _ in items}
+            for fname in dtype.fieldNames():
+                if fname in lit_names:
+                    continue
+                key_err = None
+                for k, v_ in wilds:
+                    res = self._key_eval(_key_name(k), fname)
+                    if res[0] == "err":
+                        if key_err is None:
+                            key_err = res[1]
+                        continue
+                    items.append((
+                        Remove(fname) if isinstance(k, Remove)
+                        else Optional(fname, msg=getattr(k, "msg", None)),
+                        v_,
+                    ))
+                    break
+                else:
+                    if key_err is not None:
+                        # the key error is surfaced instead of 'extra keys
+                        # not allowed' under PREVENT
+                        # (schema_builder.py:392-396)
+                        wild_key_errs[fname] = key_err
+        for key, val in items:
             name = _key_name(key)
             declared.add(name)
             required = (self.required or isinstance(key, Required)) and \
@@ -2323,10 +2375,16 @@ class Schema:
             if fname in declared:
                 continue
             if self.extra == PREVENT_EXTRA:
-                emit(prefix + (fname,),
-                     F.lit("extra keys not allowed"), "Invalid",
-                     py_repr_col(col[fname], ft),
-                     col.isNotNull() & col[fname].isNotNull())
+                if fname in wild_key_errs:
+                    k_msg, k_et = wild_key_errs[fname]
+                    emit(prefix + (fname,), F.lit(k_msg), k_et,
+                         F.lit("None"),
+                         col.isNotNull() & col[fname].isNotNull())
+                else:
+                    emit(prefix + (fname,),
+                         F.lit("extra keys not allowed"), "Invalid",
+                         py_repr_col(col[fname], ft),
+                         col.isNotNull() & col[fname].isNotNull())
             elif self.extra == ALLOW_EXTRA:
                 outs.append(col[fname].alias(fname))
         out_struct = F.when(col.isNotNull(), F.struct(*outs)) if outs else col
