@@ -383,3 +383,21 @@ def test_number_keyed_doc_value_error_path(spark):
 def test_int_keyed_doc_roundtrip(spark):
     out = Schema({int: str})({1: "a", 2: "b"})
     assert out == {1: "a", 2: "b"}
+
+
+def test_msg_over_maptype_collapse(spark):
+    """Msg over a dynamic-key map value: a per-entry error sits at depth 1
+    relative to the Msg, so the whole set collapses to Invalid(msg) at the
+    key path (schema_builder.py:946-951) — per row, from runtime paths."""
+    import voluptuous_spark as vs
+
+    sch = vs.Schema({"k": vs.Msg({str: int}, "mm")}, extra=vs.ALLOW_EXTRA)
+    df = spark.createDataFrame(
+        [(1, {"a": 3}), (2, {"b": None})], "id int, k map<string,bigint>"
+    )
+    res = sch.validate(df, id_cols=["id"])
+    rows = res.violations.select("id", "path", "message").collect()
+    assert [(r.id, list(r.path), r.message) for r in rows] == [
+        (2, ["k"], "mm")
+    ]
+    assert [r.id for r in res.valid.select("id").collect()] == [1]

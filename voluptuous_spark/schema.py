@@ -1039,8 +1039,26 @@ class Schema:
                         col, dtype, fld.path
                     )
                     out_cols[fld.name] = out_col
-                    err_entries.extend(sub_errs)
-                    err_arrays.extend(sub_arrs)
+                    if msg_override is not None:
+                        # Msg over a dynamic-key map value: per-entry
+                        # errors sit at depth 1 relative to the Msg, so
+                        # the depth<=1 rule applies per row from the
+                        # runtime paths; staged to stage 1 (see the
+                        # struct branch)
+                        sub_errs, sub_arrs = _msg_collapse_seq(
+                            msg_override, fld.path, sub_errs, sub_arrs
+                        )
+                        for v_ in sub_errs:
+                            al = f"__sv_{len(hidden)}"
+                            hidden.append(v_.alias(al))
+                            err_entries.append(F.col(al))
+                        for a_ in sub_arrs:
+                            al = f"__sv_{len(hidden)}"
+                            hidden.append(a_.cast(_VIOL_ARR_T).alias(al))
+                            err_arrays.append(F.col(al))
+                    else:
+                        err_entries.extend(sub_errs)
+                        err_arrays.extend(sub_arrs)
                     continue
                 out_col, sub_errs = sub._validate_struct(
                     col, dtype, fld.path,
@@ -2255,6 +2273,12 @@ class Schema:
                         sub_col, sub_t, path
                     )
                     outs.append(o.alias(name))
+                    if sub_msg_override is not None:
+                        # Msg over a nested dynamic-key map: depth<=1
+                        # rule per row from the runtime entry paths
+                        sub_singles, sub_arrs = _msg_collapse_seq(
+                            sub_msg_override, path, sub_singles, sub_arrs
+                        )
                     # map-level gate errors sit at the key path (shallow);
                     # per-entry errors ride the array channel (deep) —
                     # with an ORDER-ONLY marker so a wrapping Msg's
