@@ -244,11 +244,22 @@ def gen_list_spec(rng):
     def sample(r):
         return [r.choice(pool) for _ in range(r.randint(0, 4))]
 
-    choice = rng.randrange(7)
+    choice = rng.randrange(8)
     if choice == 0:
         es, _ = (gen_int_spec(rng, 2) if elem_kind == "int"
                  else gen_str_spec(rng, 9))
         return [es], sample
+    if choice == 7:
+        # NESTED sequence schema [[...]]: deeper-than-index errors abort
+        # with the inner errors (schema_builder.py:616-620)
+        es, _ = (gen_int_spec(rng, 2) if elem_kind == "int"
+                 else gen_str_spec(rng, 9))
+
+        def sample2(r):
+            return [[r.choice(pool) for _ in range(r.randint(0, 3))]
+                    for _ in range(r.randint(0, 3))]
+
+        return [[es]], sample2
     if choice == 1:
         return ("Unique",), sample
     if choice == 2:
