@@ -325,24 +325,36 @@ def _unique_summary(spark, sf_dir):
     return uniqueness_report(_t(spark, sf_dir, "orders"), ["o_custkey"])
 
 
-def _referential_orphans(spark, sf_dir):
+def _referential_check(spark, sf_dir):
+    """Anti-join orphan rows AND the aggregate report in one result
+    (``src`` discriminator) — round 2 merged ``referential_orphans`` +
+    ``referential_summary`` to free driver slots for the audio queries.
+    Sentinels (-1) instead of NULLs keep pandas dtypes identical between
+    Spark and DuckDB for the driver's value hash."""
     ev = _t(spark, sf_dir, "events").select(
         F.col("user_id").alias("c_custkey")
     )
     cust = _t(spark, sf_dir, "customer")
-    return (
+    orph = (
         orphans(ev, cust, "c_custkey", broadcast_parent=True)
         .groupBy("c_custkey")
         .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.lit("orphan").alias("src"), "c_custkey", "n_events",
+            F.lit(-1).cast("long").alias("n_child"),
+            F.lit(-1).cast("long").alias("n_orphans"),
+            F.lit(-1.0).alias("orphan_rate"),
+        )
     )
-
-
-def _referential_summary(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("user_id").alias("c_custkey")
+    summ = referential_report(
+        ev, cust, "c_custkey", broadcast_parent=True
+    ).select(
+        F.lit("summary").alias("src"),
+        F.lit(-1).cast("long").alias("c_custkey"),
+        F.lit(-1).cast("long").alias("n_events"),
+        "n_child", "n_orphans", "orphan_rate",
     )
-    cust = _t(spark, sf_dir, "customer")
-    return referential_report(ev, cust, "c_custkey", broadcast_parent=True)
+    return orph.unionByName(summ)
 
 
 def _stats_lineitem(spark, sf_dir):
@@ -361,13 +373,27 @@ def _stats_lineitem(spark, sf_dir):
     )
 
 
-def _psi_priority(spark, sf_dir):
+def _drift_priority(spark, sf_dir):
+    """PSI summary + the category histogram it is built from, one result
+    (``src`` discriminator) — round 2 merged ``psi_priority`` +
+    ``histogram_priority``; sentinel -1/-1.0 instead of NULLs (see
+    ``_referential_check``)."""
     o = _t(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderkey") % 2 == 0)
     b = o.filter(F.col("o_orderkey") % 2 == 1)
-    return psi_report(a, b, "o_orderpriority").select(
-        F.round("psi", 6).alias("psi"), "n_categories"
+    psi = psi_report(a, b, "o_orderpriority").select(
+        F.lit("psi").alias("src"), F.lit("*").alias("value"),
+        F.lit(-1).cast("long").alias("count"), F.lit(-1.0).alias("ratio"),
+        F.round("psi", 6).alias("psi"),
+        F.col("n_categories").cast("long").alias("n_categories"),
     )
+    hist = category_histogram(o, "o_orderpriority").select(
+        F.lit("hist").alias("src"), "value", "count",
+        F.round("ratio", 6).alias("ratio"),
+        F.lit(-1.0).alias("psi"),
+        F.lit(-1).cast("long").alias("n_categories"),
+    )
+    return hist.unionByName(psi)
 
 
 def _ks_quantity(spark, sf_dir):
@@ -376,12 +402,6 @@ def _ks_quantity(spark, sf_dir):
     b = li.filter(F.col("l_returnflag") != "R")
     return ks_statistic(a, b, "l_quantity").select(
         F.round("ks_stat", 6).alias("ks_stat")
-    )
-
-
-def _histogram_priority(spark, sf_dir):
-    return category_histogram(_t(spark, sf_dir, "orders"), "o_orderpriority").select(
-        "value", "count", F.round("ratio", 6).alias("ratio")
     )
 
 
@@ -525,12 +545,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_flags": _set_flags,
         "unique_custkey": _unique_custkey,
         "unique_summary": _unique_summary,
-        "referential_orphans": _referential_orphans,
-        "referential_summary": _referential_summary,
+        "referential_check": _referential_check,
         "stats_lineitem": _stats_lineitem,
-        "psi_priority": _psi_priority,
+        "drift_priority": _drift_priority,
         "ks_quantity": _ks_quantity,
-        "histogram_priority": _histogram_priority,
         "dedup_exact": _dedup_exact,
         "doc_profile": _doc_profile,
         "dedup_clusters": _dedup_clusters,
@@ -549,15 +567,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def _extra_queries():
     from entry_ext import EXTRA_QUERIES
     from entry_ext2 import EXTRA2_QUERIES
+    from entry_ext3 import EXTRA3_QUERIES
 
-    return {**EXTRA_QUERIES, **EXTRA2_QUERIES}
+    return {**EXTRA_QUERIES, **EXTRA2_QUERIES, **EXTRA3_QUERIES}
 
 
 def _extra_oracles():
     from entry_ext import EXTRA_ORACLES
     from entry_ext2 import EXTRA2_ORACLES
+    from entry_ext3 import EXTRA3_ORACLES
 
-    return {**EXTRA_ORACLES, **EXTRA2_ORACLES}
+    return {**EXTRA_ORACLES, **EXTRA2_ORACLES, **EXTRA3_ORACLES}
 
 
 # shared banded-SRP CTE (n_bits=8 split into 2 bands of 4, coefs from
@@ -821,19 +841,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_rows
             FROM per_key
         """,
-        "referential_orphans": """
-            SELECT user_id AS c_custkey, COUNT(*) AS n_events
+        "referential_check": """
+            SELECT 'orphan' AS src, user_id AS c_custkey,
+                   COUNT(*) AS n_events,
+                   CAST(-1 AS BIGINT) AS n_child,
+                   CAST(-1 AS BIGINT) AS n_orphans,
+                   -1.0 AS orphan_rate
             FROM events e
             WHERE NOT EXISTS (
               SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id
             )
             GROUP BY user_id
-        """,
-        "referential_summary": """
-            SELECT COUNT(*) AS n_child,
-                   CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+            UNION ALL
+            SELECT 'summary', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+                   COUNT(*),
+                   CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) * 1.0
-                     / COUNT(*) AS DOUBLE) AS orphan_rate
+                     / COUNT(*) AS DOUBLE)
             FROM events e
             LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
               ON c.c_custkey = e.user_id
@@ -870,7 +894,7 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
             )
         """,
-        "psi_priority": """
+        "drift_priority": """
             WITH a AS (
               SELECT o_orderpriority AS value, COUNT(*) * 1.0
                      / (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS ratio_a
@@ -880,8 +904,15 @@ def oracle_sql() -> dict[str, str]:
                      / (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1) AS ratio_b
               FROM orders WHERE o_orderkey % 2 = 1 GROUP BY o_orderpriority
             )
-            SELECT ROUND(SUM((pa - pb) * LN(pa / pb)), 6) AS psi,
-                   COUNT(*) AS n_categories
+            SELECT 'hist' AS src, o_orderpriority AS value,
+                   COUNT(*) AS count,
+                   ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM orders), 6) AS ratio,
+                   -1.0 AS psi, CAST(-1 AS BIGINT) AS n_categories
+            FROM orders GROUP BY o_orderpriority
+            UNION ALL
+            SELECT 'psi', '*', CAST(-1 AS BIGINT), -1.0,
+                   ROUND(SUM((pa - pb) * LN(pa / pb)), 6),
+                   COUNT(*)
             FROM (
               SELECT GREATEST(COALESCE(ratio_a, 0), 1e-6) AS pa,
                      GREATEST(COALESCE(ratio_b, 0), 1e-6) AS pb
@@ -909,11 +940,6 @@ def oracle_sql() -> dict[str, str]:
                      cum_a * 1.0 / (SELECT COUNT(*) FROM a)
                      - cum_b * 1.0 / (SELECT COUNT(*) FROM b))), 6) AS ks_stat
             FROM cum
-        """,
-        "histogram_priority": """
-            SELECT o_orderpriority AS value, COUNT(*) AS count,
-                   ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM orders), 6) AS ratio
-            FROM orders GROUP BY o_orderpriority
         """,
         "dedup_exact": r"""
             WITH fp AS (

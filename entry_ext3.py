@@ -1,0 +1,159 @@
+"""Driver queries #3: the audio payload itself under the correctness gate.
+
+Round 2 brings the WAV encode -> decode -> verdict/feature pipeline — the
+graft's actual payload — under the driver's hash-checked DuckDB oracle,
+not just pytest + bench. The input is ``datasynth.oracle_clips_df``: a
+deterministic clips table (BASELINE.json input_hint shape) whose PCM
+content is a pure closed form of (clip_id, sample_index), so DuckDB can
+regenerate the samples with range() joins and aggregate the exact same
+statistics the engine computes from the decoded bytes.
+
+  - ``pcm_invariant``: per-clip verdicts from BOTH the pure-JVM Column
+    validator (``pcm_check_expr``) and the Arrow dual-decoder path
+    (``with_pcm_check``) over clips with one planned defect class per
+    ``clip_id % 8`` (silence / clipped / noise / duration mismatch /
+    sample-rate mismatch / missing payload / truncated header / non-PCM
+    codec). The oracle emits the expected message strings closed-form;
+    both engine paths must agree with it — a three-way differential.
+  - ``audio_features_check``: n_samples / rms_db / peak_db /
+    clipping_ratio / dc_offset / zcr computed by the engine from the
+    encoded WAV bytes (mapInArrow decode), hash-checked against DuckDB
+    computing the same statistics from the closed-form integer samples.
+    Exactness holds because every aggregate is an integer sum (< 2^53)
+    and the dBFS/ratio math is the same double-precision closed form on
+    both sides (see audio._features_one), rounded to 6 places.
+
+Sentinels (-1 / -999.0 / 'ok') replace NULLs so pandas dtypes stay
+identical between Spark toPandas() and DuckDB .df() for the driver's
+value hash (nullable int64 would otherwise decay to float64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+N_ORACLE_CLIPS = 64
+_FEATS = ["rms_db", "peak_db", "clipping_ratio", "dc_offset", "zcr"]
+
+# the closed-form sample generator, shared by both oracles: v(c,k) =
+# ((c+1)*104729*(k+13)) % 65536 - 32768, silenced for c%8=0 and
+# full-scale-clipped for c%8=1 (mirror of datasynth._oracle_samples)
+_SAMPLES_CTE = f"""
+clips AS (
+  SELECT range AS c, 1600 + (range % 5) * 320 AS n
+  FROM range({N_ORACLE_CLIPS})
+),
+s AS (
+  SELECT c.c, k.range AS k,
+         CASE
+           WHEN c.c % 8 = 0 THEN 0
+           WHEN c.c % 8 = 1 THEN
+             CASE WHEN ((c.c+1)*104729*(k.range+13)) % 65536 - 32768 >= 0
+                  THEN 32767 ELSE -32768 END
+           ELSE ((c.c+1)*104729*(k.range+13)) % 65536 - 32768
+         END AS v
+  FROM clips c CROSS JOIN range(2880) k
+  WHERE k.range < c.n
+)"""
+
+
+def _pcm_invariant(spark, sf_dir):
+    """Both validator paths over the planned-defect clips, one scan: the
+    JVM Column verdict is computed while ``bytes`` is still present, then
+    the Arrow dual-decoder path consumes (and drops) the payload."""
+    from voluptuous_spark.audio import pcm_check_expr, with_pcm_check
+    from voluptuous_spark.datasynth import oracle_clips_df
+
+    df = oracle_clips_df(spark, N_ORACLE_CLIPS).withColumn(
+        "jvm_err", pcm_check_expr()
+    )
+    checked = with_pcm_check(df)
+    return checked.select(
+        "clip_id",
+        F.coalesce("jvm_err", F.lit("ok")).alias("jvm_verdict"),
+        F.coalesce(F.col("__pcm_err"), F.lit("ok")).alias("arrow_verdict"),
+    )
+
+
+def _audio_features_check(spark, sf_dir):
+    from voluptuous_spark.audio import audio_features
+    from voluptuous_spark.datasynth import oracle_clips_df
+
+    df = oracle_clips_df(spark, N_ORACLE_CLIPS)
+    feats = audio_features(df)
+    return feats.select(
+        "clip_id",
+        F.coalesce("n_samples", F.lit(-1).cast("long")).alias("n_samples"),
+        *[
+            F.round(F.coalesce(F.col(c), F.lit(-999.0)), 6).alias(c)
+            for c in _FEATS
+        ],
+    )
+
+
+_VERDICT_SQL = """CASE c % 8
+      WHEN 3 THEN 'duration mismatch: payload ' || CAST(n // 16 AS VARCHAR)
+                  || 'ms != dur_ms ' || CAST(n // 16 + 500 AS VARCHAR) || 'ms'
+      WHEN 4 THEN 'header sample rate 16000 != sr_hz 8000'
+      WHEN 5 THEN 'required key not provided'
+      WHEN 6 THEN 'PCM decode failed: truncated header'
+      ELSE 'ok'
+    END"""
+
+EXTRA3_QUERIES = {
+    "pcm_invariant": _pcm_invariant,
+    "audio_features_check": _audio_features_check,
+}
+
+EXTRA3_ORACLES = {
+    "pcm_invariant": f"""
+        WITH clips AS (
+          SELECT range AS c, 1600 + (range % 5) * 320 AS n
+          FROM range({N_ORACLE_CLIPS})
+        )
+        SELECT c AS clip_id,
+               {_VERDICT_SQL} AS jvm_verdict,
+               {_VERDICT_SQL} AS arrow_verdict
+        FROM clips
+    """,
+    "audio_features_check": f"""
+        WITH {_SAMPLES_CTE},
+        lagd AS (
+          SELECT c, (v < 0) AS neg,
+                 LAG(v < 0) OVER (PARTITION BY c ORDER BY k) AS pneg
+          FROM s
+        ),
+        agg AS (
+          SELECT c, COUNT(*) AS n, SUM(v * v) AS ss, MAX(ABS(v)) AS mx,
+                 SUM(CASE WHEN ABS(v) >= 32767 THEN 1 ELSE 0 END) AS nclip,
+                 SUM(v) AS sv
+          FROM s GROUP BY c
+        ),
+        zagg AS (
+          SELECT c, SUM(CASE WHEN pneg IS NOT NULL AND neg <> pneg
+                             THEN 1 ELSE 0 END) AS zc
+          FROM lagd GROUP BY c
+        )
+        SELECT cl.c AS clip_id,
+          CASE WHEN cl.c % 8 IN (5, 6, 7) THEN -1
+               ELSE a.n END AS n_samples,
+          CASE WHEN cl.c % 8 IN (5, 6, 7) THEN -999.0
+               WHEN a.ss = 0 THEN -120.0
+               ELSE ROUND(GREATEST(
+                 20.0 * LOG10(SQRT(a.ss * 1.0 / a.n) / 32768.0), -120.0), 6)
+          END AS rms_db,
+          CASE WHEN cl.c % 8 IN (5, 6, 7) THEN -999.0
+               WHEN a.mx = 0 THEN -120.0
+               ELSE ROUND(GREATEST(20.0 * LOG10(a.mx / 32768.0), -120.0), 6)
+          END AS peak_db,
+          CASE WHEN cl.c % 8 IN (5, 6, 7) THEN -999.0
+               ELSE ROUND(a.nclip * 1.0 / a.n, 6) END AS clipping_ratio,
+          CASE WHEN cl.c % 8 IN (5, 6, 7) THEN -999.0
+               ELSE ROUND((a.sv * 1.0 / a.n) / 32768.0, 6) END AS dc_offset,
+          CASE WHEN cl.c % 8 IN (5, 6, 7) THEN -999.0
+               ELSE ROUND(z.zc * 1.0 / (a.n - 1), 6) END AS zcr
+        FROM clips cl
+        JOIN agg a ON a.c = cl.c
+        JOIN zagg z ON z.c = cl.c
+    """,
+}

@@ -300,3 +300,45 @@ def test_audio_feature_report(spark):
     assert rep["n_clips"] == 2
     assert rep["silent_rate"] == 0.5
     assert rep["clipped_rate"] == 0.0
+
+
+def test_fullscale_negative_clipping_counted():
+    """Regression: np.abs over the int16 view wraps -32768 to -32768, so
+    full-scale NEGATIVE samples were not counted as clipped (found by the
+    audio_features_check oracle). A square wave at +32767/-32768 must
+    report clipping_ratio == 1.0."""
+    from voluptuous_spark.audio import _features_one, encode_wav_pcm16
+
+    sq = np.where(np.arange(1000) % 2 == 0, 32767, -32768).astype(np.int16)
+    feats = _features_one(encode_wav_pcm16(sq, 8000), "wav")
+    n, rms_db, peak_db, clipping, dc, zcr = feats
+    assert n == 1000
+    assert clipping == 1.0
+    assert abs(peak_db - 0.0) < 0.01      # |-32768|/32768 = full scale
+    assert zcr == 1.0                     # alternates every sample
+
+
+def test_oracle_clips_roundtrip(spark):
+    """oracle_clips_df variants decode to the planned verdicts through
+    BOTH validator paths, and the closed-form sample generator matches
+    what the engine decodes back out of the WAV bytes."""
+    from voluptuous_spark.audio import (
+        decode_wav_numpy, pcm_check_expr, with_pcm_check,
+    )
+    from voluptuous_spark.datasynth import _oracle_samples, oracle_clips_df
+
+    df = oracle_clips_df(spark, 16).withColumn("jvm_err", pcm_check_expr())
+    rows = {r["clip_id"]: r for r in with_pcm_check(df).collect()}
+    for c, r in rows.items():
+        assert r["jvm_err"] == r["__pcm_err"], (c, r)
+        m = c % 8
+        if m in (0, 1, 2, 7):
+            assert r["__pcm_err"] is None, (c, r)
+        else:
+            assert r["__pcm_err"] is not None, (c, r)
+
+    # byte-exact decode roundtrip for a valid noise clip
+    raw = oracle_clips_df(spark, 16).filter("clip_id = 2").collect()[0]
+    s, sr = decode_wav_numpy(raw["bytes"])
+    assert sr == 16000
+    np.testing.assert_array_equal(s, _oracle_samples(2))

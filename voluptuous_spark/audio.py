@@ -484,9 +484,12 @@ def _features_one(buf, codec):
     all-None when the payload is absent/undecodable/non-PCM (the decode
     errors themselves are with_pcm_check/pcm_check_expr's job).
 
-    Single float32 working copy of the samples; every statistic is a
-    numpy reduction over it (no per-sample Python), keeping this
-    cache-resident like the SNR hot loop above."""
+    Single float64 working copy of the samples; every statistic is a
+    numpy reduction over it (no per-sample Python). float64 keeps the
+    sum-of-squares EXACT (integer partial sums < 2^53 for clips up to
+    ~8M samples), so the dBFS/ratio outputs are pure closed forms of the
+    integer sample values — reproducible bit-for-bit by an external SQL
+    oracle, and invariant to summation order across batch splits."""
     if buf is None or (codec is not None and codec != "wav"):
         return (None,) * len(AUDIO_FEATURE_COLS)
     try:
@@ -496,13 +499,15 @@ def _features_one(buf, codec):
     n = int(s.shape[0])
     if n == 0:
         return (0, _SILENCE_DB, _SILENCE_DB, 0.0, 0.0, 0.0)
-    a = s.astype(np.float32)
+    a = s.astype(np.float64)
     power = float(np.dot(a, a)) / n
     rms = np.sqrt(power) / 32768.0
     rms_db = max(20.0 * np.log10(rms), _SILENCE_DB) if rms > 0 else _SILENCE_DB
     peak = float(np.max(np.abs(a))) / 32768.0
     peak_db = max(20.0 * np.log10(peak), _SILENCE_DB) if peak > 0 else _SILENCE_DB
-    clipping = float(np.count_nonzero(np.abs(s) >= 32767)) / n
+    # |.| over the float64 copy, NOT the int16 view: np.abs(int16 -32768)
+    # wraps to -32768, silently missing every full-scale negative sample
+    clipping = float(np.count_nonzero(np.abs(a) >= 32767)) / n
     dc = float(np.mean(a)) / 32768.0
     neg = np.signbit(a)
     zcr = (

@@ -151,6 +151,74 @@ def clips_df(spark: SparkSession, n_rows: int, seed: int = 42,
     )
 
 
+ORACLE_CLIPS_DDL = (
+    "clip_id long, bytes binary, sr_hz int, dur_ms int, "
+    "codec string, transcript string"
+)
+ORACLE_SR = 16000
+
+
+def _oracle_samples(c: int) -> np.ndarray:
+    """int16 samples for oracle clip ``c`` — a closed form a SQL engine
+    can regenerate exactly: v(c,k) = ((c+1)*104729*(k+13)) % 65536 - 32768
+    (all operands non-negative, so %% agrees across numpy / SQL), with
+    variant overrides by c %% 8 (0 = digital silence, 1 = full-scale
+    clipped). n_samples = 1600 + (c %% 5)*320 is a multiple of 16 so
+    dur_ms = n/16 exactly (no round-half parity traps between Python
+    banker's rounding, Spark F.round and SQL ROUND)."""
+    n = 1600 + (c % 5) * 320
+    k = np.arange(n, dtype=np.int64)
+    v = ((c + 1) * 104729 * (k + 13)) % 65536 - 32768
+    if c % 8 == 0:
+        v = np.zeros(n, dtype=np.int64)
+    elif c % 8 == 1:
+        v = np.where(v >= 0, 32767, -32768)
+    return v.astype(np.int16)
+
+
+def _oracle_clip_row(c: int) -> dict:
+    v = _oracle_samples(c)
+    buf: typing.Optional[bytes] = encode_wav_pcm16(v, ORACLE_SR)
+    actual_ms = len(v) // 16
+    dur = actual_ms
+    sr: int = ORACLE_SR
+    codec = "wav"
+    m = c % 8
+    if m == 3:
+        dur = actual_ms + 500       # duration mismatch
+    elif m == 4:
+        sr = 8000                   # header/metadata sample-rate mismatch
+    elif m == 5:
+        buf = None                  # missing payload
+    elif m == 6:
+        buf = buf[:8]               # truncated header
+    elif m == 7:
+        codec = "opus"              # non-PCM codec: structural check only
+    return {
+        "clip_id": c, "bytes": buf, "sr_hz": sr, "dur_ms": dur,
+        "codec": codec, "transcript": f"t{c}",
+    }
+
+
+def oracle_clips_df(spark: SparkSession, n_clips: int,
+                    partitions: int | None = None) -> DataFrame:
+    """Deterministic clips table whose PCM content is a pure closed form
+    of (clip_id, sample_index) — regenerable by a DuckDB oracle via
+    range() joins — with one planned defect class per ``clip_id %% 8``.
+    Used by the driver queries that hash-check the WAV encode -> decode ->
+    feature/verdict pipeline end-to-end against SQL."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame([_oracle_clip_row(int(i)) for i in pdf["id"]])
+
+    return (
+        spark.range(0, n_clips, numPartitions=parts)
+        .mapInPandas(gen, schema=ORACLE_CLIPS_DDL)
+    )
+
+
 def transcripts_df(spark: SparkSession, n_rows: int, seed: int = 42,
                    partitions: int | None = None) -> DataFrame:
     """Referential side table: mostly matching clip_ids + ~0.5% orphans,
