@@ -76,18 +76,36 @@ def _pcm_invariant(spark, sf_dir):
 
 
 def _audio_features_check(spark, sf_dir):
-    from voluptuous_spark.audio import audio_features
+    """Features + quality-gate verdicts. ``gates`` is the sorted
+    comma-joined list of failed gate names from
+    ``audio_quality_violations`` (default thresholds), 'pass' when clean,
+    '-' when the payload was absent/undecodable/non-PCM — gate NAMES only,
+    so the oracle reproduces the threshold semantics without any
+    float-to-string rendering hazard."""
+    from voluptuous_spark.audio import audio_features, audio_quality_violations
     from voluptuous_spark.datasynth import oracle_clips_df
 
     df = oracle_clips_df(spark, N_ORACLE_CLIPS)
     feats = audio_features(df)
-    return feats.select(
+    gates = (
+        audio_quality_violations(feats)
+        .groupBy("clip_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.element_at("path", 1))), ","
+            ).alias("gates")
+        )
+    )
+    return feats.join(gates, "clip_id", "left").select(
         "clip_id",
         F.coalesce("n_samples", F.lit(-1).cast("long")).alias("n_samples"),
         *[
             F.round(F.coalesce(F.col(c), F.lit(-999.0)), 6).alias(c)
             for c in _FEATS
         ],
+        F.when(F.col("n_samples").isNull(), F.lit("-"))
+        .otherwise(F.coalesce("gates", F.lit("pass")))
+        .alias("gates"),
     )
 
 
@@ -151,7 +169,21 @@ EXTRA3_ORACLES = {
           CASE WHEN cl.c % 8 IN (5, 6, 7) THEN -999.0
                ELSE ROUND((a.sv * 1.0 / a.n) / 32768.0, 6) END AS dc_offset,
           CASE WHEN cl.c % 8 IN (5, 6, 7) THEN -999.0
-               ELSE ROUND(z.zc * 1.0 / (a.n - 1), 6) END AS zcr
+               ELSE ROUND(z.zc * 1.0 / (a.n - 1), 6) END AS zcr,
+          CASE WHEN cl.c % 8 IN (5, 6, 7) THEN '-'
+               ELSE COALESCE(NULLIF(CONCAT_WS(',',
+                 CASE WHEN a.nclip * 1.0 / a.n > 0.01
+                      THEN 'clipping_ratio' END,
+                 CASE WHEN ABS((a.sv * 1.0 / a.n) / 32768.0) > 0.02
+                      THEN 'dc_offset' END,
+                 CASE WHEN (CASE WHEN a.ss = 0 THEN -120.0
+                            ELSE GREATEST(20.0 * LOG10(
+                              SQRT(a.ss * 1.0 / a.n) / 32768.0), -120.0)
+                            END) < -60.0
+                      THEN 'rms_db' END,
+                 CASE WHEN z.zc * 1.0 / (a.n - 1) < 0.0 AND a.n > 1
+                      THEN 'zcr' END), ''), 'pass')
+          END AS gates
         FROM clips cl
         JOIN agg a ON a.c = cl.c
         JOIN zagg z ON z.c = cl.c
