@@ -522,6 +522,23 @@ CASES = [
     # set carrier is an array column, __call__ round-trips a list
     ({"x": {int}}, {"x": {1, 2}}),
     ({"x": frozenset({int})}, {"x": frozenset({1, 2})}),
+    # container-class gate (schema_builder.py:672-678): a set schema only
+    # accepts its OWN set class — a list or the sibling set type fails
+    # with 'expected a set'/'expected a frozenset' (reinstated Python-side
+    # by schema._reinstate_set_gates; the array carrier erases the class)
+    ({"x": frozenset({int})}, {"x": [1, 2]}),
+    ({"x": frozenset({int})}, {"x": 7}),
+    ({"x": {int}}, {"x": frozenset({5})}),
+    ({"x": frozenset({int})}, {"x": frozenset({"a"})}),
+    ({"x": frozenset({1, 2, 3})}, {"x": frozenset({4})}, {"x": frozenset({3, 1})}),
+    # fuzz seed 4042: an empty FIRST inner list must not collapse the
+    # element type to the string fallback (_has_type_content scan) — the
+    # 50 in the second inner list must still hit NotIn, and a failing
+    # Remove value falls through to the extra policy
+    ({("Remove", "k2"): [[("NotIn", [0, 50, 7])]]},
+     {"k2": [[], [-5, 50, 10]]}, {"k2": [[1, 2]]}),
+    ({"k2": [[("NotIn", [0, 50, 7])]]}, {"k2": [[], [-5, 50, 10]]}),
+    ({"k2": [[int]]}, {"k2": [[], [3]]}, {"k2": []}),
     # Number precision/scale matrix (tests.py:985-1081)
     ({"n": ("Number", 6, 2)},
      {"n": "1234.01"}, {"n": "123456.712"}, {"n": "abc"}),

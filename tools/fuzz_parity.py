@@ -283,6 +283,24 @@ def gen_list_spec(rng):
     if choice == 5:
         # Contains with a possibly-foreign item type
         return ("Contains", rng.choice(INTS + STRS)), sample
+    if choice == 6:
+        # set/frozenset value schema (schema_builder.py:665-703): members
+        # match alternatives; the container CLASS itself is gated
+        # ('expected a set' on a list / the sibling set class)
+        cls = rng.choice([set, frozenset])
+        alts = ([int] if elem_kind == "int" else [str]) + (
+            [rng.choice(pool)] if rng.random() < 0.5 else []
+        )
+
+        def sample_set(r):
+            p = r.random()
+            base = [r.choice(pool) for _ in range(r.randint(0, 3))]
+            if p < 0.5:
+                return cls(base)                      # right class
+            if p < 0.7:
+                return (frozenset if cls is set else set)(base)  # sibling
+            return base                                # plain list
+        return cls(alts), sample_set
     return ("Contains", rng.choice(pool)), sample
 
 
@@ -299,7 +317,20 @@ def gen_dict_spec(rng, depth):
         return {k: fn(r) for k, fn in samplers.items()}
 
     p = rng.random()
-    if p < 0.2:
+    if p < 0.1:
+        # dynamic-key map schema {str: v} (schema_builder.py:469-488):
+        # every entry's key matches the key schema, value the value
+        # schema; rides a MapType column here
+        vkind = rng.choice(["int", "str"])
+        vspec, vfn = (gen_int_spec(rng, 2) if vkind == "int"
+                      else gen_str_spec(rng, 9))
+
+        def sample_map(r):
+            return {
+                f"m{j}": vfn(r) for j in range(r.randint(0, 3))
+            }
+        return {str: vspec}, sample_map
+    if p < 0.28:
         # Msg over a nested dict schema: the depth<=1 override rule
         # (schema_builder.py:946-949) — only direct descendants get the
         # custom message

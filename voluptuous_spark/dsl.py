@@ -599,6 +599,27 @@ class Remove(Marker):
         return object.__hash__(self)
 
 
+class ConstantFail(Validator):
+    """Always-fail node. Used by the single-document shim to reinstate
+    container-type gates the typed array carrier erases — the reference's
+    ``_compile_set`` only accepts a value of the schema's own set class
+    ('expected a set' / 'expected a frozenset',
+    schema_builder.py:672-678), a distinction a Spark array column
+    cannot carry."""
+
+    def __init__(self, message, error_type="Invalid"):
+        self.message = message
+        self.error_type = error_type
+
+    def __repr__(self):
+        return "ConstantFail(%r)" % (self.message,)
+
+    def bind(self, dtype):
+        return _pred_check(
+            lambda c: F.lit(False), self.message, self.error_type
+        )
+
+
 class Msg(Validator):
     """Override error message of direct descendants
     (schema_builder.py:898-952)."""

@@ -242,6 +242,11 @@ class Schema:
             return self._call_scalar_doc(data, spark)
         if data and not all(isinstance(k, str) for k in data):
             return self._call_map_doc(data, spark)
+        gated = _reinstate_set_gates(self.schema, data)
+        if gated is not None:
+            return Schema(gated, required=self.required, extra=self.extra)(
+                data, spark
+            )
         stype = self._infer_doc_type(data)
         df = spark.createDataFrame([_to_row_value(data, stype)], stype)
         res = self.validate(df, id_cols=[])
@@ -2421,6 +2426,18 @@ _PY_TO_SPARK = {
 }
 
 
+def _has_type_content(x) -> bool:
+    """True when ``x`` determines a concrete leaf type: a non-null
+    scalar, or a container with at least one such leaf anywhere below."""
+    if x is None:
+        return False
+    if isinstance(x, dict):
+        return any(_has_type_content(v) for v in x.values())
+    if isinstance(x, (list, tuple, set, frozenset)):
+        return any(_has_type_content(v) for v in x)
+    return True
+
+
 def _infer_spark_type(value, hint=None) -> T.DataType:
     """Spark type for one document cell: data-driven, falling back to the
     schema DSL hint (a Python type or a literal) for None/missing."""
@@ -2456,7 +2473,15 @@ def _infer_spark_type(value, hint=None) -> T.DataType:
     if isinstance(value, (list, tuple, set, frozenset)):
         items = list(value)
         elem_hint = hint[0] if isinstance(hint, list) and hint else None
-        elem = next((x for x in items if x is not None), None)
+        # prefer an element that carries type information all the way
+        # down: [[], [-5, 50]] must infer array<array<bigint>> — taking
+        # the FIRST non-null element ([]) would collapse the inner type
+        # to the string fallback, silently string-casting every value
+        # (and letting int validators pass on the casted copies)
+        elem = next(
+            (x for x in items if _has_type_content(x)),
+            next((x for x in items if x is not None), None),
+        )
         return T.ArrayType(_infer_spark_type(elem, elem_hint), True)
     # None: fall back to the DSL hint
     if isinstance(hint, type) and hint in _PY_TO_SPARK:
@@ -2496,6 +2521,42 @@ def _value_statically_passes(v, dtype) -> bool:
     return isinstance(v, type) and dtype is not None and dsl._pytype_matches(
         v, dtype
     )
+
+
+def _reinstate_set_gates(schema, data):
+    """Reference ``_compile_set`` type-gates the VALUE's container class
+    (schema_builder.py:672-678): a ``set`` schema only accepts ``set``
+    instances, ``frozenset`` only ``frozenset`` — a list fails with
+    'expected a set'. The one-row carrier converts every iterable to an
+    array column, erasing that distinction, so the single-document path
+    pre-walks (schema, data) and rewrites mismatched positions into a
+    ``ConstantFail`` carrying the reference's message. Returns the
+    rewritten schema, or None when nothing matched (the common case —
+    zero overhead for schemas without set nodes)."""
+    changed = False
+
+    def walk(s, d):
+        nonlocal changed
+        if isinstance(s, (set, frozenset)):
+            if d is not None and not isinstance(d, type(s)):
+                changed = True
+                return dsl.ConstantFail(
+                    "expected a %s" % type(s).__name__
+                )
+            return s
+        if isinstance(s, dsl.Msg):
+            inner = walk(s.schema, d)
+            return s if inner is s.schema else dsl.Msg(inner, s.msg, s.cls)
+        if isinstance(s, dict) and isinstance(d, dict):
+            return {
+                k: (walk(v, d.get(_key_name(k)))
+                    if isinstance(_key_name(k), str) else v)
+                for k, v in s.items()
+            }
+        return s
+
+    new = walk(schema, data)
+    return new if changed else None
 
 
 def _assert_representable(data, path=()):
