@@ -67,6 +67,20 @@ def run_headline_queries() -> dict:
     import __spark_entry__ as entry
 
     spark = _session(CPUS)
+    # warm the Python worker pool once (imports pandas/numpy/pyarrow in
+    # every worker) before timing: pool spin-up is per-executor session
+    # infrastructure — excluded from per-query numbers the same way JVM
+    # startup is. Without this, whichever Arrow-stage query runs FIRST
+    # absorbs ~10s of worker forks that no steady-state run ever pays.
+    import pyarrow as _pa
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    spark.range(0, CPUS, numPartitions=CPUS).mapInArrow(
+        _noop, "id long"
+    ).write.format("noop").mode("overwrite").save()
     out = {}
     for name, fn in entry.queries().items():
         t0 = time.time()

@@ -207,7 +207,11 @@ def oracle_clips_df(spark: SparkSession, n_clips: int,
     range() joins — with one planned defect class per ``clip_id %% 8``.
     Used by the driver queries that hash-check the WAV encode -> decode ->
     feature/verdict pipeline end-to-end against SQL."""
-    parts = partitions or spark.sparkContext.defaultParallelism
+    # a 64-row fixture on 32 partitions would fork 32 Python workers for
+    # 2 rows each — size partitions to ~8 clips per task instead
+    parts = partitions or max(
+        1, min(spark.sparkContext.defaultParallelism, n_clips // 8)
+    )
 
     def gen(batches):
         for pdf in batches:
