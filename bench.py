@@ -82,14 +82,21 @@ def run_headline_queries() -> dict:
         _noop, "id long"
     ).write.format("noop").mode("overwrite").save()
     out = {}
+    # best-of-2 per query: this VM's co-tenant noise comes in epochs that
+    # can triple one query's wall (observed jaccard_pairs 2.5s vs 12.0s in
+    # adjacent runs); the min of two spaced draws is a stable estimator
     for name, fn in entry.queries().items():
-        t0 = time.time()
-        _force(fn(spark, SF_DIR))
-        out[name] = round(time.time() - t0, 3)
-        # queries are independent: drop any intermediate caches (LSH
-        # dictionaries, shingle tables) so later queries aren't measured
-        # under earlier queries' storage pressure
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _force(fn(spark, SF_DIR))
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # queries are independent: drop any intermediate caches (LSH
+            # dictionaries, shingle tables) so later queries aren't
+            # measured under earlier queries' storage pressure
+            spark.catalog.clearCache()
+        out[name] = round(best, 3)
     spark.stop()
     return out
 

@@ -252,6 +252,31 @@ def test_single_select_plan(spark):
     assert "Join" not in plan
 
 
+def test_wide_schema_linear_compile(spark):
+    """Wide-schema linearity (reference tests.py:1201-1243, the O(n)
+    regression test with a 1000-key schema and 50% extra keys): a
+    300-key schema over a 400-column row — 100 columns extra under
+    ALLOW_EXTRA — compiles to a single shuffle-free projection, and each
+    schema column is referenced a BOUNDED number of times in the plan
+    (one check evaluation per key, not keys x candidates)."""
+    n_keys, n_extra = 300, 100
+    cols = ", ".join(f"c{i} int" for i in range(n_keys + n_extra))
+    row = tuple(range(n_keys + n_extra))
+    df = spark.createDataFrame([row], cols)
+    res = Schema(
+        {f"c{i}": Range(min=0) for i in range(n_keys)},
+        extra=ALLOW_EXTRA,
+    ).validate(df, id_cols=[])
+    plan = res.annotated._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    # every key evaluated once: the check column c7's references don't
+    # multiply with schema width (appears in the scan + its own check)
+    assert plan.count("c7#") < 40
+    rep = res.report().collect()
+    assert sum(r["rows"] for r in rep) == 1
+    assert sum(r["failed"] for r in rep) == 0
+
+
 def test_required_complex_key_any(spark):
     """Required(Any('a','b')) = at-least-one-of (reference
     schema_builder.py:311-325; tests.py:2042-2065)."""
