@@ -342,3 +342,53 @@ def test_oracle_clips_roundtrip(spark):
     s, sr = decode_wav_numpy(raw["bytes"])
     assert sr == 16000
     np.testing.assert_array_equal(s, _oracle_samples(2))
+
+
+def test_spectral_features_known_signals(spark):
+    """Closed-form spectral oracles: a pure 440Hz sine concentrates power
+    at its bin (dominant/centroid ~440, near-zero flatness); white noise
+    spreads it (high flatness, centroid near band middle); a 400Hz square
+    wave stacks odd harmonics (dominant 400, much wider bandwidth than
+    the sine); silence yields all-zero features; a truncated payload
+    yields NULLs."""
+    from voluptuous_spark.audio import audio_spectral_features, encode_wav_pcm16
+
+    sr = 16000
+    t = np.arange(4 * sr) / sr
+    rng = np.random.default_rng(7)
+    sine = 16384 * np.sin(2 * np.pi * 440 * t)
+    square = 16384 * np.sign(np.sin(2 * np.pi * 400 * t))
+    noise = rng.normal(0, 8000, 4 * sr)
+    silence = np.zeros(4 * sr)
+
+    df = _wav_df(spark, [("sine", sine), ("square", square),
+                         ("noise", noise), ("silence", silence)], sr)
+    bad = spark.createDataFrame(
+        [("trunc", encode_wav_pcm16(sine.astype(np.int16), sr)[:8],
+          sr, 4000, "wav")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string",
+    )
+    rows = {r["clip_id"]: r
+            for r in audio_spectral_features(df.unionByName(bad)).collect()}
+
+    s = rows["sine"]
+    assert abs(s["dominant_hz"] - 440) < 10
+    assert abs(s["spectral_centroid_hz"] - 440) < 40
+    assert s["spectral_flatness"] < 0.01
+    assert s["spectral_rolloff_hz"] < 600
+
+    q = rows["square"]
+    assert abs(q["dominant_hz"] - 400) < 10
+    # odd harmonics push centroid/bandwidth well above the fundamental
+    assert q["spectral_bandwidth_hz"] > 3 * s["spectral_bandwidth_hz"]
+    assert q["spectral_rolloff_hz"] > 1000
+
+    n = rows["noise"]
+    assert n["spectral_flatness"] > 0.3
+    assert 2500 < n["spectral_centroid_hz"] < 5500
+
+    z = rows["silence"]
+    assert z["dominant_hz"] == 0.0 and z["spectral_flatness"] == 0.0
+
+    b = rows["trunc"]
+    assert b["dominant_hz"] is None

@@ -668,6 +668,110 @@ def audio_feature_report(features: DataFrame) -> DataFrame:
     )
 
 
+SPECTRAL_FEATURE_COLS = (
+    "dominant_hz", "spectral_centroid_hz", "spectral_bandwidth_hz",
+    "spectral_flatness", "spectral_rolloff_hz",
+)
+
+
+def _spectral_one(buf, codec, n_fft=2048):
+    """Spectral features for one clip via an averaged Hann-windowed power
+    spectrum (Welch without overlap — one rfft per n_fft block, all
+    vectorized numpy, no per-sample Python):
+
+      dominant_hz           argmax power bin (DC excluded)
+      spectral_centroid_hz  power-weighted mean frequency
+      spectral_bandwidth_hz power-weighted std dev around the centroid
+      spectral_flatness     geometric/arithmetic mean of power (DC
+                            excluded): ~0 tonal, ->1 white noise
+      spectral_rolloff_hz   85th-percentile cumulative-power frequency
+
+    Returns all-None when the payload is absent/undecodable/non-PCM, and
+    all-0.0 for digital silence (no power to locate)."""
+    if buf is None or (codec is not None and codec != "wav"):
+        return (None,) * len(SPECTRAL_FEATURE_COLS)
+    try:
+        s, sr = decode_wav_numpy(memoryview(buf))
+    except ValueError:
+        return (None,) * len(SPECTRAL_FEATURE_COLS)
+    n = int(s.shape[0])
+    if n == 0:
+        return (0.0,) * len(SPECTRAL_FEATURE_COLS)
+    a = s.astype(np.float64)
+    if n < n_fft:
+        a = np.pad(a, (0, n_fft - n))
+    k = a.shape[0] // n_fft
+    blocks = a[: k * n_fft].reshape(k, n_fft) * np.hanning(n_fft)
+    power = np.mean(np.abs(np.fft.rfft(blocks, axis=1)) ** 2, axis=0)
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+    p = power[1:]  # exclude DC for every statistic
+    f = freqs[1:]
+    total = float(np.sum(p))
+    if total <= 0.0:
+        return (0.0,) * len(SPECTRAL_FEATURE_COLS)
+    dominant = float(f[int(np.argmax(p))])
+    centroid = float(np.dot(f, p) / total)
+    bandwidth = float(np.sqrt(np.dot((f - centroid) ** 2, p) / total))
+    logp = np.log(p + 1e-30)
+    flatness = float(np.exp(np.mean(logp)) / (total / p.shape[0]))
+    rolloff = float(f[int(np.searchsorted(np.cumsum(p), 0.85 * total))])
+    return (dominant, centroid, bandwidth, flatness, rolloff)
+
+
+def audio_spectral_features(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    n_fft: int = 2048,
+    drop_bytes: bool = True,
+) -> DataFrame:
+    """Per-clip spectral features via ``mapInArrow`` — same zero-copy
+    single-pass shape as ``audio_features``: the payload crosses the
+    JVM->Python boundary once, reduces to five narrow doubles, and is
+    dropped from the output batch. The FFT work is O(n log n_fft) per
+    clip and embarrassingly parallel — the correct 10^12-row shape.
+    No reference analog (voluptuous has no audio notion); this is the
+    training-data tier: tonal-artifact / hum / bandwidth-limited-upload
+    detection that RMS-level gates cannot see."""
+    import pyarrow as pa
+
+    out_fields = [
+        fld for fld in df.schema.fields
+        if not (drop_bytes and fld.name == bytes_col)
+    ]
+    keep_names = [fld.name for fld in out_fields]
+    out_schema_ddl = ", ".join(
+        f"`{fld.name}` {fld.dataType.simpleString()}" for fld in out_fields
+    ) + ", " + ", ".join(f"`{c}` double" for c in SPECTRAL_FEATURE_COLS)
+
+    def gen(batches):
+        for batch in batches:
+            bcol = batch.column(batch.schema.get_field_index(bytes_col))
+            codec = batch.column(
+                batch.schema.get_field_index(codec_col)
+            ).to_pylist()
+            feats = []
+            for i in range(batch.num_rows):
+                sc = bcol[i]
+                feats.append(_spectral_one(
+                    sc.as_buffer() if sc.is_valid else None, codec[i],
+                    n_fft,
+                ))
+            cols = [
+                batch.column(batch.schema.get_field_index(nm))
+                for nm in keep_names
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols + [
+                    pa.array([ft[j] for ft in feats], type=pa.float64())
+                    for j in range(len(SPECTRAL_FEATURE_COLS))
+                ],
+                names=keep_names + list(SPECTRAL_FEATURE_COLS),
+            )
+
+    return df.mapInArrow(gen, out_schema_ddl)
+
+
 def transcript_equality_violations(
     clips: DataFrame,
     transcripts: DataFrame,
