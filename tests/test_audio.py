@@ -392,3 +392,32 @@ def test_spectral_features_known_signals(spark):
 
     b = rows["trunc"]
     assert b["dominant_hz"] is None
+
+
+def test_spectral_quality_gates(spark):
+    """Gate verdicts on engineered defects: a 50Hz tone trips the hum
+    gate (and ONLY it — the narrowband gate defers to hum); 300Hz-rolloff
+    content trips band-limited; clean wideband noise passes everything."""
+    from voluptuous_spark.audio import (
+        audio_spectral_features, audio_spectral_violations,
+    )
+
+    sr = 16000
+    t = np.arange(4 * sr) / sr
+    rng = np.random.default_rng(11)
+    hum = 16384 * np.sin(2 * np.pi * 50 * t)
+    # telephone-band content: noise through a crude low-pass (cumulative
+    # mean over 40 samples kills everything above a few hundred Hz)
+    lp = np.convolve(rng.normal(0, 8000, 4 * sr), np.ones(40) / 40, "same")
+    wide = rng.normal(0, 8000, 4 * sr)
+
+    df = _wav_df(spark, [("hum", hum), ("lp", lp), ("wide", wide)], sr)
+    v = audio_spectral_violations(audio_spectral_features(df))
+    by_clip = {}
+    for r in v.collect():
+        by_clip.setdefault(r["clip_id"], []).append(r["path"][0])
+    assert by_clip["hum"] == ["dominant_hz"]
+    assert "spectral_rolloff_hz" in by_clip["lp"]
+    assert "wide" not in by_clip
+    msgs = {r["path"][0]: r["message"] for r in v.collect()}
+    assert "mains hum" in msgs["dominant_hz"]

@@ -772,6 +772,93 @@ def audio_spectral_features(
     return df.mapInArrow(gen, out_schema_ddl)
 
 
+def audio_spectral_violations(
+    features: DataFrame,
+    id_col: str = "clip_id",
+    hum_hz: tuple = (50.0, 60.0),
+    hum_tolerance_hz: float = 8.0,
+    max_hum_flatness: float = 0.05,
+    min_rolloff_hz: float = 3500.0,
+    min_bandwidth_hz: float = 100.0,
+) -> DataFrame:
+    """Spectral quality gates over an ``audio_spectral_features`` output —
+    pure Column expressions (one codegen stage, zero shuffles), same row
+    shape as the suite violations. Catches recording-chain defects level
+    gates cannot see:
+
+      hum          mains interference: dominant at 50/60 Hz (+-tol; the
+                   default tolerance covers one FFT bin at n_fft=2048 /
+                   16 kHz) with near-tonal flatness
+      bandlimited  rolloff below ``min_rolloff_hz`` — telephone-band or
+                   re-encoded/upsampled material posing as wideband
+      narrowband   bandwidth under ``min_bandwidth_hz`` — a bare test
+                   tone, not speech/music
+
+    A hum verdict suppresses the other two gates for that clip: a
+    hum-dominated spectrum is trivially band-limited and narrowband, and
+    the actionable diagnosis is the hum."""
+    def _viol(cond, path, message, offending):
+        return F.when(
+            cond,
+            F.struct(
+                F.array(F.lit(path)).alias("path"),
+                message.alias("message"),
+                F.lit("ValueInvalid").alias("error_type"),
+                offending.cast("string").alias("offending"),
+            ),
+        ).otherwise(F.lit(None))
+
+    dom = F.col("dominant_hz")
+    near_mains = F.lit(False)
+    for hz in hum_hz:
+        near_mains = near_mains | (F.abs(dom - F.lit(hz)) <= hum_tolerance_hz)
+    is_hum = (
+        near_mains & (F.col("spectral_flatness") < max_hum_flatness)
+        & (dom > 0)
+    )
+    entries = F.array(
+        _viol(
+            is_hum,
+            "dominant_hz",
+            F.format_string(
+                "mains hum: dominant frequency %sHz",
+                F.round(dom, 1).cast("string"),
+            ),
+            dom,
+        ),
+        _viol(
+            (F.col("spectral_rolloff_hz") < min_rolloff_hz)
+            & (F.col("spectral_rolloff_hz") > 0) & ~is_hum,
+            "spectral_rolloff_hz",
+            F.format_string(
+                "band-limited audio: 85%% of power below %sHz",
+                F.round("spectral_rolloff_hz", 1).cast("string"),
+            ),
+            F.col("spectral_rolloff_hz"),
+        ),
+        _viol(
+            (F.col("spectral_bandwidth_hz") < min_bandwidth_hz)
+            & (F.col("spectral_bandwidth_hz") > 0) & ~is_hum,
+            "spectral_bandwidth_hz",
+            F.format_string(
+                "narrowband tone: spectral bandwidth %sHz",
+                F.round("spectral_bandwidth_hz", 1).cast("string"),
+            ),
+            F.col("spectral_bandwidth_hz"),
+        ),
+    )
+    e = F.explode(F.filter(entries, lambda x: x.isNotNull())).alias("e")
+    return features.filter(F.col("dominant_hz").isNotNull()).select(
+        id_col, e
+    ).select(
+        id_col,
+        F.col("e.path").alias("path"),
+        F.col("e.message").alias("message"),
+        F.col("e.error_type").alias("error_type"),
+        F.col("e.offending").alias("offending"),
+    )
+
+
 def transcript_equality_violations(
     clips: DataFrame,
     transcripts: DataFrame,
