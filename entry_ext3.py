@@ -76,36 +76,27 @@ def _pcm_invariant(spark, sf_dir):
 
 
 def _audio_features_check(spark, sf_dir):
-    """Features + quality-gate verdicts. ``gates`` is the sorted
-    comma-joined list of failed gate names from
-    ``audio_quality_violations`` (default thresholds), 'pass' when clean,
-    '-' when the payload was absent/undecodable/non-PCM — gate NAMES only,
-    so the oracle reproduces the threshold semantics without any
-    float-to-string rendering hazard."""
-    from voluptuous_spark.audio import audio_features, audio_quality_violations
+    """Features + quality-gate verdicts in ONE pass. ``gates`` is
+    ``audio_gate_labels()`` — the sorted comma-joined failed gate names
+    (same threshold source as ``audio_quality_violations``) evaluated as
+    a Column expression in the same stage as the feature projection (no
+    join, no second Arrow pass); 'pass' when clean, '-' when the payload
+    was absent/undecodable/non-PCM. Gate NAMES only, so the oracle
+    reproduces the threshold semantics without any float-to-string
+    rendering hazard."""
+    from voluptuous_spark.audio import audio_features, audio_gate_labels
     from voluptuous_spark.datasynth import oracle_clips_df
 
     df = oracle_clips_df(spark, N_ORACLE_CLIPS)
     feats = audio_features(df)
-    gates = (
-        audio_quality_violations(feats)
-        .groupBy("clip_id")
-        .agg(
-            F.array_join(
-                F.array_sort(F.collect_list(F.element_at("path", 1))), ","
-            ).alias("gates")
-        )
-    )
-    return feats.join(gates, "clip_id", "left").select(
+    return feats.select(
         "clip_id",
         F.coalesce("n_samples", F.lit(-1).cast("long")).alias("n_samples"),
         *[
             F.round(F.coalesce(F.col(c), F.lit(-999.0)), 6).alias(c)
             for c in _FEATS
         ],
-        F.when(F.col("n_samples").isNull(), F.lit("-"))
-        .otherwise(F.coalesce("gates", F.lit("pass")))
-        .alias("gates"),
+        F.coalesce(audio_gate_labels(), F.lit("-")).alias("gates"),
     )
 
 

@@ -573,6 +573,41 @@ def audio_features(
     return df.mapInArrow(gen, out_schema_ddl)
 
 
+def _gate_conditions(
+    min_rms_db: float = -60.0,
+    max_clipping_ratio: float = 0.01,
+    max_dc_offset: float = 0.02,
+    min_zcr: float = 0.0,
+) -> list:
+    """(gate_name, fail_condition) per signal quality gate — the single
+    source of thresholds shared by ``audio_quality_violations`` (violation
+    rows) and ``audio_gate_labels`` (per-row label column, join-free)."""
+    return [
+        ("rms_db", F.col("rms_db") < min_rms_db),
+        ("clipping_ratio", F.col("clipping_ratio") > max_clipping_ratio),
+        ("dc_offset", F.abs("dc_offset") > max_dc_offset),
+        ("zcr", (F.col("zcr") < min_zcr) & (F.col("n_samples") > 1)),
+    ]
+
+
+def audio_gate_labels(**thresholds) -> Column:
+    """Sorted comma-joined failed gate names as ONE Column expression over
+    an ``audio_features`` row ('pass' when clean, NULL when the features
+    are NULL) — the join-free single-pass shape: at 10^12 rows the gates
+    evaluate inside the same codegen stage as the feature projection
+    instead of re-scanning or shuffling the feature table."""
+    parts = [
+        F.when(cond, F.lit(name))
+        for name, cond in sorted(_gate_conditions(**thresholds))
+    ]
+    joined = F.concat_ws(",", *parts)
+    return F.when(
+        F.col("rms_db").isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.when(joined == "", F.lit("pass")).otherwise(joined)
+    )
+
+
 def audio_quality_violations(
     features: DataFrame,
     id_col: str = "clip_id",
@@ -596,9 +631,12 @@ def audio_quality_violations(
             ),
         ).otherwise(F.lit(None))
 
+    conds = dict(_gate_conditions(
+        min_rms_db, max_clipping_ratio, max_dc_offset, min_zcr
+    ))
     entries = F.array(
         _viol(
-            F.col("rms_db") < min_rms_db,
+            conds["rms_db"],
             "rms_db",
             F.format_string(
                 "clip is silent or near-silent (RMS %sdB < %sdB floor)",
@@ -608,7 +646,7 @@ def audio_quality_violations(
             F.col("rms_db"),
         ),
         _viol(
-            F.col("clipping_ratio") > max_clipping_ratio,
+            conds["clipping_ratio"],
             "clipping_ratio",
             F.format_string(
                 "clip is clipped (%s%% of samples at full scale)",
@@ -617,7 +655,7 @@ def audio_quality_violations(
             F.col("clipping_ratio"),
         ),
         _viol(
-            F.abs("dc_offset") > max_dc_offset,
+            conds["dc_offset"],
             "dc_offset",
             F.format_string(
                 "clip has DC offset %s (|offset| > %s)",
@@ -627,7 +665,7 @@ def audio_quality_violations(
             F.col("dc_offset"),
         ),
         _viol(
-            (F.col("zcr") < min_zcr) & (F.col("n_samples") > 1),
+            conds["zcr"],
             "zcr",
             F.format_string(
                 "clip activity too low (zero-crossing rate %s < %s)",
