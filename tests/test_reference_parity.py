@@ -539,6 +539,12 @@ CASES = [
      {"k2": [[], [-5, 50, 10]]}, {"k2": [[1, 2]]}),
     ({"k2": [[("NotIn", [0, 50, 7])]]}, {"k2": [[], [-5, 50, 10]]}),
     ({"k2": [[int]]}, {"k2": [[], [3]]}, {"k2": []}),
+    # fuzz seeds 4300/4328: a REQUIRED wildcard key ({str: v} under
+    # required=True) must claim >=1 data key — an empty nested map errors
+    # with the key schema as the final path component
+    # (schema_builder.py:398-405: required_keys leftovers)
+    ({"k1": {"n0": ("Equal", 0.0), "n1": {str: ("Length", 2, 6)}}},
+     {"k1": {"n0": 100.0, "n1": {}}}, {"k1": {"n0": 0.0, "n1": {"ab": "abc"}}}),
     # Number precision/scale matrix (tests.py:985-1081)
     ({"n": ("Number", 6, 2)},
      {"n": "1234.01"}, {"n": "123456.712"}, {"n": "abc"}),
@@ -696,6 +702,13 @@ CASES = [
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases
 KW_CASES = [
+    # fuzz seeds 4300/4328: required=True makes a WILDCARD key ({str: v})
+    # itself required — an empty nested map errors with the key schema as
+    # the final path component (schema_builder.py:398-405)
+    ({"k1": {"n0": ("Equal", 0.0), "n1": {str: ("Length", 2, 6)}}},
+     {"required": True},
+     {"k1": {"n0": 100.0, "n1": {}}}, {"k1": {"n0": 0.0, "n1": {"ab": "abc"}}}),
+    ({"k0": {str: int}}, {"required": True}, {"k0": {}}, {"k0": {"a": 1}}),
     ({"a": int}, {"extra": 1}, {"a": 3, "zzz": "keep"}),
     # Remove fall-through under ALLOW_EXTRA (fuzz seed 5032): a failing
     # value keeps the key with its RAW value; a passing value removes it

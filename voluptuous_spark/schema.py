@@ -650,6 +650,7 @@ class Schema:
             wildcards.sort(key=_prio)
             from . import exceptions as er
 
+            matched_wild_ids: set[int] = set()
             for cname in struct.fieldNames():
                 if cname in declared:
                     continue
@@ -679,6 +680,7 @@ class Schema:
                         getattr(key, "msg", None), val,
                         remove=isinstance(key, Remove),
                     ))
+                    matched_wild_ids.add(id(key))
                     break
                 else:
                     # unmatched: ALLOW keeps / REMOVE drops via the extra
@@ -689,6 +691,24 @@ class Schema:
                             cname, prefix + (cname,), False, UNDEFINED,
                             None, dsl.StaticKeyInvalid(*key_err),
                         ))
+            # required wildcard with zero matching columns: statically
+            # missing — the missing-column _Field path emits 'required
+            # key not provided' with the key schema repr as the path
+            # component (schema_builder.py:398-405)
+            for key, kschema, val in wildcards:
+                if id(key) in matched_wild_ids:
+                    continue
+                if (key is dsl.Extra
+                        or isinstance(key, (dsl.Extra, Remove, Optional))):
+                    continue
+                if not (self.required or isinstance(key, Required)):
+                    continue
+                comp = (repr(kschema) if isinstance(kschema, type)
+                        else str(kschema))
+                fields.append(_Field(
+                    comp, prefix + (comp,), True, UNDEFINED,
+                    getattr(key, "msg", None), val,
+                ))
         return fields, declared, complex_req
 
     def validate(
@@ -1460,7 +1480,35 @@ class Schema:
         for key, val in self.schema.items():
             name = _key_name(key)
             if not isinstance(name, (str, int, float, bool)):
-                continue  # wildcard
+                # WILDCARD key (type / validator): under required=True or
+                # an explicit Required marker the reference demands >= 1
+                # matching data key — an empty/unmatched map leaves the
+                # key in required_keys and yields 'required key not
+                # provided @ data[...][<class 'str'>]' with the key
+                # SCHEMA as the final path component
+                # (schema_builder.py:398-405; repr'd by error.py:49-50,
+                # rendered bare by our '<...>' rule in render_violation)
+                if (key is dsl.Extra or isinstance(key, (dsl.Extra, Remove))
+                        or isinstance(key, Optional)):
+                    continue
+                if not (self.required or isinstance(key, Required)):
+                    continue
+                inner = key.schema if isinstance(key, Marker) else key
+                comp = repr(inner) if isinstance(inner, type) else str(inner)
+                any_m = F.exists(
+                    F.map_keys(col), lambda k: _key_match(key, k)
+                )
+                single_errs.append(
+                    _violation(
+                        prefix + (comp,),
+                        F.lit(getattr(key, "msg", None)
+                              or "required key not provided"),
+                        "RequiredFieldInvalid", F.lit("None"),
+                        col.isNotNull()
+                        & ~F.coalesce(any_m, F.lit(False)),
+                    )
+                )
+                continue
             contains = F.map_contains_key(col, F.lit(name))
             default = getattr(key, "default", UNDEFINED)
             required = self.required or isinstance(key, Required)
@@ -2184,6 +2232,7 @@ class Schema:
 
             wilds.sort(key=_wprio)
             lit_names = {_key_name(k) for k, _ in items}
+            matched_wilds: set[int] = set()
             for fname in dtype.fieldNames():
                 if fname in lit_names:
                     continue
@@ -2199,6 +2248,7 @@ class Schema:
                         else Optional(fname, msg=getattr(k, "msg", None)),
                         v_,
                     ))
+                    matched_wilds.add(id(k))
                     break
                 else:
                     if key_err is not None:
@@ -2206,6 +2256,25 @@ class Schema:
                         # not allowed' under PREVENT
                         # (schema_builder.py:392-396)
                         wild_key_errs[fname] = key_err
+            # a REQUIRED wildcard that claimed no field stays in the
+            # reference's required_keys and errors with the key SCHEMA as
+            # the final path component ('required key not provided @
+            # data[...][<class 'str'>]', schema_builder.py:398-405)
+            for k, _v in wilds:
+                if id(k) in matched_wilds:
+                    continue
+                if (k is dsl.Extra
+                        or isinstance(k, (dsl.Extra, Remove, Optional))):
+                    continue
+                if not (self.required or isinstance(k, Required)):
+                    continue
+                inner = k.schema if isinstance(k, Marker) else k
+                comp = repr(inner) if isinstance(inner, type) else str(inner)
+                emit(prefix + (comp,),
+                     F.lit(getattr(k, "msg", None)
+                           or "required key not provided"),
+                     "RequiredFieldInvalid", F.lit("None"),
+                     col.isNotNull(), late_=True)
         for key, val in items:
             name = _key_name(key)
             declared.add(name)
