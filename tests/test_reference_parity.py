@@ -709,6 +709,12 @@ KW_CASES = [
      {"required": True},
      {"k1": {"n0": 100.0, "n1": {}}}, {"k1": {"n0": 0.0, "n1": {"ab": "abc"}}}),
     ({"k0": {str: int}}, {"required": True}, {"k0": {}}, {"k0": {"a": 1}}),
+    # marker-wrapped wildcards: Required(str) demands a match even without
+    # required=True; Optional(str) never does; path renders the INNER
+    # schema (reference Marker repr)
+    ({("Required", str): int}, {}, {}, {"a": 1}),
+    ({("Optional", str): int}, {}, {}),
+    ({"k": {("Required", str): int}}, {}, {"k": {}}, {"k": {"a": 2}}),
     ({"a": int}, {"extra": 1}, {"a": 3, "zzz": "keep"}),
     # Remove fall-through under ALLOW_EXTRA (fuzz seed 5032): a failing
     # value keeps the key with its RAW value; a passing value removes it

@@ -329,7 +329,10 @@ def gen_dict_spec(rng, depth):
             return {
                 f"m{j}": vfn(r) for j in range(r.randint(0, 3))
             }
-        return {str: vspec}, sample_map
+        kp = rng.random()
+        key = (("Required", str) if kp < 0.25
+               else ("Optional", str) if kp < 0.4 else str)
+        return {key: vspec}, sample_map
     if p < 0.28:
         # Msg over a nested dict schema: the depth<=1 override rule
         # (schema_builder.py:946-949) — only direct descendants get the
