@@ -698,6 +698,20 @@ CASES = [
     ({("Remove", "k0"): ("Schema", {"n0": ("Length", 1, 4)}, False),
       "k1": int},
      {"k0": {"n0": "abcdef"}, "k1": 9}, {"k0": {"n0": "ab"}, "k1": 9}),
+    # nested Union(discriminant=...) BELOW the top level (fuzz seed 6048):
+    # candidate routing + deepest-error selection inside a struct field
+    ({"k0": {"n0": ("UnionDisc", {"tag": "a", "val": "zebra"},
+                    {"tag": "b", "val": 0})}},
+     {"k0": {"n0": {"tag": "b", "val": 0}}},
+     {"k0": {"n0": {"tag": "b", "val": 4}}},
+     {"k0": {"n0": {"tag": "zz", "val": 0}}}),
+    # nested Any over dict branches below the top level
+    ({"k0": {"n0": ("Any", {"b0": ("Range", 0, 5)},
+                    {"b0": ("In", ["x", "y"])})}},
+     {"k0": {"n0": {"b0": 3}}}, {"k0": {"n0": {"b0": 99}}}),
+    # Any-over-dicts dict type gate carries the enclosing mapping ctx
+    # (fuzz seed 6058): 'expected a dictionary for dictionary value'
+    ({"k1": ("Any", {"b0": "abcdef"}, {"b0": 10})}, {"k1": []}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases
@@ -735,6 +749,40 @@ KW_CASES = [
      {"name": "one", "domain": "two", "additional_key": "extra"}),
     ({("Any", "name", "area"): str, "domain": str}, {"extra": 0},
      {"name": "one", "domain": "two", "additional_key": "extra"}),
+    # group-check precedence (fuzz seeds 6015/6025/6037/6050): a failing
+    # Exclusive/Inclusive group suppresses ALL mapping errors — the
+    # reference raises them BEFORE mapping validation runs
+    # (schema_builder.py:530-571)
+    ({"k0": ("Equal", 10),
+      ("Exclusive", "g0", "grp"): ("Length", 1, 4),
+      ("Exclusive", "g1", "grp"): ("Equal", 1)}, {},
+     {"k0": 0, "g0": "no", "g1": 10},
+     {"k0": 0, "g0": "toolongvalue"},
+     {"k0": 10, "g0": "ab"}),
+    # inclusive reports only the FIRST failing group (the loop breaks
+    # after one error, schema_builder.py:556-567)
+    ({"k0": ("Equal", 10),
+      ("Inclusive", "a0", "ga"): int, ("Inclusive", "a1", "ga"): int,
+      ("Inclusive", "b0", "gb"): int, ("Inclusive", "b1", "gb"): int},
+     {},
+     {"k0": 0, "a0": 1, "b0": 2},
+     {"k0": 0, "a0": 1, "a1": 2, "b0": 3}),
+    # outer required=True does NOT thread into Any dict branches: the
+    # combinator's OWN required kwarg governs sub-compiles
+    # (validators.py:259-267; fuzz seed 6101)
+    ({"k0": ("IsTrue",),
+      ("Optional", "k1"): ("Any", {"b0": str, "b1": ("Match", "^ab")},
+                           {"b0": ("In", [-5, 4, 99]), "b1": 100})},
+     {"required": True},
+     {"k0": 4, "k1": {"b1": "blue"}}, {"k1": {"b0": 3}}),
+    # Remove-keyed combinator-over-dict value (fuzz seed 6117): passing
+    # value removes the key, failing value falls through to extra policy
+    ({("Remove", "k1"): ("UnionDisc",
+                         {"tag": "a", "val": ("Match", "[0-9]+$")},
+                         {"tag": "b", "val": ("In", ["no", "abcdef"])}),
+      "k0": float}, {"extra": 0, "required": True},
+     {"k0": 49.5, "k1": {"tag": "b", "val": "no"}},
+     {"k0": 0.0, "k1": {"tag": "b", "val": "ab"}}),
 ]
 
 

@@ -342,7 +342,70 @@ def gen_dict_spec(rng, depth):
         # Schema instance as the value: callable re-entry with its OWN
         # required flag and boundary-key path prepend
         return ("Schema", sub, rng.random() < 0.5), sample
+    if p < 0.40 and depth < 2:
+        # Union with the canonical tag discriminant (validators.py:
+        # 343-382): branches are dicts whose literal 'tag' routes the
+        # candidate set; wrong-tag docs must surface the selected
+        # branch's errors, not a flat Any sweep
+        tags = ["a", "b"]
+        branches = []
+        bsamplers = []
+        for t in tags:
+            vs, vfn = _gen_plain_spec(rng)
+            branches.append({"tag": t, "val": vs})
+            bsamplers.append(vfn)
+
+        def sample_union(r):
+            i = r.randrange(len(tags))
+            d = {"tag": tags[i], "val": bsamplers[i](r)}
+            if r.random() < 0.25:  # cross-tag value draw
+                d["val"] = bsamplers[1 - i](r)
+            if r.random() < 0.1:
+                d["tag"] = "zz"  # no branch matches the tag
+            return d
+        return ("UnionDisc", *branches), sample_union
+    if p < 0.46 and depth < 2:
+        # Any over dict-schema branches: the deepest-path error rule
+        # (validators.py:330-336) surfaces the inner field error.
+        # Branches are built from NON-transforming specs only —
+        # transforming validators inside Any are a documented
+        # by-design divergence the grammar excludes.
+        def _branch(r):
+            n = r.randint(1, 2)
+            sub_b, fns = {}, {}
+            for j in range(n):
+                sub_b[f"b{j}"], fns[f"b{j}"] = _gen_plain_spec(r)
+            return sub_b, (lambda rr, fns=fns: {
+                k: fn(rr) for k, fn in fns.items()
+                if rr.random() > 0.15
+            })
+        s1, f1 = _branch(rng)
+        s2, f2 = _branch(rng)
+
+        def sample_any(r):
+            return (f1 if r.random() < 0.5 else f2)(r)
+        return ("Any", s1, s2), sample_any
     return sub, sample
+
+
+def _gen_plain_spec(rng):
+    """A NON-transforming scalar spec (safe inside Any/Union branches:
+    no Clamp/Coerce/case-fold, whose in-branch threading is a documented
+    divergence)."""
+    if rng.random() < 0.5:
+        spec = rng.choice(
+            [("Range", *sorted(rng.sample(INTS, 2))),
+             ("In", _ints(rng, 1, 3)),
+             ("Equal", rng.choice(INTS)), int,
+             rng.choice(INTS)]
+        )
+        return spec, lambda r: r.choice(INTS)
+    spec = rng.choice(
+        [("In", _strs(rng, 1, 3)),
+         ("Match", rng.choice(MATCH_POOL)),
+         ("Length", 1, 4), str, rng.choice(STRS)]
+    )
+    return spec, lambda r: r.choice(STRS)
 
 
 def gen_value_spec(rng, depth=0):
@@ -393,11 +456,33 @@ def gen_case(seed):
             kspec = key
         schema[kspec] = spec
         samplers.append((key, fn))
+    group_keys = ()
+    if rng.random() < 0.18:
+        # Exclusive (<=1 of group present, schema_builder.py:536-553) /
+        # Inclusive (all-or-none, :555-571) key pair sharing one group
+        marker = rng.choice(["Exclusive", "Inclusive"])
+        for g in ("g0", "g1"):
+            gspec, gfn = _gen_plain_spec(rng)
+            schema[(marker, g, "grp")] = gspec
+            samplers.append((g, gfn))
+        group_keys = ("g0", "g1")
+    if rng.random() < 0.12:
+        # bare Python callable validator raising module-local Invalid
+        # ('callables are validators', schema_builder.py:800-811)
+        schema["kc"] = (
+            ("PyCallable", rng.choice(["is_even", "half"]))
+            if rng.random() < 0.7
+            else ("All", ("PyCallable", "is_even"),
+                  ("Range", *sorted(rng.sample(INTS, 2))))
+        )
+        samplers.append(("kc", lambda r: r.choice(INTS)))
     docs = []
     for _ in range(3):
         doc = {}
         for key, fn in samplers:
-            if rng.random() < 0.12:
+            # group keys get a fat absence rate so all four
+            # present/absent combinations of the pair are drawn
+            if rng.random() < (0.45 if key in group_keys else 0.12):
                 continue  # absent key
             # wild draw: a value of a random type, exercising the
             # cross-type (Python-semantics) degradation paths

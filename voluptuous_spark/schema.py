@@ -544,6 +544,22 @@ class Schema:
                 )
         elif isinstance(v, list) and isinstance(dtype, T.ArrayType):
             _, errs, arrs = self._validate_sequence(v, col, dtype, path)
+        elif (
+            isinstance(v, (dsl.Any, dsl.All))
+            and not isinstance(v, dsl.Maybe)
+            and any(
+                isinstance(b, (dict, Schema)) or b is dsl.Self
+                or b is dsl._SelfSentinel or isinstance(b, dsl._SelfSentinel)
+                for b in v.validators
+            )
+        ):
+            # combinator-over-mapping as the Remove key's value
+            errs = []
+            arrs = [
+                self._any_dict_branches(v, col, dtype, path)
+                if isinstance(v, dsl.Any)
+                else self._all_dict_stages(v, col, dtype, path)
+            ]
         else:
             check = compile_validator(v, dtype, path=path)
             errs = [check.err(col)]
@@ -1212,7 +1228,15 @@ class Schema:
             out_cols[fld.name] = out
 
         # Exclusive groups (schema_builder.py:536-553); a column absent
-        # from the DataFrame counts as an absent key, not an error
+        # from the DataFrame counts as an absent key, not an error.
+        # Group errors are collected APART from mapping errors: the
+        # reference raises them before mapping validation ever runs
+        # (schema_builder.py:551-552,568-569), so a row with a group
+        # violation reports ONLY its group errors — exclusive first, and
+        # failing that, the FIRST failing inclusion group (the loop at
+        # :556-567 breaks after one error).
+        excl_entries: list[Column] = []
+        incl_entries: list[Column] = []
         for label, grp in ex_groups.items():
             cnt = sum(
                 (
@@ -1225,7 +1249,7 @@ class Schema:
             msg = next((f.marker_msg for f in grp if f.marker_msg), None) or (
                 f"two or more values in the same group of exclusion '{label}'"
             )
-            err_entries.append(
+            excl_entries.append(
                 _violation((f"<{label}>",), F.lit(msg), "ExclusiveInvalid",
                            F.lit("None"), cnt > 1)
             )
@@ -1242,7 +1266,7 @@ class Schema:
             msg = next((f.marker_msg for f in grp if f.marker_msg), None) or (
                 f"some but not all values in the same group of inclusion '{label}'"
             )
-            err_entries.append(
+            incl_entries.append(
                 _violation((f"<{label}>",), F.lit(msg), "InclusiveInvalid",
                            F.lit("None"), (cnt > 0) & (cnt < len(grp)))
             )
@@ -1330,6 +1354,25 @@ class Schema:
             )
         else:
             errors = empty
+        if excl_entries or incl_entries:
+            # group-check precedence (schema_builder.py:530-571): any
+            # exclusive error preempts everything; else the first
+            # inclusive error preempts mapping errors; else fall through
+            if incl_entries:
+                first_incl = (incl_entries[0] if len(incl_entries) == 1
+                              else F.coalesce(*incl_entries))
+                errors = F.when(
+                    first_incl.isNotNull(),
+                    F.array(first_incl).cast(viol_arr_t),
+                ).otherwise(errors)
+            if excl_entries:
+                excl_arr = F.concat(*[
+                    F.when(en.isNotNull(), F.array(en)).otherwise(empty)
+                    for en in excl_entries
+                ])
+                errors = F.when(
+                    F.size(excl_arr) > 0, excl_arr
+                ).otherwise(errors)
 
         keep_ids = [c for c in id_cols if c not in out_cols]
         selection = (
@@ -1342,7 +1385,7 @@ class Schema:
         # Used by `valid` so its filter stays inside whole-stage codegen
         # (no array lambdas) and evaluates each check once.
         fail_any = F.lit(False)
-        for en in err_entries:
+        for en in err_entries + excl_entries + incl_entries:
             fail_any = fail_any | en.isNotNull()
         for a in arr_refs:
             fail_any = fail_any | (F.size(F.coalesce(a, empty)) > 0)
@@ -1625,28 +1668,33 @@ class Schema:
                     ).otherwise(empty).cast(viol_arr_t)
                 )
                 continue
-            # the Any's own required= kwarg threads into branch compiles
-            # (reference _WithSubValidators passes **kwargs to sub-Schema,
-            # validators.py:259-270; tests.py:1607-1622)
+            # branch compiles use the combinator's OWN required= kwarg,
+            # NOT the outer schema's: __voluptuous_compile__ sets
+            # ``schema.required = self.required`` (default False) around
+            # each sub-compile (validators.py:259-267; tests.py:1607-1622)
             sub = Schema(
                 b,
-                required=self.required or getattr(v, "required", False),
+                required=bool(getattr(v, "required", False)),
                 extra=self.extra,
             )
+            sub_arrays: list = []
             if isinstance(dtype, T.StructType):
-                _, sub_errs = sub._validate_struct(col, dtype, prefix)
+                _, sub_errs = sub._validate_struct(col, dtype, prefix,
+                                                   arrays=sub_arrays)
             else:
+                # the dict gate raises AT the key path; an enclosing
+                # mapping (non-empty prefix) stamps the 'dictionary
+                # value' context (schema_builder.py:368-371)
                 sub_errs = [_violation(
                     prefix, F.lit("expected a dictionary"), "DictInvalid",
                     F.lit("None"), col.isNotNull(),
+                    ctx="dictionary value" if prefix else None,
                 )]
-            arr = (
-                F.concat(*[
-                    F.when(e.isNotNull(), F.array(e)).otherwise(empty)
-                    for e in sub_errs
-                ]).cast(viol_arr_t)
-                if sub_errs else empty
-            )
+            parts = [
+                F.when(e.isNotNull(), F.array(e)).otherwise(empty)
+                for e in sub_errs
+            ] + [F.coalesce(a.cast(viol_arr_t), empty) for a in sub_arrays]
+            arr = F.concat(*parts).cast(viol_arr_t) if parts else empty
             branch_arrays.append(arr)
         # Union discriminant routing (validators.py:343-382): the
         # reference's canonical discriminant filters candidate branches
@@ -1767,19 +1815,25 @@ class Schema:
                     "All stages over a struct column must be mappings, "
                     f"Self, or scalar validators; got {b_dict!r}"
                 )
+            sub_arrays: list = []
             if isinstance(dtype, T.StructType):
-                _, sub_errs = sub._validate_struct(col, dtype, prefix)
+                _, sub_errs = sub._validate_struct(col, dtype, prefix,
+                                                   arrays=sub_arrays)
             else:
+                # the dict gate raises AT the key path; an enclosing
+                # mapping (non-empty prefix) stamps the 'dictionary
+                # value' context (schema_builder.py:368-371)
                 sub_errs = [_violation(
                     prefix, F.lit("expected a dictionary"), "DictInvalid",
                     F.lit("None"), col.isNotNull(),
+                    ctx="dictionary value" if prefix else None,
                 )]
+            parts = [
+                F.when(e.isNotNull(), F.array(e)).otherwise(empty)
+                for e in sub_errs
+            ] + [F.coalesce(a.cast(viol_arr_t), empty) for a in sub_arrays]
             stage_arrays.append(
-                F.concat(*[
-                    F.when(e.isNotNull(), F.array(e)).otherwise(empty)
-                    for e in sub_errs
-                ]).cast(viol_arr_t)
-                if sub_errs else empty
+                F.concat(*parts).cast(viol_arr_t) if parts else empty
             )
         if v.msg is not None:
             losing = F.array(F.struct(
@@ -2417,7 +2471,62 @@ class Schema:
                             F.coalesce(F.size(a) > 0, F.lit(False)),
                         ))
                 continue
-            check = compile_validator(_unwrap_marker(val), sub_t,
+            val_u = _unwrap_marker(val)
+            if (
+                isinstance(val_u, dsl.Any)
+                and not isinstance(val_u, dsl.Maybe)
+                and any(
+                    isinstance(b, dict) or b is dsl.Self
+                    or b is dsl._SelfSentinel
+                    or isinstance(b, dsl._SelfSentinel)
+                    for b in val_u.validators
+                )
+            ) or (
+                isinstance(val_u, dsl.All)
+                and any(
+                    isinstance(b, dict) or isinstance(b, Schema)
+                    or b is dsl.Self or b is dsl._SelfSentinel
+                    or isinstance(b, dsl._SelfSentinel)
+                    for b in val_u.validators
+                )
+            ):
+                # combinator-over-mapping as a NESTED field value — same
+                # routing as the root field loop: Any/Union surfaces the
+                # deepest-error branch, All the first failing stage.
+                # Identity output (branch transforms cannot merge into one
+                # statically-typed column — same documented divergence)
+                if isinstance(val_u, dsl.Any):
+                    arr = self._any_dict_branches(val_u, sub_col, sub_t,
+                                                  path)
+                else:
+                    arr = self._all_dict_stages(val_u, sub_col, sub_t,
+                                                path)
+                outs.append(sub_col.alias(name))
+                if required:
+                    emit(path,
+                         F.lit(marker_msg or "required key not provided"),
+                         "RequiredFieldInvalid", F.lit("None"),
+                         col.isNotNull() & sub_col.isNull(), late_=True)
+                if arrays is not None:
+                    arrays.append(arr)
+                    nonempty = F.coalesce(F.size(arr) > 0, F.lit(False))
+                    first_plen = F.size(F.element_at(arr, 1)["path"])
+                    # per-row depth classification for a wrapping Msg:
+                    # the combinator-level error (AnyInvalid / stage
+                    # gate) sits AT the key path (shallow); branch-inner
+                    # errors sit deeper
+                    entries.append((
+                        None, len(path),
+                        nonempty & F.coalesce(first_plen <= len(path),
+                                              F.lit(False)),
+                    ))
+                    entries.append((
+                        None, len(path) + 1,
+                        nonempty & F.coalesce(first_plen > len(path),
+                                              F.lit(False)),
+                    ))
+                continue
+            check = compile_validator(val_u, sub_t,
                                       path=path[rebase:])
             _dlit = (_default_lit(default, sub_t)
                      if default is not UNDEFINED else None)
