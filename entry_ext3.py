@@ -109,12 +109,64 @@ _VERDICT_SQL = """CASE c % 8
       ELSE 'ok'
     END"""
 
+def _audio_dedup(spark, sf_dir):
+    """Content-defined exact audio dedup over the closed-form clips:
+    groups by the exact integer signature of the DECODED samples, so the
+    DuckDB oracle regenerates the grouping from (clip_id, sample_index)
+    alone. The fixture's silence clips (c%8=0) with equal sample counts
+    are true content duplicates — the engine must find exactly those."""
+    from voluptuous_spark.audio import audio_exact_duplicates
+    from voluptuous_spark.datasynth import oracle_clips_df
+
+    df = oracle_clips_df(spark, N_ORACLE_CLIPS)
+    return audio_exact_duplicates(df)
+
+
+def _audio_near_dups(spark, sf_dir):
+    """Spectral-fingerprint near-dup pairs (banded LSH over 64-bit
+    Haitsma-Kalker bits). The FFT fingerprint is not SQL-expressible, so
+    this rides the driver's rows-only check; semantics are pinned by the
+    known-signal pytest oracles (test_audio)."""
+    from voluptuous_spark.audio import audio_near_duplicates
+    from voluptuous_spark.datasynth import oracle_clips_df
+
+    df = oracle_clips_df(spark, N_ORACLE_CLIPS)
+    return audio_near_duplicates(df, max_hamming=0).select(
+        "id_a", "id_b"
+    )
+
+
 EXTRA3_QUERIES = {
     "pcm_invariant": _pcm_invariant,
     "audio_features_check": _audio_features_check,
+    "audio_dedup": _audio_dedup,
+    "audio_near_dups": _audio_near_dups,
 }
 
 EXTRA3_ORACLES = {
+    "audio_dedup": f"""
+        WITH {_SAMPLES_CTE},
+        agg AS (
+          SELECT s.c, COUNT(*) AS n, SUM(s.v) AS sv,
+                 SUM(s.v * s.v) AS ss, MAX(ABS(s.v)) AS mx,
+                 MAX(CASE WHEN s.k = 0 THEN s.v END) AS vf,
+                 MAX(CASE WHEN s.k = cl.n - 1 THEN s.v END) AS vl
+          FROM s JOIN clips cl ON cl.c = s.c
+          WHERE s.c % 8 NOT IN (5, 6, 7)
+          GROUP BY s.c
+        ),
+        g AS (
+          SELECT c,
+                 COUNT(*) OVER (PARTITION BY n, sv, ss, mx, vf, vl)
+                   AS group_size,
+                 MIN(c) OVER (PARTITION BY n, sv, ss, mx, vf, vl)
+                   AS canonical_id
+          FROM agg
+        )
+        SELECT c AS clip_id, canonical_id, group_size
+        FROM g
+        WHERE group_size > 1 AND c <> canonical_id
+    """,
     "pcm_invariant": f"""
         WITH clips AS (
           SELECT range AS c, 1600 + (range % 5) * 320 AS n

@@ -421,3 +421,83 @@ def test_spectral_quality_gates(spark):
     assert "wide" not in by_clip
     msgs = {r["path"][0]: r["message"] for r in v.collect()}
     assert "mains hum" in msgs["dominant_hz"]
+
+
+def _smooth_noise(seed, n=16000, amp=8000):
+    r = np.random.default_rng(seed).standard_normal(n + 8)
+    k = np.hanning(9)
+    k /= k.sum()
+    s = np.convolve(r, k, mode="valid")
+    return (amp * s / np.abs(s).max()).astype(np.int16)
+
+
+def test_audio_content_signature_and_exact_dedup(spark):
+    """Content-defined exact dedup groups identical DECODED samples even
+    when container metadata differs; undecodable payloads never group."""
+    from voluptuous_spark.audio import audio_exact_duplicates
+
+    sr = 16000
+    base = _smooth_noise(1)
+    other = _smooth_noise(2)
+    rows = [
+        ("a", encode_wav_pcm16(base, sr), sr, 1000, "wav", "t"),
+        ("b", encode_wav_pcm16(base, sr), sr, 999, "wav", "x"),   # metadata differs
+        ("c", encode_wav_pcm16(other, sr), sr, 1000, "wav", "t"),
+        ("d", None, sr, 1000, "wav", "t"),
+        ("e", None, sr, 1000, "wav", "t"),   # two missing payloads: no group
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int,"
+        " codec string, transcript string")
+    got = {tuple(r) for r in audio_exact_duplicates(df).collect()}
+    assert got == {("b", "a", 2)}
+
+
+def test_audio_fingerprint_invariances():
+    """Scale invariance is exact; small additive noise stays within the
+    LSH-guaranteed hamming radius; different content is far."""
+    from voluptuous_spark.audio import _fingerprint_one
+
+    sr = 16000
+    base = _smooth_noise(1)
+    scaled = (base // 4).astype(np.int16)
+    noisy = (
+        base.astype(np.int32)
+        + np.random.default_rng(9).integers(-10, 10, sr)
+    ).astype(np.int16)
+    other = _smooth_noise(2)
+    enc = lambda s: encode_wav_pcm16(s, sr)  # noqa: E731
+    f0 = _fingerprint_one(enc(base), "wav")
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(f0, _fingerprint_one(enc(scaled), "wav")) == 0
+    assert ham(f0, _fingerprint_one(enc(noisy), "wav")) <= 3
+    assert ham(f0, _fingerprint_one(enc(other), "wav")) > 10
+    assert _fingerprint_one(None, "wav") is None
+    assert _fingerprint_one(enc(base), "opus") is None
+
+
+def test_audio_near_duplicates(spark):
+    """Banded-LSH near-dup: exact + noisy copies surface, different
+    content does not; recall is exhaustive for hamming <= n_lsh_bands-1
+    (pigeonhole over 4x16-bit bands)."""
+    from voluptuous_spark.audio import audio_near_duplicates
+
+    sr = 16000
+    base = _smooth_noise(1)
+    noisy = (
+        base.astype(np.int32)
+        + np.random.default_rng(9).integers(-10, 10, sr)
+    ).astype(np.int16)
+    other = _smooth_noise(2)
+    rows = [
+        ("a", encode_wav_pcm16(base, sr), sr, 1000, "wav", "t"),
+        ("b", encode_wav_pcm16(base, sr), sr, 1000, "wav", "t"),
+        ("c", encode_wav_pcm16(noisy, sr), sr, 1000, "wav", "t"),
+        ("d", encode_wav_pcm16(other, sr), sr, 1000, "wav", "t"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int,"
+        " codec string, transcript string")
+    got = {(r.id_a, r.id_b) for r in audio_near_duplicates(df).collect()}
+    assert ("a", "b") in got and ("a", "c") in got
+    assert not any("d" in p for p in got)

@@ -922,3 +922,275 @@ def transcript_equality_violations(
             F.lit("ValueInvalid").alias("error_type"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# audio deduplication: exact (content signature) + near-dup (spectral
+# fingerprint LSH) — the audio counterpart of textops' exact-md5 /
+# MinHash-LSH dedup pipeline (training-data curation tier)
+
+# exact integer content statistics of the DECODED samples: two clips share
+# a signature iff their PCM content matches on (length, sum, energy, peak,
+# endpoints) — container/header differences (codec tag, metadata) do not
+# break equality, unlike hashing the raw bytes. Every field is an int64
+# closed form of the sample values (sum_sq < 2^53 for clips up to ~1.5h),
+# so an external SQL oracle regenerates it exactly.
+AUDIO_SIGNATURE_COLS = (
+    "sig_n", "sig_sum", "sig_sumsq", "sig_maxabs", "sig_first", "sig_last",
+)
+
+
+def _signature_one(buf, codec):
+    if buf is None or (codec is not None and codec != "wav"):
+        return (None,) * len(AUDIO_SIGNATURE_COLS)
+    try:
+        s, _sr = decode_wav_numpy(memoryview(buf))
+    except ValueError:
+        return (None,) * len(AUDIO_SIGNATURE_COLS)
+    n = int(s.shape[0])
+    if n == 0:
+        return (0, 0, 0, 0, 0, 0)
+    a = s.astype(np.int64)
+    return (
+        n, int(a.sum()), int(np.dot(a, a)), int(np.abs(a).max()),
+        int(a[0]), int(a[-1]),
+    )
+
+
+def audio_content_signature(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    drop_bytes: bool = True,
+) -> DataFrame:
+    """Append the exact content signature columns via ``mapInArrow`` —
+    same zero-copy shape as ``audio_features``: the payload crosses the
+    JVM->Python boundary once and is dropped from the output batch. NULL
+    signature = payload absent, undecodable, or non-PCM codec."""
+    import pyarrow as pa
+
+    out_fields = [
+        f for f in df.schema.fields if not (drop_bytes and f.name == bytes_col)
+    ]
+    keep_names = [f.name for f in out_fields]
+    out_schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+    ) + "".join(f", `{c}` long" for c in AUDIO_SIGNATURE_COLS)
+
+    def gen(batches):
+        for batch in batches:
+            bcol = batch.column(batch.schema.get_field_index(bytes_col))
+            codec = batch.column(
+                batch.schema.get_field_index(codec_col)
+            ).to_pylist()
+            sigs = [
+                _signature_one(
+                    bcol[i].as_buffer() if bcol[i].is_valid else None,
+                    codec[i],
+                )
+                for i in range(batch.num_rows)
+            ]
+            cols = [
+                batch.column(batch.schema.get_field_index(n))
+                for n in keep_names
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols + [
+                    pa.array([s[j] for s in sigs], type=pa.int64())
+                    for j in range(len(AUDIO_SIGNATURE_COLS))
+                ],
+                names=keep_names + list(AUDIO_SIGNATURE_COLS),
+            )
+
+    return df.mapInArrow(gen, out_schema_ddl)
+
+
+def audio_exact_duplicates(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Content-defined exact dedup: one row per NON-canonical member of a
+    duplicate group ``(clip_id, canonical_id, group_size)``; canonical =
+    min clip_id. ONE shuffle on the 6-int64 signature key (window
+    partitionBy — no join, no second scan); clips without a decodable
+    payload never group. At 10^12 rows the shuffle carries only
+    (id, 48 bytes of signature) per row — the payload never moves."""
+    from pyspark.sql import Window
+
+    sig = audio_content_signature(df, bytes_col, codec_col).filter(
+        F.col("sig_n").isNotNull()
+    )
+    w = Window.partitionBy(*AUDIO_SIGNATURE_COLS)
+    return (
+        sig.select(id_col, *AUDIO_SIGNATURE_COLS)
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .filter((F.col("group_size") > 1)
+                & (F.col(id_col) != F.col("canonical_id")))
+        .select(id_col, "canonical_id", "group_size")
+    )
+
+
+def _fingerprint_one(buf, codec, n_fft=256, hop=128, n_bands=64,
+                     f_lo=100.0):
+    """64-bit spectral fingerprint of one clip, Haitsma-Kalker bits
+    majority-voted across frames: per frame t and band b the sub-bit is
+    ``sign((E[b,t]-E[b+1,t]) - (E[b,t-1]-E[b+1,t-1]))`` — the
+    TIME-frequency difference, so the fingerprint encodes the content's
+    temporal spectral structure, not just its envelope (two different
+    noises with the same spectral shape get ~independent bits). Bit b of
+    the clip fingerprint is the majority of its sub-bits. Differences are
+    homogeneous in signal scale, so gain changes preserve the fingerprint
+    exactly; small additive noise flips only near-tie sub-bits, which the
+    majority vote absorbs. Bands are geometrically spaced between f_lo
+    and 0.45*sr."""
+    if buf is None or (codec is not None and codec != "wav"):
+        return None
+    try:
+        s, sr = decode_wav_numpy(memoryview(buf))
+    except ValueError:
+        return None
+    n = int(s.shape[0])
+    if n == 0 or sr <= 0:
+        return 0
+    a = s.astype(np.float64)
+    if n < 2 * n_fft:  # need >=2 frames for a time difference
+        a = np.pad(a, (0, 2 * n_fft - n))
+        n = 2 * n_fft
+    n_frames = 1 + (n - n_fft) // hop
+    idx = (np.arange(n_fft)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    frames = a[idx] * np.hanning(n_fft)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    f_hi = 0.45 * sr
+    edges = np.geomspace(max(f_lo, 1.0), max(f_hi, f_lo * 2.0),
+                         n_bands + 2)
+    bins = np.clip(
+        np.round(edges / (sr / n_fft)).astype(np.int64), 0, n_fft // 2
+    )
+    cum = np.concatenate(
+        (np.zeros((n_frames, 1)), np.cumsum(power, axis=1)), axis=1
+    )
+    # e[t, b]: energy of band b in frame t (cumsum-sliced; empty bands 0)
+    e = (cum[:, np.minimum(bins[1:] + 1, n_fft // 2 + 1)]
+         - cum[:, bins[:-1]])
+    band_diff = e[:, :-1] - e[:, 1:]            # E[b]-E[b+1] per frame
+    d = band_diff[1:] - band_diff[:-1]          # minus previous frame's
+    votes = (d > 0).sum(axis=0)
+    bits = (votes * 2 > d.shape[0]).astype(np.uint64)
+    fp = np.uint64(0)
+    for b in range(n_bands):
+        fp |= bits[b] << np.uint64(b)
+    v = int(fp)
+    return v - (1 << 64) if v >= (1 << 63) else v  # wrap to signed long
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    drop_bytes: bool = True,
+    n_fft: int = 256,
+    hop: int = 128,
+) -> DataFrame:
+    """Append ``afp`` (64-bit spectral fingerprint, long; NULL = payload
+    absent/undecodable/non-PCM) in one zero-copy ``mapInArrow`` pass.
+    O(n log n_fft) per clip, embarrassingly parallel, payload dropped."""
+    import pyarrow as pa
+
+    out_fields = [
+        f for f in df.schema.fields if not (drop_bytes and f.name == bytes_col)
+    ]
+    keep_names = [f.name for f in out_fields]
+    out_schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+    ) + ", `afp` long"
+
+    def gen(batches):
+        for batch in batches:
+            bcol = batch.column(batch.schema.get_field_index(bytes_col))
+            codec = batch.column(
+                batch.schema.get_field_index(codec_col)
+            ).to_pylist()
+            fps = [
+                _fingerprint_one(
+                    bcol[i].as_buffer() if bcol[i].is_valid else None,
+                    codec[i], n_fft=n_fft, hop=hop,
+                )
+                for i in range(batch.num_rows)
+            ]
+            cols = [
+                batch.column(batch.schema.get_field_index(n))
+                for n in keep_names
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols + [pa.array(fps, type=pa.int64())],
+                names=keep_names + ["afp"],
+            )
+
+    return df.mapInArrow(gen, out_schema_ddl)
+
+
+def audio_near_duplicates(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    max_hamming: int = 3,
+    n_lsh_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate audio pairs ``(id_a, id_b, hamming)`` via banded LSH
+    over the 64-bit spectral fingerprint: the fingerprint splits into
+    ``n_lsh_bands`` disjoint bit bands; by pigeonhole, any pair within
+    hamming distance ``n_lsh_bands - 1`` shares at least one EXACT band,
+    so recall is total for ``max_hamming <= n_lsh_bands - 1``. Candidates
+    meet through an equi-join on (band_id, band_bits) — bucketed, never
+    all-pairs — then verify with ``bit_count(xor) <= max_hamming``
+    JVM-side. Same shuffle shape as textops' MinHash band join: one
+    shuffle of (id, 16-bit band) rows, join fan-out bounded by bucket
+    population."""
+    band_width = 64 // n_lsh_bands
+    mask = (1 << band_width) - 1
+    fp = audio_fingerprints(df, bytes_col, codec_col).filter(
+        F.col("afp").isNotNull()
+    ).select(id_col, "afp")
+    bands = fp.select(
+        id_col, "afp",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright("afp", b * band_width)
+                .bitwiseAND(F.lit(mask)).alias("band_bits"),
+            )
+            for b in range(n_lsh_bands)
+        ])).alias("band"),
+    ).select(id_col, "afp", "band.band_id", "band.band_bits")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_bits") == F.col("b.band_bits"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.afp").alias("afp_a"),
+            F.col("b.afp").alias("afp_b"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("afp_a").bitwiseXOR(F.col("afp_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
