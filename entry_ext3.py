@@ -136,14 +136,39 @@ def _audio_near_dups(spark, sf_dir):
     )
 
 
+def _audio_segments_check(spark, sf_dir):
+    """50ms chunking fan-out (one row per segment) with exact per-segment
+    integer content stats; DuckDB regenerates every segment's stats from
+    the closed-form samples via k//win grouping."""
+    from voluptuous_spark.audio import audio_segments
+    from voluptuous_spark.datasynth import oracle_clips_df
+
+    df = oracle_clips_df(spark, N_ORACLE_CLIPS)
+    return audio_segments(df, window_ms=50, emit_bytes=False)
+
+
 EXTRA3_QUERIES = {
     "pcm_invariant": _pcm_invariant,
     "audio_features_check": _audio_features_check,
     "audio_dedup": _audio_dedup,
     "audio_near_dups": _audio_near_dups,
+    "audio_segments_check": _audio_segments_check,
 }
 
 EXTRA3_ORACLES = {
+    "audio_segments_check": f"""
+        WITH {_SAMPLES_CTE}
+        SELECT s.c AS clip_id,
+               CAST(s.k // 800 AS INT) AS seg_idx,
+               (s.k // 800) * 50 AS seg_start_ms,
+               COUNT(*) AS seg_n,
+               CAST(SUM(s.v) AS BIGINT) AS seg_sum,
+               CAST(SUM(s.v * s.v) AS BIGINT) AS seg_sumsq,
+               MAX(ABS(s.v)) AS seg_maxabs
+        FROM s
+        WHERE s.c % 8 NOT IN (5, 6, 7)
+        GROUP BY s.c, s.k // 800
+    """,
     "audio_dedup": f"""
         WITH {_SAMPLES_CTE},
         agg AS (

@@ -501,3 +501,29 @@ def test_audio_near_duplicates(spark):
     got = {(r.id_a, r.id_b) for r in audio_near_duplicates(df).collect()}
     assert ("a", "b") in got and ("a", "c") in got
     assert not any("d" in p for p in got)
+
+
+def test_audio_segments(spark):
+    """Chunking fan-out: per-segment exact stats, shorter tail segment,
+    segment bytes decode back to the exact slice, undecodable clips
+    produce zero rows."""
+    from voluptuous_spark.audio import audio_segments
+    from voluptuous_spark.datasynth import _oracle_samples, oracle_clips_df
+
+    df = oracle_clips_df(spark, 8)
+    segs = audio_segments(df, window_ms=50, emit_bytes=True)
+    rows = {(r.clip_id, r.seg_idx): r for r in segs.collect()}
+    # clips 5 (missing payload), 6 (truncated), 7 (non-PCM) emit nothing
+    assert not any(c in (5, 6, 7) for c, _ in rows)
+    # clip 2: n=2240 at 16kHz -> segments of 800, 800, 640 samples
+    v = _oracle_samples(2).astype(np.int64)
+    assert [rows[(2, i)].seg_n for i in range(3)] == [800, 800, 640]
+    for i in range(3):
+        seg = v[i * 800:(i + 1) * 800]
+        r = rows[(2, i)]
+        assert (r.seg_sum, r.seg_sumsq, r.seg_maxabs, r.seg_start_ms) == (
+            int(seg.sum()), int(np.dot(seg, seg)),
+            int(np.abs(seg).max()), i * 50,
+        )
+        dec, sr = decode_wav_numpy(r.seg_bytes)
+        assert sr == 16000 and np.array_equal(dec.astype(np.int64), seg)

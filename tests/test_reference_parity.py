@@ -712,6 +712,23 @@ CASES = [
     # Any-over-dicts dict type gate carries the enclosing mapping ctx
     # (fuzz seed 6058): 'expected a dictionary for dictionary value'
     ({"k1": ("Any", {"b0": "abcdef"}, {"b0": 10})}, {"k1": []}),
+    # NESTED Exclusive/Inclusive groups: group checks run at every
+    # mapping level and suppress only THAT level's other errors
+    ({"k": {("Exclusive", "x", "g"): int, ("Exclusive", "y", "g"): int,
+            "s": ("In", ["a"])},
+      "top": int},
+     {"k": {"x": 1, "y": 2, "s": "z"}, "top": "bad"},
+     {"k": {"x": 1, "s": "a"}, "top": 3},
+     {"k": {"x": 1, "s": "z"}, "top": 3}),
+    ({"k": {("Inclusive", "a0", "ga"): int, ("Inclusive", "a1", "ga"): int,
+            ("Inclusive", "b0", "gb"): int, ("Inclusive", "b1", "gb"): int}},
+     {"k": {"a0": 1, "b0": 2}}, {"k": {"a0": 1, "a1": 2}}),
+    # Union candidacy with a CROSS-TYPE literal tag value: Python
+    # equality is False; an ANSI Spark == would throw CAST_INVALID_INPUT
+    # (fuzz seed 7009)
+    ({"k0": ("UnionDisc", {"tag": "a", "val": "no"},
+             {"tag": "b", "val": int})},
+     {"k0": {"tag": "a", "val": 25}}, {"k0": {"tag": "b", "val": 25}}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

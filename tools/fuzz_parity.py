@@ -307,14 +307,27 @@ def gen_list_spec(rng):
 def gen_dict_spec(rng, depth):
     sub = {}
     samplers = {}
+    group_keys = set()
     for i in range(rng.randint(1, 2)):
         k = f"n{i}"
         s, fn = gen_value_spec(rng, depth + 1)
         sub[k] = s
         samplers[k] = fn
+    if rng.random() < 0.12:
+        # NESTED Exclusive/Inclusive group pair: the reference runs
+        # group checks at every mapping level (schema_builder.py:530-571)
+        marker = rng.choice(["Exclusive", "Inclusive"])
+        for g in ("h0", "h1"):
+            gspec, gfn = _gen_plain_spec(rng)
+            sub[(marker, g, "hgrp")] = gspec
+            samplers[g] = gfn
+            group_keys.add(g)
 
     def sample(r):
-        return {k: fn(r) for k, fn in samplers.items()}
+        return {
+            k: fn(r) for k, fn in samplers.items()
+            if k not in group_keys or r.random() > 0.45
+        }
 
     p = rng.random()
     if p < 0.1:

@@ -1194,3 +1194,109 @@ def audio_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# audio segmentation: one-to-many chunking for training-data pipelines
+# (fixed windows over long clips), the audio counterpart of document
+# chunking — a fan-out mapInArrow pass with typed per-segment metadata
+
+
+def audio_segments(
+    df: DataFrame,
+    window_ms: int = 100,
+    hop_ms: int | None = None,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    id_cols: tuple[str, ...] = ("clip_id",),
+    emit_bytes: bool = True,
+) -> DataFrame:
+    """Chunk each clip into fixed windows of ``window_ms`` every
+    ``hop_ms`` (default: non-overlapping). One OUTPUT ROW per segment:
+    id columns + ``seg_idx``, ``seg_start_ms``, ``seg_n`` (samples),
+    ``seg_sum`` / ``seg_sumsq`` / ``seg_maxabs`` (exact int64 content
+    stats of the segment — the per-segment signature), and, when
+    ``emit_bytes``, ``seg_bytes`` (a standalone PCM16 WAV of the
+    segment). The tail segment is emitted shorter, never padded.
+
+    Execution shape: one zero-copy ``mapInArrow`` fan-out — the payload
+    crosses the JVM->Python boundary once, each segment re-encodes from a
+    numpy slice (no per-sample Python), and undecodable/non-PCM clips
+    produce zero rows. Row fan-out is bounded by ceil(dur/hop), so
+    downstream partition sizing scales with TIME, not clip count."""
+    import pyarrow as pa
+
+    hop_ms = hop_ms or window_ms
+    id_fields = [f for f in df.schema.fields if f.name in id_cols]
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in id_fields
+    ) + (", `seg_idx` int, `seg_start_ms` long, `seg_n` long,"
+         " `seg_sum` long, `seg_sumsq` long, `seg_maxabs` long")
+    if emit_bytes:
+        ddl += ", `seg_bytes` binary"
+
+    def gen(batches):
+        for batch in batches:
+            bcol = batch.column(batch.schema.get_field_index(bytes_col))
+            codec = batch.column(
+                batch.schema.get_field_index(codec_col)
+            ).to_pylist()
+            ids = {
+                f.name: batch.column(
+                    batch.schema.get_field_index(f.name)
+                ).to_pylist()
+                for f in id_fields
+            }
+            out: dict[str, list] = {f.name: [] for f in id_fields}
+            for c in ("seg_idx", "seg_start_ms", "seg_n", "seg_sum",
+                      "seg_sumsq", "seg_maxabs"):
+                out[c] = []
+            if emit_bytes:
+                out["seg_bytes"] = []
+            for i in range(batch.num_rows):
+                sc = bcol[i]
+                if not sc.is_valid or (
+                    codec[i] is not None and codec[i] != "wav"
+                ):
+                    continue
+                try:
+                    s, sr = decode_wav_numpy(memoryview(sc.as_buffer()))
+                except ValueError:
+                    continue
+                n = int(s.shape[0])
+                if n == 0 or sr <= 0:
+                    continue
+                win = max(1, (window_ms * sr) // 1000)
+                hop = max(1, (hop_ms * sr) // 1000)
+                a = s.astype(np.int64)
+                for j, start in enumerate(range(0, n, hop)):
+                    seg = a[start:start + win]
+                    for f in id_fields:
+                        out[f.name].append(ids[f.name][i])
+                    out["seg_idx"].append(j)
+                    out["seg_start_ms"].append(start * 1000 // sr)
+                    out["seg_n"].append(int(seg.shape[0]))
+                    out["seg_sum"].append(int(seg.sum()))
+                    out["seg_sumsq"].append(int(np.dot(seg, seg)))
+                    out["seg_maxabs"].append(int(np.abs(seg).max()))
+                    if emit_bytes:
+                        out["seg_bytes"].append(
+                            encode_wav_pcm16(seg.astype(np.int16), sr)
+                        )
+            arrays = []
+            names = []
+            for f in id_fields:
+                arrays.append(pa.array(out[f.name]))
+                names.append(f.name)
+            for c, t in (("seg_idx", pa.int32()), ("seg_start_ms", pa.int64()),
+                         ("seg_n", pa.int64()), ("seg_sum", pa.int64()),
+                         ("seg_sumsq", pa.int64()),
+                         ("seg_maxabs", pa.int64())):
+                arrays.append(pa.array(out[c], type=t))
+                names.append(c)
+            if emit_bytes:
+                arrays.append(pa.array(out["seg_bytes"], type=pa.binary()))
+                names.append("seg_bytes")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.mapInArrow(gen, ddl)

@@ -1722,12 +1722,18 @@ class Schema:
                     name = _key_name(k)
                     if isinstance(val, (str, int, float)) and not isinstance(
                             val, type):
-                        if name in by_name:
+                        if name not in by_name:
+                            pred = F.lit(False)
+                        elif not dsl._lit_comparable(
+                                val, by_name[name].dataType):
+                            # cross-type tag equality is False in Python;
+                            # an ANSI-mode Spark == would instead throw
+                            # CAST_INVALID_INPUT at runtime (fuzz 7009)
+                            pred = F.lit(False)
+                        else:
                             pred = pred & F.coalesce(
                                 col[name] == F.lit(val), F.lit(False)
                             )
-                        else:
-                            pred = F.lit(False)
                 return pred
 
             cand = [candidacy(b) for b in v.validators]
@@ -2594,6 +2600,75 @@ class Schema:
                          col.isNotNull() & col[fname].isNotNull())
             elif self.extra == ALLOW_EXTRA:
                 outs.append(col[fname].alias(fname))
+        # Exclusive/Inclusive groups in a NESTED dict (the reference's
+        # _compile_dict runs group checks at EVERY mapping level,
+        # schema_builder.py:530-571): a firing group error raises before
+        # mapping validation, so it suppresses every other error of this
+        # level — exclusive first (all failing groups), else the FIRST
+        # failing inclusion group
+        n_ex_groups: dict[str, list] = {}
+        n_in_groups: dict[str, list] = {}
+        for k, _ in items:
+            if isinstance(k, dsl.Exclusive):
+                n_ex_groups.setdefault(k.group_of_exclusion, []).append(k)
+            elif isinstance(k, dsl.Inclusive):
+                n_in_groups.setdefault(k.group_of_inclusion, []).append(k)
+        if n_ex_groups or n_in_groups:
+            def _cnt(grp):
+                return sum(
+                    (
+                        (col.isNotNull()
+                         & col[_key_name(k)].isNotNull()).cast("int")
+                        if _key_name(k) in by_name else F.lit(0)
+                        for k in grp
+                    ),
+                    F.lit(0),
+                )
+
+            grp_entries: list[tuple] = []
+            excl_any = F.lit(False)
+            for label, grp in n_ex_groups.items():
+                cond = _cnt(grp) > 1
+                msg = next((k.msg for k in grp if k.msg), None) or (
+                    "two or more values in the same group of "
+                    f"exclusion '{label}'"
+                )
+                grp_entries.append((_violation(
+                    prefix + (f"<{label}>",), F.lit(msg),
+                    "ExclusiveInvalid", F.lit("None"), cond,
+                ), len(prefix) + 1, None))
+                excl_any = excl_any | cond
+            not_prev = F.lit(True)
+            incl_any = F.lit(False)
+            for label, grp in n_in_groups.items():
+                c = _cnt(grp)
+                cond = (c > 0) & (c < len(grp))
+                incl_any = incl_any | cond
+                msg = next((k.msg for k in grp if k.msg), None) or (
+                    "some but not all values in the same group of "
+                    f"inclusion '{label}'"
+                )
+                grp_entries.append((_violation(
+                    prefix + (f"<{label}>",), F.lit(msg),
+                    "InclusiveInvalid", F.lit("None"),
+                    ~excl_any & not_prev & cond,
+                ), len(prefix) + 1, None))
+                not_prev = not_prev & ~cond
+            grp_fired = excl_any | incl_any
+            entries[:] = [
+                (F.when(~grp_fired, v) if v is not None else None, plen,
+                 (c & ~grp_fired) if c is not None else None)
+                for v, plen, c in entries
+            ]
+            late[:] = [
+                (F.when(~grp_fired, v) if v is not None else None, plen,
+                 (c & ~grp_fired) if c is not None else None)
+                for v, plen, c in late
+            ]
+            if arrays is not None:
+                for i in range(arr_start, len(arrays)):
+                    arrays[i] = F.when(~grp_fired, arrays[i])
+            entries[:0] = grp_entries
         out_struct = F.when(col.isNotNull(), F.struct(*outs)) if outs else col
         return finish(out_struct)
 
