@@ -1140,6 +1140,7 @@ def audio_near_duplicates(
     codec_col: str = "codec",
     max_hamming: int = 3,
     n_lsh_bands: int = 4,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate audio pairs ``(id_a, id_b, hamming)`` via banded LSH
     over the 64-bit spectral fingerprint: the fingerprint splits into
@@ -1150,12 +1151,21 @@ def audio_near_duplicates(
     all-pairs — then verify with ``bit_count(xor) <= max_hamming``
     JVM-side. Same shuffle shape as textops' MinHash band join: one
     shuffle of (id, 16-bit band) rows, join fan-out bounded by bucket
-    population."""
+    population.
+
+    ``fingerprints``: optional precomputed ``(id_col, afp)`` DataFrame
+    (from ``audio_fingerprints``). The self-join references the
+    fingerprint lineage on BOTH sides; Spark's ReusedExchange usually
+    dedups the shuffled sides, but a broadcast side re-runs the
+    decode+FFT pass — on a large corpus, persist the narrow fingerprint
+    table once and pass it here so the payload scan happens exactly
+    once."""
     band_width = 64 // n_lsh_bands
     mask = (1 << band_width) - 1
-    fp = audio_fingerprints(df, bytes_col, codec_col).filter(
-        F.col("afp").isNotNull()
-    ).select(id_col, "afp")
+    fp = fingerprints if fingerprints is not None else audio_fingerprints(
+        df, bytes_col, codec_col
+    )
+    fp = fp.filter(F.col("afp").isNotNull()).select(id_col, "afp")
     bands = fp.select(
         id_col, "afp",
         F.explode(F.array(*[
