@@ -124,6 +124,18 @@ def _mk(v, spec):
     """
     import inspect
 
+    if isinstance(spec, tuple) and spec and spec[0] == "KW":
+        # ("KW", name, [args...], {kwargs...}) — keyword-only parameters
+        # (msg=, cls=, min_valid=...) that the generic positional form
+        # below can't reach
+        _, name, args, kwargs = spec
+        obj = getattr(v, name)
+        return obj(*[_mk(v, a) for a in args],
+                   **{k: _mk(v, kv) for k, kv in kwargs.items()})
+    if isinstance(spec, tuple) and spec and spec[0] == "CLS":
+        # ("CLS", name) — resolve a module attribute itself (e.g. an
+        # Invalid subclass for Msg(cls=...)) without instantiating it
+        return getattr(v, spec[1])
     if isinstance(spec, tuple) and spec and spec[0] == "UnionDisc":
         _, *branches = spec
         return v.Union(*[_mk(v, b) for b in branches],
@@ -190,6 +202,48 @@ CASES = [
     ),
     ({"x": ("SomeOf", [("Range", 0, None), ("Range", None, 100)], 2)},
      {"x": 50}),
+    # Maybe over composite inners == Any(None, composite): the inner
+    # dict/element errors sit deeper than the None branch's and win the
+    # deepest-error selection (validators.py:622-635 + 330-336)
+    ({"m": ("Maybe", {"x": int})},
+     {"m": None}, {"m": {"x": 3}}, {"m": {"x": "bad"}}),
+    ({"m": ("Maybe", [int])},
+     {"m": None}, {"m": [1, 2]}, {"m": ["x"]}),
+    ({"m": ("Maybe", [("Range", 0, 5)])}, {"m": [3, 9]}),
+    ({"m": ("KW", "Maybe", [{"x": int}], {"msg": "custom maybe"})},
+     {"m": {"x": "bad"}}),
+    ({"m": ("KW", "Maybe", [[int]], {"msg": "custom maybe"})},
+     {"m": ["x"]}),
+    ({"o": {"m": ("Maybe", {"x": int})}}, {"o": {"m": {"x": "bad"}}}),
+    ({"o": {"m": ("Maybe", [int])}}, {"o": {"m": ["x"]}}),
+    ({("Remove", "r"): ("Maybe", {"x": int}), "a": int},
+     {"r": {"x": "bad"}, "a": 1}, {"r": {"x": 2}, "a": 1}),
+    # Maybe over a transforming sequence threads the transform
+    ({"m": ("Maybe", [("Boolean",)])}, {"m": ["yes", "no"]}),
+    # Maybe over a transforming DICT threads the branch's transforms
+    # (fuzz seed 249: Coerce+Clamp inside Maybe inside Msg)
+    ({"m": ("Maybe", {"x": ("Clamp", 0, 5)})}, {"m": {"x": 9}}),
+    ({"k0": ("Msg", {"n0": ("Maybe", {"n0": ("All", ("Coerce", float),
+                                             ("Clamp", 0, 49))}),
+                     "n1": float}, "fuzz dict message")},
+     {"k0": {"n0": {"n0": 50}, "n1": 49.5}}),
+    # Any(dict, dict, msg=...) stamps the mapping ctx at the key path
+    ({"m": ("KW", "Any", [{"x": int}, {"y": str}], {"msg": "pick one"})},
+     {"m": {"x": "bad", "y": 1}}),
+    # Any over SEQUENCE branches: element errors carry runtime index
+    # paths and win the deepest-error selection; same-depth element
+    # errors keep the earliest branch (validators.py:330-336)
+    ({"m": ("Any", [int], ("Length", 5, None))}, {"m": ["x"]}, {"m": [1]}),
+    ({"m": ("Any", [("Range", 0, 5)], [("Range", 10, 20)])},
+     {"m": [7]}, {"m": [3]}, {"m": [15]}),
+    ({"m": ("Any", [("Range", 0, 5)], ("Length", 0, 1))}, {"m": [9, 9]}),
+    ({"m": ("Any", [int], {"x": int})}, {"m": [1, 2]}),
+    ({"o": {"m": ("Any", [("Range", 0, 5)], [("Range", 10, 20)])}},
+     {"o": {"m": [7]}}),
+    ({("Remove", "r"): ("Any", [int], ("Length", 5, None)), "a": int},
+     {"r": ["x"], "a": 1}, {"r": [1], "a": 1}),
+    ({"m": ("KW", "Any", [[int], ("Length", 5, None)], {"msg": "no good"})},
+     {"m": ["x"]}),
     # Unordered beyond the old n<=4 cap: greedy fold over 6 validators
     (
         {"x": ("Unordered", [("Range", 0, 10), ("Range", 10, 20),
@@ -199,6 +253,14 @@ CASES = [
         {"x": [5.0, 5.0, 5.0, 25.0, 15.0, 45.0]},  # greedy starves
         {"x": [5.0, 15.0, 25.0, 35.0, 45.0, 99.0]},
     ),
+    # Clamp substitutes the BOUND OBJECT (validators.py:740-744): a
+    # downstream int/float TYPE check decides per row — the clamped-to-
+    # int-bound value IS an int, the in-range float stays float
+    # (fuzz seed 537)
+    ({"k": ("All", ("Clamp", 2, 49), int)},
+     {"k": 0.5}, {"k": 3.5}, {"k": 60.0}),
+    ({"k": ("All", ("Clamp", 2, 49), float)}, {"k": 0.5}, {"k": 3.5}),
+    ({"k": ("All", ("Clamp", 2, 49), int, ("Range", 0, 10))}, {"k": 0.5}),
     # transformers (validation is transformation)
     ({"t": ("Lower",)}, {"t": "MiXeD"}),
     ({"t": ("Upper",)}, {"t": "MiXeD"}),
@@ -733,6 +795,11 @@ CASES = [
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases
 KW_CASES = [
+    # Maybe's inner dict sub-compiles with required=False even when the
+    # outer schema is required=True (validators.py:259-267: the
+    # combinator overwrites schema.required with its OWN default)
+    ({"m": ("Maybe", {"x": int})}, {"required": True},
+     {"m": {}}, {"m": {"x": 1}}),
     # fuzz seeds 4300/4328: required=True makes a WILDCARD key ({str: v})
     # itself required — an empty nested map errors with the key schema as
     # the final path component (schema_builder.py:398-405)

@@ -117,10 +117,19 @@ def gen_int_spec(rng, depth=0):
     # (str(sorted(container)) on mixed types raises TypeError,
     # validators.py:849-856) — nothing to be parity-faithful to
     if choice == 1:
+        if rng.random() < 0.2:  # msg= kwarg override (validators.py In)
+            return (("KW", "In", [_ints(rng, 1, 4)], {"msg": "fz in"}),
+                    lambda r: r.choice(INTS))
         return ("In", _ints(rng, 1, 4)), lambda r: r.choice(INTS)
     if choice == 2:
+        if rng.random() < 0.2:
+            return (("KW", "NotIn", [_ints(rng, 1, 3)], {"msg": "fz notin"}),
+                    lambda r: r.choice(INTS))
         return ("NotIn", _ints(rng, 1, 3)), lambda r: r.choice(INTS)
     if choice == 3:
+        if rng.random() < 0.2:
+            return (("KW", "Equal", [rng.choice(INTS)], {"msg": "fz eq"}),
+                    lambda r: r.choice(INTS))
         return ("Equal", rng.choice(INTS)), lambda r: r.choice(INTS)
     if choice == 4:
         lo, hi = sorted(rng.sample(INTS, 2))
@@ -129,10 +138,17 @@ def gen_int_spec(rng, depth=0):
         return int, lambda r: r.choice(INTS)
     if choice == 6:
         inner, fn = gen_int_spec(rng, depth + 1)
+        if rng.random() < 0.25:
+            # Msg(cls=...) re-types the error (schema_builder.py Msg:
+            # the custom class carries the message through humanize)
+            return (("KW", "Msg", [inner, "typed fuzz message"],
+                     {"cls": ("CLS", "RangeInvalid")}), fn)
         return ("Msg", inner, "custom fuzz message"), fn
     if choice == 7:  # All threading: clamp then range
         s1, _ = gen_int_spec(rng, depth + 1)
         s2, fn = gen_int_spec(rng, depth + 1)
+        if rng.random() < 0.2:  # All(msg=...) overrides sub-errors
+            return ("KW", "All", [s1, s2], {"msg": "fz all"}), fn
         return ("All", s1, s2), fn
     if choice == 8:  # Any of non-transforming int validators
         branches = []
@@ -143,6 +159,9 @@ def gen_int_spec(rng, depth=0):
                  ("Equal", rng.choice(INTS)), int]
             )
             branches.append(b)
+        if rng.random() < 0.2:  # Any(msg=...) overrides the joined error
+            return (("KW", "Any", branches, {"msg": "fz any"}),
+                    lambda r: r.choice(INTS))
         return ("Any", *branches), lambda r: r.choice(INTS)
     # SomeOf over ranges
     n = rng.randint(2, 3)
@@ -248,6 +267,11 @@ def gen_list_spec(rng):
     if choice == 0:
         es, _ = (gen_int_spec(rng, 2) if elem_kind == "int"
                  else gen_str_spec(rng, 9))
+        if rng.random() < 0.15:
+            # Maybe over a sequence schema == Any(None, [es]): element
+            # errors outrank the None branch on depth (no None draw —
+            # see the Maybe-dict note in gen_dict_spec)
+            return ("Maybe", [es]), sample
         return [es], sample
     if choice == 7:
         # NESTED sequence schema [[...]]: deeper-than-index errors abort
@@ -261,6 +285,17 @@ def gen_list_spec(rng):
 
         return [[es]], sample2
     if choice == 1:
+        if rng.random() < 0.25:
+            # Any over sequence branches: element errors (runtime index
+            # paths) win the deepest-error selection; non-transforming
+            # element specs only (the in-branch transform threading is
+            # the documented identity-output divergence)
+            b1 = [_gen_plain_spec(rng)[0]]
+            b2 = rng.choice([
+                [_gen_plain_spec(rng)[0]],
+                ("Length", 0, rng.randint(1, 3)),
+            ])
+            return ("Any", b1, b2), sample
         return ("Unique",), sample
     if choice == 2:
         lo, hi = sorted(rng.sample(range(0, 5), 2))
@@ -346,6 +381,14 @@ def gen_dict_spec(rng, depth):
         key = (("Required", str) if kp < 0.25
                else ("Optional", str) if kp < 0.4 else str)
         return {key: vspec}, sample_map
+    if p < 0.16:
+        # Maybe over a dict schema == Any(None, dict): inner field
+        # errors outrank the None branch on depth. A literal None value
+        # is NOT drawn (a null cell reads as an absent key — the
+        # engine-wide documented divergence — which under required=True
+        # would flag mismatches that aren't parity bugs); the null-pass
+        # path is frozen in test_reference_parity CASES instead.
+        return ("Maybe", sub), sample
     if p < 0.28:
         # Msg over a nested dict schema: the depth<=1 override rule
         # (schema_builder.py:946-949) — only direct descendants get the
@@ -456,7 +499,10 @@ def gen_case(seed):
             # Remove: value never validated, key dropped from the output
             kspec = ("Remove", key)
         elif p < 0.25:
-            kspec = ("Required", key)
+            # sometimes with a marker-level msg= (the Required message
+            # replaces 'required key not provided' on absence)
+            kspec = (("Required", key, f"fz need {key}")
+                     if rng.random() < 0.25 else ("Required", key))
         elif p < 0.40:
             # Optional, sometimes with a scalar default injected on
             # absence (list defaults would make the key spec unhashable)
@@ -474,9 +520,11 @@ def gen_case(seed):
         # Exclusive (<=1 of group present, schema_builder.py:536-553) /
         # Inclusive (all-or-none, :555-571) key pair sharing one group
         marker = rng.choice(["Exclusive", "Inclusive"])
+        gmsg = rng.random() < 0.25  # marker-level msg= on the group pair
         for g in ("g0", "g1"):
             gspec, gfn = _gen_plain_spec(rng)
-            schema[(marker, g, "grp")] = gspec
+            schema[(marker, g, "grp", "fz group msg") if gmsg
+                   else (marker, g, "grp")] = gspec
             samplers.append((g, gfn))
         group_keys = ("g0", "g1")
     if rng.random() < 0.12:

@@ -302,8 +302,31 @@ def _type_check(pytype, dtype) -> RowCheck:
     """
     name = _PYTYPE_NAME.get(pytype, getattr(pytype, "__name__", str(pytype)))
     if _pytype_matches(pytype, dtype):
-        return _pred_check(lambda c: c.isNotNull(), f"expected {name}", "TypeInvalid")
-    return _pred_check(lambda c: F.lit(False), f"expected {name}", "TypeInvalid")
+        rc = _pred_check(lambda c: c.isNotNull(), f"expected {name}",
+                         "TypeInvalid")
+    else:
+        rc = _pred_check(lambda c: F.lit(False), f"expected {name}",
+                         "TypeInvalid")
+    if pytype in (int, float) and _is_numeric(dtype):
+        # per-row refinement when an upstream stage threads the Python
+        # str of the CURRENT value: Clamp with an int bound substitutes
+        # the BOUND OBJECT itself (validators.py:740-744), so
+        # All(Clamp(2, 49), int) on 0.5 passes in the reference
+        # (isinstance(2, int)) while an in-range 3.5 stays float and
+        # fails — a decision the static column type cannot make. The
+        # threaded repr distinguishes them exactly: Python int reprs
+        # are bare digit runs, float reprs carry '.', 'e', 'nan'/'inf'.
+        def _ok_pystr(c, s, want_int=(pytype is int)):
+            is_int_repr = s.rlike("^-?[0-9]+$")
+            return c.isNotNull() & (
+                is_int_repr if want_int else ~is_int_repr)
+
+        rc.err_pystr = lambda c, s: F.when(
+            _ok_pystr(c, s), F.lit(None)
+        ).otherwise(
+            err_struct(f"expected {name}", "TypeInvalid")
+        ).cast(RowCheck._ERR_T)
+    return rc
 
 
 def _sequence_check(alternatives, dtype) -> RowCheck:

@@ -529,6 +529,7 @@ class Schema:
         arrs: list = []
         if isinstance(v, dsl.Msg) and isinstance(v.schema, dict):
             v = v.schema
+        v = _maybe_expand(v, dtype, self.extra)
         sub = None
         if isinstance(v, Schema) and isinstance(v.schema, dict):
             # Schema instance as the Remove key's value: fail condition
@@ -550,6 +551,8 @@ class Schema:
             and any(
                 isinstance(b, (dict, Schema)) or b is dsl.Self
                 or b is dsl._SelfSentinel or isinstance(b, dsl._SelfSentinel)
+                or (isinstance(v, dsl.Any) and isinstance(b, (list, tuple))
+                    and bool(b) and isinstance(dtype, T.ArrayType))
                 for b in v.validators
             )
         ):
@@ -933,6 +936,7 @@ class Schema:
                     v.cls.__name__ if v.cls else "Invalid")
                 seq_msg_override = (v.msg, et)
                 v = v.schema
+            v = _maybe_expand(v, by_name.get(fld.name), self.extra)
             if (
                 isinstance(v, dsl.Any)
                 and not isinstance(v, dsl.Maybe)
@@ -940,6 +944,8 @@ class Schema:
                     isinstance(b, dict) or b is dsl.Self
                     or b is dsl._SelfSentinel
                     or isinstance(b, dsl._SelfSentinel)
+                    or (isinstance(b, (list, tuple)) and bool(b)
+                        and isinstance(by_name.get(fld.name), T.ArrayType))
                     for b in v.validators
                 )
             ):
@@ -1650,6 +1656,38 @@ class Schema:
             if b is dsl.Self or b is dsl._SelfSentinel or isinstance(
                     b, dsl._SelfSentinel):
                 b = self.schema
+            if (isinstance(b, (list, tuple)) and b
+                    and not isinstance(b, dict)):
+                # sequence branch: element errors carry runtime index
+                # paths (strictly deeper than the field path), so the
+                # deepest-error selection surfaces them over sibling
+                # scalar branches' shallow errors — reference
+                # validators.py:330-336 over _compile_sequence results
+                if isinstance(dtype, T.ArrayType):
+                    _, seq_singles, seq_arrs = self._validate_sequence(
+                        list(b), col, dtype, prefix
+                    )
+                    parts = [
+                        F.when(e.isNotNull(), F.array(e)).otherwise(empty)
+                        for e in seq_singles
+                    ] + [F.coalesce(a.cast(viol_arr_t), empty)
+                         for a in seq_arrs]
+                    arr = (F.concat(*parts).cast(viol_arr_t)
+                           if parts else empty)
+                else:
+                    arr = F.when(
+                        col.isNotNull(),
+                        F.array(F.struct(
+                            F.array(*_path_lits(prefix)).alias("path"),
+                            F.lit("expected a list").alias("message"),
+                            F.lit("SequenceTypeInvalid").alias(
+                                "error_type"),
+                            py_repr_col(col, dtype).alias("offending"),
+                            F.lit("dictionary value").alias("ctx"),
+                        )),
+                    ).otherwise(empty).cast(viol_arr_t)
+                branch_arrays.append(arr)
+                continue
             if not isinstance(b, dict):
                 # scalar branch mixed with dict branches: compile against
                 # the column dtype; its error sits at the field path
@@ -1740,12 +1778,15 @@ class Schema:
         else:
             cand = [F.lit(True) for _ in v.validators]
         if v.msg is not None:
+            # AnyInvalid(msg) raised AT the key path — the enclosing
+            # mapping stamps the 'dictionary value' context
+            # (schema_builder.py:368-371), same as the no-msg fallback
             losing = F.array(F.struct(
                 F.array(*_path_lits(prefix)).alias("path"),
                 F.lit(v.msg).alias("message"),
                 F.lit(v.error_type).alias("error_type"),
                 F.lit("None").alias("offending"),
-                F.lit(None).cast("string").alias("ctx"),
+                F.lit("dictionary value").alias("ctx"),
             )).cast(viol_arr_t)
         else:
             # strictly-deeper-first-error wins among CANDIDATE branches;
@@ -2391,6 +2432,7 @@ class Schema:
                     val.cls.__name__ if val.cls else "Invalid")
                 seq_msg_override = (val.msg, et)
                 val = val.schema
+            val = _maybe_expand(val, sub_t, self.extra)
             sub_is_reentry = sub_msg_override is not None
             sub0 = None
             if isinstance(val, Schema) and isinstance(val.schema, dict):
@@ -2485,6 +2527,8 @@ class Schema:
                     isinstance(b, dict) or b is dsl.Self
                     or b is dsl._SelfSentinel
                     or isinstance(b, dsl._SelfSentinel)
+                    or (isinstance(b, (list, tuple)) and bool(b)
+                        and isinstance(sub_t, T.ArrayType))
                     for b in val_u.validators
                 )
             ) or (
@@ -2890,6 +2934,43 @@ def _key_name(key):
 
 
 def _unwrap_marker(v):
+    return v
+
+
+def _maybe_expand(v, sub_t, extra=PREVENT_EXTRA):
+    """``Maybe(composite)`` == ``Any(None, composite)``
+    (validators.py:622-635): scalar inners stay on the compiled fast
+    path (RowCheck Maybe.bind), but composite inners route through the
+    structural machinery so inner errors surface with their runtime
+    paths (the reference's deepest-error rule: inner field/element
+    errors sit strictly deeper than the None branch's shallow
+    'not a valid value' and always win).
+
+    A dict inner over a struct/map column becomes a Schema-instance
+    re-entry — it validates exactly like the single surviving branch
+    (null passes for free: every emitted check guards on non-null) AND
+    threads the branch's transforms (Coerce/Clamp outputs), which the
+    identity-output Any routing cannot. ``required=False`` on the
+    re-entry mirrors the reference's sub-compile (validators.py:259-267
+    sets ``schema.required = self.required``, Maybe's default False).
+    A sequence inner over an array column unwraps straight to the
+    sequence compiler for the same reasons. With a custom msg, or a
+    dtype the inner can never match, the Any(None, inner) branch
+    routing applies (the msg overrides everything; the static-mismatch
+    tie keeps the None branch's 'not a valid value')."""
+    if not isinstance(v, dsl.Maybe):
+        return v
+    inner = v._inner
+    if isinstance(inner, Schema):
+        inner = inner.schema
+    if isinstance(inner, dict):
+        if (v.msg is None
+                and isinstance(sub_t, (T.StructType, T.MapType))):
+            return Schema(inner, required=False, extra=extra)
+        return dsl.Any(None, inner, msg=v.msg)
+    if (isinstance(inner, (list, tuple)) and inner
+            and isinstance(sub_t, T.ArrayType) and v.msg is None):
+        return list(inner)
     return v
 
 
