@@ -791,6 +791,44 @@ CASES = [
     ({"k0": ("UnionDisc", {"tag": "a", "val": "no"},
              {"tag": "b", "val": int})},
      {"k0": {"tag": "a", "val": 25}}, {"k0": {"tag": "b", "val": 25}}),
+    # strptime-EXACT Datetime/Date semantics (CPython _strptime.TimeRE):
+    # IGNORECASE literals (lowercase t/z in ISO strings), 1-2 digit
+    # numeric fields, year-0000 reject, whitespace runs match \s+,
+    # %j overflow into the next year, leap-second reject, month names
+    # case-insensitive, adjacent digit runs fixed-width
+    ({"d": ("Datetime",)}, {"d": "2024-01-02t03:04:05.000006z"},
+     {"d": "2024-1-2T3:4:5.6Z"}, {"d": "0000-01-02T03:04:05.000006Z"}),
+    ({"d": ("Datetime", "%Y %j")}, {"d": "2023 366"}, {"d": "2023 367"},
+     {"d": "2023 000"}),
+    ({"d": ("Datetime", "%H:%M:%S")}, {"d": "3:4:5"}, {"d": "03:04:60"},
+     {"d": "24:00:00"}),
+    ({"d": ("Datetime", "%Y-%m-%d  %H:%M")}, {"d": "2023-03-29 12:30"},
+     {"d": "2023-02-29 12:30"}),
+    ({"d": ("Datetime", "%Y%m%d")}, {"d": "20240102"}, {"d": "20240230"}),
+    ({"d": ("Datetime", "%d %b %Y")}, {"d": "02 jan 2024"},
+     {"d": "02 JAN 2024"}, {"d": "02 January 2024"},
+     {"d": "30 feb 2024"}),
+    ({"d": ("Datetime", "%d %B %Y")}, {"d": "02 january 2024"},
+     {"d": "02 Jan 2024"}),
+    ({"d": ("Datetime", "%b%Y")}, {"d": "jan2024"}),
+    ({"d": ("Datetime", "%I:%M %p")}, {"d": "11:30 pm"},
+     {"d": "13:30 PM"}),
+    ({"d": ("Date", "%d.%m.%Y")}, {"d": "2.1.2024"}, {"d": "30.02.2024"}),
+    ({"d": ("Date",)}, {"d": "2024-1-2"}, {"d": "2024-02-30"}),
+    # %z offsets: case-SENSITIVE Z (CPython compiles (?-i:Z) inside its
+    # IGNORECASE matcher), colon/seconds forms, |offset| < 24h (java's
+    # ZoneOffset caps at 18h — the engine strips the regex-validated
+    # offset before the JVM parse), colon-consistency converter rule
+    ({"d": ("Datetime", "%Y-%m-%dT%H:%M:%S%z")},
+     {"d": "2024-01-02T03:04:05+0000"}, {"d": "2024-01-02T03:04:05Z"},
+     {"d": "2024-01-02T03:04:05z"}, {"d": "2024-01-02T03:04:05+05:30"},
+     {"d": "2024-01-02T03:04:05-23:59"},
+     {"d": "2024-01-02T03:04:05+2400"},
+     {"d": "2024-01-02T03:04:05+00:00:30"},
+     {"d": "2024-01-02T03:04:05+00"}),
+    ({"d": ("Datetime", "%H:%M%z")}, {"d": "03:04+00:00"},
+     {"d": "03:04Z"}, {"d": "03:04z"}, {"d": "03:04+00:0059"},
+     {"d": "03:04+0060"}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

@@ -47,6 +47,47 @@ URLISH = [
 DT_STRS = [
     "2024-01-02T10:20:30.000Z", "2024-01-02 10:20:30",
     "2024-02-30T00:00:00.000Z", "nope", "2024-01-02",
+    # strptime-exact edges: IGNORECASE literals, 1-digit fields
+    "2024-01-02t10:20:30.000z", "2024-1-2T3:4:5.6Z",
+    "0000-01-02T03:04:05.000006Z",
+]
+# explicit-format Datetime/Date: (fmt, value pool with pass+fail mix)
+DT_FMT_POOLS = [
+    ("%Y-%m-%d %H:%M:%S",
+     ["2024-01-02 10:20:30", "2024-1-2 3:4:5", "2023-02-29 00:00:00",
+      "2024-01-02  10:20:30", "2024-01-02", "nope"]),
+    ("%Y %j",
+     ["2023 366", "2024 366", "2023 001", "2023 1", "2023 000",
+      "2023 367", "x"]),
+    ("%H:%M:%S",
+     ["23:59:59", "3:4:5", "24:00:00", "03:04:60", "03:04", ""]),
+    # NB: unpadded values inside adjacent digit runs ("2024012") hit the
+    # documented divergence (Python regex backtracking vs java fixed
+    # width) — excluded from the pools
+    ("%Y%m%d",
+     ["20240102", "20241302", "20240230", "abc"]),
+    ("%d/%m/%Y %I:%M %p",
+     ["02/01/2024 11:30 PM", "2/3/2024 1:5 am", "02/01/2024 13:30 PM",
+      "31/02/2024 11:30 PM", "02/01/2024 11:30"]),
+    ("%Y-%m-%dT%H:%M:%S%z",
+     ["2024-01-02T03:04:05+0000", "2024-01-02T03:04:05Z",
+      "2024-01-02T03:04:05", "2024-01-02t03:04:05+0000",
+      "2024-01-02T03:04:05z", "2024-01-02T03:04:05+05:30",
+      "2024-01-02T03:04:05-23:59", "2024-01-02T03:04:05+2400",
+      "2024-01-02T03:04:05+00:00:30", "2024-01-02T03:04:05+00"]),
+    ("%H:%M%z", ["03:04+0000", "03:04Z", "03:04z", "03:04+00:00",
+                 "03:04+0060", "03:04"]),
+    ("%d %b %Y",
+     ["02 jan 2024", "02 JAN 2024", "2 Jan 2024", "02 January 2024",
+      "30 feb 2024", "29 feb 2024"]),
+    ("%d %B %Y",
+     ["02 january 2024", "02 JANUARY 2024", "02 Jan 2024",
+      "31 april 2024"]),
+]
+DATE_FMT_POOLS = [
+    ("%d.%m.%Y", ["02.01.2024", "2.1.2024", "30.02.2024", "02-01-2024"]),
+    ("%Y/%j", ["2023/366", "2023/367", "2024/060", "2024/60", "nope"]),
+    ("%m%d%Y", ["01022024", "13022024", "0102024"]),
 ]
 
 
@@ -205,6 +246,9 @@ def gen_str_spec(rng, depth=0):
     if choice == 16:
         return ("Url",), lambda r: r.choice(URLISH)
     if choice == 17:
+        if rng.random() < 0.5:
+            fmt, pool = rng.choice(DT_FMT_POOLS)
+            return ("Datetime", fmt), lambda r: r.choice(pool)
         return ("Datetime",), lambda r: r.choice(DT_STRS)
     if choice == 12:
         return ("Replace", rng.choice(["a", "an", "[0-9]"]),
@@ -238,6 +282,9 @@ def gen_str_spec(rng, depth=0):
             lambda r: r.choice(STRS)
         )
     if choice == 9:
+        if rng.random() < 0.4:
+            fmt, pool = rng.choice(DATE_FMT_POOLS)
+            return ("Date", fmt), lambda r: r.choice(pool)
         return ("Date",), lambda r: r.choice(DATE_STRS)
     if choice == 10:  # All chain: transform then validate
         t = rng.choice([("Strip",), ("Lower",)])

@@ -1491,46 +1491,137 @@ class Length(Validator):
         return _identity_check(err, dtype)
 
 
+# Python-EXACT per-field regexes (CPython _strptime.TimeRE): strptime
+# compiles its matcher with re.IGNORECASE, literal whitespace runs match
+# \s+, and numeric fields accept 1-2 digits with range baked into the
+# regex. %Y additionally excludes 0000 (datetime's year>=1 range check)
+# and %S excludes 60/61 (the regex admits leap seconds but datetime()
+# rejects them — net behavior is 0-59).
+_STRPTIME_FIELD_RE = {
+    "%Y": r"(?!0000)\d{4}",
+    "%y": r"\d{2}",
+    "%m": r"(?:1[0-2]|0[1-9]|[1-9])",
+    "%d": r"(?:3[01]|[12]\d|0[1-9]|[1-9])",
+    "%H": r"(?:2[0-3]|[01]\d|\d)",
+    "%I": r"(?:1[0-2]|0[1-9]|[1-9])",
+    "%M": r"(?:[0-5]\d|\d)",
+    "%S": r"(?:[0-5]\d|\d)",
+    "%f": r"\d{1,6}",
+    "%j": r"(?:36[0-6]|3[0-5]\d|[12]\d{2}|0[1-9]\d|00[1-9]|[1-9]\d"
+          r"|0[1-9]|[1-9])",
+    "%p": r"(?:[AaPp][Mm])",
+    # CPython: [+-]\d\d:?[0-5]\d(:?[0-5]\d(\.\d{1,6})?)?|(?-i:Z) — the
+    # Z branch is case-SENSITIVE even under IGNORECASE (inline (?-i:)).
+    # Narrowed to the values the CONVERTER also accepts, making this
+    # regex the complete validation for %z: hour <24 (datetime rejects
+    # |offset| >= 24h) and consistent colon usage ('Inconsistent use
+    # of : in +00:0059').
+    "%z": r"(?:[+-](?:2[0-3]|[01]\d)(?::[0-5]\d(?::[0-5]\d"
+          r"(?:\.\d{1,6})?)?|[0-5]\d(?:[0-5]\d(?:\.\d{1,6})?)?)"
+          r"|(?-i:Z))",
+    "%b": r"(?:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)",
+    "%B": r"(?:january|february|march|april|may|june|july|august"
+          r"|september|october|november|december)",
+    "%%": "%",
+}
+
+_MONTH_ABBR = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+               "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+_MONTH_FULL = ["January", "February", "March", "April", "May", "June",
+               "July", "August", "September", "October", "November",
+               "December"]
+
+
+def _strptime_directives(fmt: str) -> list:
+    dirs, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            dirs.append(fmt[i: i + 2])
+            i += 2
+        else:
+            i += 1
+    return dirs
+
+
 def _strptime_to_regex(fmt: str) -> str | None:
-    """Shape regex for a strptime format, used as a cheap pre-gate before
-    ``try_to_timestamp``: Spark's datetime parse takes an exception-throw
-    path on malformed input (~2x slower than a regex reject on dirty
-    columns, measured at 600k rows). Returns None when the format has
-    directives we can't shape-match (then no gate is applied)."""
-    mapping = {
-        "%Y": r"\d{4}", "%y": r"\d{2}", "%m": r"\d{2}", "%d": r"\d{2}",
-        "%H": r"\d{2}", "%I": r"\d{2}", "%M": r"\d{2}", "%S": r"\d{2}",
-        "%f": r"\d{1,6}", "%j": r"\d{3}", "%%": "%",
-        # %z / %p are NOT gated: Spark's XX / a patterns accept more
-        # spellings ('Z', '+00', case variants) than a safe shape regex,
-        # and the gate must never reject what the parser would accept
-    }
+    """Python-exact shape regex for a strptime format: the gate before
+    ``try_to_timestamp`` (Spark's datetime parse takes an exception-throw
+    path on malformed input, ~2x slower than a regex reject on dirty
+    columns) AND the COMPLETE validator for calendar-free formats (see
+    ``_strptime_regex_complete``). Matches CPython's TimeRE semantics:
+    case-insensitive, whitespace runs in the format match \\s+ in the
+    value, numeric fields are 1-2 digit with Python's exact ranges.
+    Returns None when the format has directives we can't shape-match
+    (%z offsets — then no gate is applied)."""
     out, i = [], 0
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
-            d = fmt[i : i + 2]
-            if d in mapping:
-                out.append(mapping[d])
+            d = fmt[i: i + 2]
+            if d in _STRPTIME_FIELD_RE:
+                out.append(_STRPTIME_FIELD_RE[d])
                 i += 2
                 continue
             return None
+        if fmt[i].isspace():
+            out.append(r"\s+")
+            while i < len(fmt) and fmt[i].isspace():
+                i += 1
+            continue
         out.append(_re.escape(fmt[i]))
         i += 1
-    return "^" + "".join(out) + "$"
+    return "(?i)^" + "".join(out) + "$"
 
 
-def _strptime_to_spark(fmt: str) -> str:
-    """Translate a Python strptime format to a Spark datetime pattern."""
-    mapping = {
-        "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
-        "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%j": "DDD",
-        "%z": "XX", "%p": "a", "%%": "%",
-    }
+def _strptime_regex_complete(fmt: str) -> bool:
+    """True when the Python-exact shape regex IS the full validation —
+    no calendar arithmetic can reject a shape-valid value. Python only
+    calendar-checks month-vs-day ("day is out of range for month"):
+    %j OVERFLOWS into the next year (strptime('2023 366','%Y %j') is
+    valid), time fields are pure range checks, and %d alone defaults to
+    January (31 days). So unless a month directive (%m/%b/%B) AND %d
+    both appear, rlike(shape) decides — skipping the JVM datetime parse
+    entirely (faster on the pure-time formats AND exact where Spark's
+    calendar parser would wrongly reject %j=366 in a non-leap default
+    year)."""
+    dirs = set(_strptime_directives(fmt))
+    if not dirs <= set(_STRPTIME_FIELD_RE):
+        return False
+    return not (dirs & {"%m", "%b", "%B"} and "%d" in dirs)
+
+
+# lenient single-letter forms: java.time parses 1-2 digits (matching
+# Python's TimeRE), used when the directive is followed by a separator;
+# fixed-width forms keep java's adjacent-value parsing working when two
+# digit directives abut (%Y%m%d) — there Python's regex backtracking
+# accepts unpadded forms java cannot, a documented divergence.
+_SPARK_LENIENT = {
+    "%Y": "yyyy", "%y": "yy", "%m": "M", "%d": "d", "%H": "H",
+    "%I": "h", "%M": "m", "%S": "s", "%f": "SSSSSS", "%j": "D",
+    "%z": "XX", "%p": "a", "%b": "MMM", "%B": "MMMM",
+}
+_SPARK_FIXED = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%j": "DDD",
+}
+
+
+def _strptime_to_spark(fmt: str, upper_literals: bool = False) -> str:
+    """Translate a Python strptime format to a Spark datetime pattern.
+
+    ``upper_literals=True`` uppercases literal chunks — paired with
+    parsing ``F.upper(col)``, this reproduces strptime's IGNORECASE
+    matching ('2024-01-02t03:04z' passes the reference's default
+    format). Whitespace runs collapse to a single space (the parse
+    input is normalized the same way). Month names (%b/%B): java's
+    MMM/MMMM only accepts title case, so ``Datetime._probe`` retitles
+    the uppercased month tokens before the parse."""
     out, i, lit_buf = [], 0, []
 
     def flush():
         if lit_buf:
-            chunk = "".join(lit_buf)
+            chunk = _re.sub(r"\s+", " ", "".join(lit_buf))
+            if upper_literals:
+                chunk = chunk.upper()
             if _re.search(r"[A-Za-z]", chunk):
                 out.append("'" + chunk.replace("'", "''") + "'")
             else:
@@ -1539,10 +1630,21 @@ def _strptime_to_spark(fmt: str) -> str:
 
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
-            d = fmt[i : i + 2]
-            if d in mapping:
+            d = fmt[i: i + 2]
+            if d == "%%":
+                lit_buf.append("%")
+                i += 2
+                continue
+            if d in _SPARK_LENIENT:
                 flush()
-                out.append(mapping[d])
+                nxt = fmt[i + 2: i + 4]
+                prv = fmt[i - 2: i] if i >= 2 else ""
+                if d in _SPARK_FIXED and (
+                    nxt in _SPARK_FIXED or prv in _SPARK_FIXED
+                ):
+                    out.append(_SPARK_FIXED[d])  # digit-adjacent run
+                else:
+                    out.append(_SPARK_LENIENT[d])
                 i += 2
                 continue
         lit_buf.append(fmt[i])
@@ -1568,10 +1670,43 @@ class Datetime(Validator):
         return '%s(format=%s)' % (self.__class__.__name__, self.format)
 
     def _probe(self, col):
+        fmt = self.format
+        dirs = set(_strptime_directives(fmt))
+        # strptime matches IGNORECASE; java literals/am-pm/month-names
+        # are case-sensitive — parse the uppercased value against an
+        # uppercased-literal pattern, then retitle month names (java
+        # MMM/MMMM only accepts 'Jan'/'January'; the replacements are
+        # case-sensitive over the already-uppercased value, so full
+        # names are rewritten before their abbreviated prefix can hit)
+        parse_col = F.upper(col)
+        if "%B" in dirs:
+            for name in _MONTH_FULL:
+                parse_col = F.regexp_replace(
+                    parse_col,
+                    f"(?<![A-Z]){name.upper()}(?![A-Z])", name)
+        if "%b" in dirs:
+            for name in _MONTH_ABBR:
+                parse_col = F.regexp_replace(
+                    parse_col,
+                    f"(?<![A-Z]){name.upper()}(?![A-Z])", name)
+        if any(ch.isspace() for ch in fmt):
+            # strptime: a whitespace run in the format matches \s+
+            parse_col = F.regexp_replace(parse_col, r"\s+", " ")
+        shape = _strptime_to_regex(fmt)
+        parse_fmt = fmt
+        if fmt.endswith("%z") and shape is not None:
+            # the shape gate's %z regex IS the complete offset check
+            # (hour<24, colon consistency, case-sensitive Z), so STRIP
+            # the already-validated offset and parse the rest without
+            # it — java's ZoneOffset caps at ±18:00 while Python allows
+            # <24h, and java's XX can't take colon/seconds forms
+            parse_col = F.regexp_replace(
+                parse_col, _STRPTIME_FIELD_RE["%z"] + "$", "")
+            parse_fmt = fmt[:-2]
         probe = F.try_to_timestamp(
-            col, F.lit(_strptime_to_spark(self.format))
+            parse_col,
+            F.lit(_strptime_to_spark(parse_fmt, upper_literals=True)),
         )
-        shape = _strptime_to_regex(self.format)
         if shape is None:
             return probe
         # cheap regex reject before the (exception-path) datetime parse
@@ -1586,6 +1721,18 @@ class Datetime(Validator):
             # (validators.py:800-807)
             return _pred_check(
                 lambda c: F.lit(False),
+                self._m(
+                    f"value does not match expected format {self.format}"
+                ),
+                self.error_type,
+            )
+        shape = _strptime_to_regex(self.format)
+        if shape is not None and _strptime_regex_complete(self.format):
+            # calendar-free format: the Python-exact shape regex IS the
+            # validation — no JVM datetime parse at all (stays in
+            # whole-stage codegen, exact on %j overflow semantics)
+            return _pred_check(
+                lambda c: c.rlike(shape),
                 self._m(
                     f"value does not match expected format {self.format}"
                 ),
