@@ -1,10 +1,14 @@
 """Driver-contract extension queries: SURVEY.md §2 operators not covered by
 the original __spark_entry__ set. Round 2 consolidates single-operator
-queries into multi-operator ones (the driver gate caps at 50 queries):
-``truthy_parse`` = Boolean + IsTrue, ``equal_literal`` = Equal + Literal,
-``url_email_checks`` = Email + Url + FqdnUrl. Each operator still has its
-own violation rows (distinguished by the path column) and its own oracle
-branch. Merged into __spark_entry__.queries()/oracle_sql()."""
+queries into multi-operator ones (the driver gate checks only the FIRST
+50 queries — verified against round 1, where exactly the last 4 of 54
+registered queries got no CORRECTNESS row): ``truthy_parse`` = Boolean +
+IsTrue, ``equal_literal`` = Equal + Literal, ``url_email_checks`` =
+Email + Url + FqdnUrl; NotIn lives in ``membership_checks`` and
+Inclusive in ``group_checks`` (both in __spark_entry__). Each operator
+still has its own violation rows (distinguished by the path column) and
+its own oracle branch. Merged into __spark_entry__.queries()/
+oracle_sql()."""
 
 from __future__ import annotations
 
@@ -17,12 +21,10 @@ from voluptuous_spark import (
     Equal,
     Email,
     FqdnUrl,
-    Inclusive,
     IsTrue,
     Literal,
     Maybe,
     Msg,
-    NotIn,
     Range,
     Schema,
     Unique,
@@ -54,14 +56,6 @@ def _truthy_parse(spark, sf_dir):
     )
 
 
-def _notin_priority(spark, sf_dir):
-    df = _t(spark, sf_dir, "orders")
-    res = Schema(
-        {"o_orderpriority": NotIn(["1-URGENT"])}, extra=ALLOW_EXTRA
-    ).validate(df, id_cols=["o_orderkey"])
-    return res.violations.select("o_orderkey", "message", "error_type")
-
-
 def _equal_literal(spark, sf_dir):
     """Equal + Literal on nation, distinguished by path col."""
     df = _t(spark, sf_dir, "nation").select(
@@ -85,19 +79,6 @@ def _unique_cells(spark, sf_dir):
         df, id_cols=["o_orderkey"]
     )
     return res.violations.select("o_orderkey", "message", "error_type")
-
-
-def _inclusive_groups(spark, sf_dir):
-    df = _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.when(F.col("value") > 10, F.col("value")).alias("lat"),
-        F.when(F.col("user_id") % 2 == 0, F.col("user_id")).alias("lon"),
-    )
-    res = Schema(
-        {Inclusive("lat", "coords"): float, Inclusive("lon", "coords"): int},
-        extra=ALLOW_EXTRA,
-    ).validate(df, id_cols=["event_id"])
-    return res.violations.select("event_id", "message", "error_type")
 
 
 def _maybe_value(spark, sf_dir):
@@ -181,10 +162,8 @@ def _schema_extend(spark, sf_dir):
 
 EXTRA_QUERIES = {
     "truthy_parse": _truthy_parse,
-    "notin_priority": _notin_priority,
     "equal_literal": _equal_literal,
     "unique_cells": _unique_cells,
-    "inclusive_groups": _inclusive_groups,
     "maybe_value": _maybe_value,
     "url_email_checks": _url_email_checks,
     "msg_override": _msg_override,
@@ -203,14 +182,6 @@ EXTRA_ORACLES = {
         FROM events
         WHERE event_id % 5 <> 4 AND coalesce(value > 10.0, FALSE)
     """,
-    "notin_priority": """
-        SELECT o_orderkey,
-               'value must not be one of [''1-URGENT'']' AS message,
-               'NotInInvalid' AS error_type
-        FROM orders
-        WHERE o_orderpriority = '1-URGENT'
-    """,
-
     "equal_literal": """
         SELECT n_nationkey, 'n_name' AS col,
                n_name || ' not match for NATION_7' AS message,
@@ -229,15 +200,6 @@ EXTRA_ORACLES = {
                  || ']' AS message,
                'Invalid' AS error_type
         FROM orders WHERE o_orderkey % 5 = o_custkey % 5
-    """,
-    "inclusive_groups": """
-        SELECT event_id,
-               'some but not all values in the same group of inclusion ' ||
-                 chr(39) || 'coords' || chr(39) AS message,
-               'InclusiveInvalid' AS error_type
-        FROM events
-        WHERE ((CASE WHEN value > 10 THEN value END) IS NULL)
-            <> ((CASE WHEN user_id % 2 = 0 THEN user_id END) IS NULL)
     """,
     "maybe_value": """
         -- Maybe == Any(None, v): the None branch's ScalarInvalid

@@ -122,6 +122,77 @@ def test_lsh_topk_finds_near_copy(spark, vectors):
     assert 0 in ids and 50 in ids  # near-identical vectors share buckets
 
 
+def test_ivf_topk_finds_near_copy(spark, vectors):
+    from voluptuous_spark.similarity import ivf_centroids, ivf_topk
+
+    _, emb = vectors
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ivf_topk(
+        emb, queries, dim=8, k=3, n_clusters=4, n_probe=2, iters=2
+    ).orderBy("rank").collect()
+    # the query's own vector and its near-copy share the nearest inverted
+    # list, so probing 2 of 4 lists must recover both
+    assert top[0]["vec_id"] == 0 and top[0]["score"] == 1.0
+    assert top[1]["vec_id"] == 50 and top[1]["score"] > 0.99
+    # coarse quantizer is deterministic: same input -> identical centroids
+    c1 = ivf_centroids(emb, dim=8, k=4, iters=2)
+    c2 = ivf_centroids(emb, dim=8, k=4, iters=2)
+    assert c1 == c2
+    assert [cid for cid, _ in c1] == [0, 1, 2, 3]
+    assert all(len(comp) == 8 for _, comp in c1)
+
+
+def test_ivf_topk_matches_brute_force_when_probing_all(spark, vectors):
+    # n_probe = n_clusters degenerates IVF to exact search: rank lists
+    # must match brute force exactly (same rounding, same tie-breaks)
+    from voluptuous_spark.similarity import ivf_topk
+
+    _, emb = vectors
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = brute_force_topk(emb, queries, k=5).collect()
+    ivf = ivf_topk(
+        emb, queries, dim=8, k=5, n_clusters=4, n_probe=4, iters=1
+    ).collect()
+    assert sorted([(r["query_id"], r["rank"], r["vec_id"], r["score"])
+                   for r in bf]) == \
+           sorted([(r["query_id"], r["rank"], r["vec_id"], r["score"])
+                   for r in ivf])
+
+
+def test_ivf_centroids_empty_cluster_keeps_previous(spark):
+    # vec 1 duplicates vec 0: ties in the assignment argmax go to the
+    # LOWEST centroid id, so init-centroid 1 loses all members in round 1
+    # and must survive unchanged (the oracle's COALESCE mirrors this)
+    from voluptuous_spark.similarity import ivf_centroids
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # round 1: vecs 0/1/4 tie-break or score into cid 0, and vec 3
+    # (orthogonal to every centroid, cosine 0 everywhere) also ties into
+    # cid 0 — centroid 1 goes EMPTY and must keep its init value
+    cents1 = ivf_centroids(emb, dim=4, k=3, iters=1)
+    assert [cid for cid, _ in cents1] == [0, 1, 2]
+    assert cents1[1][1] == [1.0, 0.0, 0.0, 0.0]  # empty-cluster carryover
+    assert cents1[0][1] == [0.725, 0.025, 0.25, 0.0]  # mean of 0,1,3,4
+    # round 2: the drifted centroid 0 loses vecs 0/1/4 back to the pure
+    # centroid 1; the fixpoint is fully deterministic
+    cents2 = ivf_centroids(emb, dim=4, k=3, iters=2)
+    assert cents2[0][1] == [0.0, 0.0, 1.0, 0.0]
+    assert cents2[1][1] == [
+        round((1.0 + 1.0 + 0.9) / 3, 6), round(0.1 / 3, 6), 0.0, 0.0]
+    assert cents2[2][1] == [0.0, 1.0, 0.0, 0.0]
+
+
 def test_cosine_near_duplicates(spark, vectors):
     _, emb = vectors
     pairs = cosine_near_duplicates(emb, dim=8, threshold=0.95).collect()

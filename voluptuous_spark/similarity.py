@@ -195,6 +195,143 @@ def lsh_topk(
     )
 
 
+def _centroid_struct(vec_col, centroids):
+    """array<struct<s: rounded cosine vs centroid, nid: -cid>> — struct
+    ordering makes max = (best similarity, then LOWEST centroid id)."""
+    return F.array(*[
+        F.struct(
+            F.round(
+                cosine_expr(vec_col, F.array(*[F.lit(x) for x in comp])), 6
+            ).alias("s"),
+            F.lit(-cid).cast("int").alias("nid"),
+        )
+        for cid, comp in centroids
+    ])
+
+
+def ivf_assign_expr(vec_col, centroids):
+    """Cluster id of the nearest (cosine) centroid; ties go to the lowest
+    centroid id. Pure Column expression over literal centroids — zero
+    shuffle, evaluated in the same stage as the scan."""
+    return (-F.array_max(_centroid_struct(vec_col, centroids))["nid"]).cast(
+        "int"
+    )
+
+
+def ivf_probe_expr(vec_col, centroids, n_probe: int):
+    """Array of the ``n_probe`` nearest centroid ids, best first."""
+    return F.transform(
+        F.slice(
+            F.sort_array(_centroid_struct(vec_col, centroids), asc=False),
+            1, n_probe,
+        ),
+        lambda st: (-st["nid"]).cast("int"),
+    )
+
+
+def ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """IVF coarse quantizer: deterministic k-means over the corpus.
+    Init = the ``k`` lowest-id vectors (cid = dense index in id order);
+    each Lloyd round assigns by argmax of the 6dp-rounded cosine
+    (ties -> lowest cid) and recomputes centroids as the 6dp-rounded
+    per-component mean, keeping the previous centroid when a cluster
+    goes empty. The rounding makes the fixpoint reproducible bit-for-bit
+    by an external engine (the DuckDB oracle replays identical rounds).
+
+    Scale shape: each round is ONE corpus scan + a k-row aggregate
+    collected to the driver (k x dim doubles); the corpus itself never
+    shuffles — assignment is a broadcast-literal Column expression.
+    Returns [(cid, [double]*dim)] sorted by cid."""
+    e = _as_double(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    # round via Spark (HALF_UP, same as the oracle's round()) — Python's
+    # round() is banker's and could diverge on exact .5e-6 boundaries
+    init = (
+        e.orderBy("id").limit(k)
+        .select("id", F.transform("v", lambda x: F.round(x, 6)).alias("v"))
+        .collect()
+    )
+    cents = [
+        (i, [float(x) for x in r["v"]])
+        for i, r in enumerate(sorted(init, key=lambda r: r["id"]))
+    ]
+    for _ in range(iters):
+        rows = (
+            e.withColumn("cid", ivf_assign_expr(F.col("v"), cents))
+            .groupBy("cid")
+            .agg(*[
+                F.round(F.avg(F.col("v")[i]), 6).alias(f"m{i}")
+                for i in range(dim)
+            ])
+            .collect()
+        )
+        new = {r["cid"]: [r[f"m{i}"] for i in range(dim)] for r in rows}
+        cents = [(cid, new.get(cid, comp)) for cid, comp in cents]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat ANN: k-means coarse quantizer partitions the corpus into
+    ``n_clusters`` inverted lists; each query exactly re-ranks only the
+    ``n_probe`` nearest lists. The complement of the SRP path: LSH bounds
+    bucket population obliviously, IVF adapts the partitions to the data
+    distribution (the standard shape for billion-vector corpora — at
+    scale the corpus would be written partitioned/bucketed BY the
+    assigned cluster id so a probe is a partition-pruned scan, and
+    n_clusters grows ~sqrt(N) to bound list length).
+
+    Plan shape here: assignment is a zero-shuffle Column expression over
+    the scan; the (tiny) query x probe set broadcasts into the join, so
+    the corpus never shuffles; the only exchange is the per-query top-k
+    window on candidates. Returns (query_id, vec_id, score, rank)."""
+    cents = ivf_centroids(
+        corpus, dim, k=n_clusters, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    c = _as_double(corpus, vec_col).withColumn(
+        "__cid", ivf_assign_expr(F.col(vec_col), cents)
+    )
+    qp = (
+        _as_double(queries, vec_col)
+        .select(query_id_col, F.col(vec_col).alias("__qv"))
+        .withColumn(
+            "__cid",
+            F.explode(ivf_probe_expr(F.col("__qv"), cents, n_probe)),
+        )
+    )
+    cand = c.join(F.broadcast(qp), "__cid").select(
+        query_id_col,
+        id_col,
+        F.round(cosine_expr(F.col(vec_col), F.col("__qv")), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_near_duplicates(
     df: DataFrame,
     dim: int,
