@@ -83,8 +83,20 @@ def _audio_features_check(spark, sf_dir):
     join, no second Arrow pass); 'pass' when clean, '-' when the payload
     was absent/undecodable/non-PCM. Gate NAMES only, so the oracle
     reproduces the threshold semantics without any float-to-string
-    rendering hazard."""
-    from voluptuous_spark.audio import audio_features, audio_gate_labels
+    rendering hazard.
+
+    ``t_gates`` adds the joint audio<->transcript consistency gates
+    (speaking-rate bounds, silent-but-transcribed, active-but-empty) in
+    the same codegen stage — the fixture trips cps_high (3-char
+    transcript on 100ms clips), cps_low (the duration-mismatch class
+    pads dur_ms by 500ms) and silent_transcribed (the digital-silence
+    class), all recomputed closed-form by the oracle.
+    """
+    from voluptuous_spark.audio import (
+        audio_features,
+        audio_gate_labels,
+        transcript_gate_labels,
+    )
     from voluptuous_spark.datasynth import oracle_clips_df
 
     df = oracle_clips_df(spark, N_ORACLE_CLIPS)
@@ -97,6 +109,7 @@ def _audio_features_check(spark, sf_dir):
             for c in _FEATS
         ],
         F.coalesce(audio_gate_labels(), F.lit("-")).alias("gates"),
+        transcript_gate_labels(max_cps=25.0, min_cps=6.0).alias("t_gates"),
     )
 
 
@@ -251,7 +264,31 @@ EXTRA3_ORACLES = {
                       THEN 'rms_db' END,
                  CASE WHEN z.zc * 1.0 / (a.n - 1) < 0.0 AND a.n > 1
                       THEN 'zcr' END), ''), 'pass')
-          END AS gates
+          END AS gates,
+          COALESCE(NULLIF(CONCAT_WS(',',
+            CASE WHEN cl.c % 8 NOT IN (5, 6, 7)
+                      AND (CASE WHEN a.ss = 0 THEN -120.0
+                           ELSE GREATEST(20.0 * LOG10(
+                             SQRT(a.ss * 1.0 / a.n) / 32768.0), -120.0)
+                           END) > -60.0
+                      AND LENGTH('t' || CAST(cl.c AS VARCHAR)) = 0
+                 THEN 'active_empty' END,
+            CASE WHEN (LENGTH('t' || CAST(cl.c AS VARCHAR)) * 1000.0)
+                      / (cl.n // 16
+                         + CASE WHEN cl.c % 8 = 3 THEN 500 ELSE 0 END)
+                      > 25.0
+                 THEN 'cps_high' END,
+            CASE WHEN (LENGTH('t' || CAST(cl.c AS VARCHAR)) * 1000.0)
+                      / (cl.n // 16
+                         + CASE WHEN cl.c % 8 = 3 THEN 500 ELSE 0 END)
+                      < 6.0
+                 THEN 'cps_low' END,
+            CASE WHEN cl.c % 8 NOT IN (5, 6, 7)
+                      AND (CASE WHEN a.ss = 0 THEN -120.0
+                           ELSE GREATEST(20.0 * LOG10(
+                             SQRT(a.ss * 1.0 / a.n) / 32768.0), -120.0)
+                           END) <= -60.0
+                 THEN 'silent_transcribed' END), ''), 'pass') AS t_gates
         FROM clips cl
         JOIN agg a ON a.c = cl.c
         JOIN zagg z ON z.c = cl.c

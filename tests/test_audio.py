@@ -527,3 +527,90 @@ def test_audio_segments(spark):
         )
         dec, sr = decode_wav_numpy(r.seg_bytes)
         assert sr == 16000 and np.array_equal(dec.astype(np.int64), seg)
+
+
+def _clips_with_transcripts(spark, rows, sr=16000):
+    from voluptuous_spark.audio import encode_wav_pcm16
+
+    data = [
+        (cid, encode_wav_pcm16(s.astype(np.int16), sr), sr,
+         round(len(s) * 1000 / sr), "wav", tr)
+        for cid, s, tr in rows
+    ]
+    return spark.createDataFrame(
+        data, "clip_id string, bytes binary, sr_hz int, dur_ms int,"
+        " codec string, transcript string")
+
+
+def test_transcript_consistency_gates(spark):
+    """Joint audio<->text gates: speaking-rate bounds from metadata,
+    silence/activity vs transcript presence from decoded features."""
+    from voluptuous_spark.audio import (
+        audio_features,
+        transcript_consistency_violations,
+        transcript_gate_labels,
+    )
+
+    sr = 16000
+    t = np.arange(sr) / sr  # 1000ms clips
+    sine = 16384 * np.sin(2 * np.pi * 440 * t)
+    silence = np.zeros(sr)
+    df = _clips_with_transcripts(spark, [
+        ("ok", sine, "a plausible short line"),   # 22 cps in (2, 25)
+        ("fast", sine, "x" * 200),                # 200 cps -> cps_high
+        ("empty", sine, "   "),                   # active + no text
+        ("silent_t", silence, "hello there"),     # text over silence
+        ("slow", sine, "h"),                      # 1 cps -> cps_low
+    ])
+    feats = audio_features(df)
+    kw = dict(max_cps=25.0, min_cps=2.0)
+    labels = {
+        r["clip_id"]: r["g"]
+        for r in feats.select(
+            "clip_id", transcript_gate_labels(**kw).alias("g")
+        ).collect()
+    }
+    assert labels == {
+        "ok": "pass",
+        "fast": "cps_high",
+        "empty": "active_empty,transcript_empty",
+        "silent_t": "silent_transcribed",
+        "slow": "cps_low",
+    }
+
+    v = transcript_consistency_violations(feats, **kw)
+    by_clip = {}
+    for r in v.collect():
+        assert r["path"] == ["transcript"]
+        assert r["error_type"] == "ValueInvalid"
+        by_clip.setdefault(r["clip_id"], []).append(r["offending"])
+    assert "ok" not in by_clip
+    assert by_clip["fast"] == ["cps_high"]
+    assert sorted(by_clip["empty"]) == ["active_empty", "transcript_empty"]
+    msgs = {r["offending"]: r["message"] for r in v.collect()}
+    assert "speaking rate" in msgs["cps_high"]
+    assert "silent" in msgs["silent_transcribed"]
+
+
+def test_transcript_rate_in_suite(spark):
+    """The opt-in speaking-rate gate rides the suite's single-scan select
+    and stamps violations at path ['transcript']."""
+    from voluptuous_spark.suite import run_suite
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    sine = 16384 * np.sin(2 * np.pi * 440 * t)
+    df = _clips_with_transcripts(spark, [
+        ("clip_a", sine, "a plausible short line"),
+        ("clip_b", sine, "y" * 400),
+    ])
+    res = run_suite(df, with_pcm=False, persist=False,
+                    transcript_rate=(2.0, 25.0))
+    viol = res.violations.collect()
+    rate = [r for r in viol if "speaking rate" in r["message"]]
+    assert [r["clip_id"] for r in rate] == ["clip_b"]
+    assert rate[0]["path"] == ["transcript"]
+    # default stays off: no rate violations without the opt-in
+    res2 = run_suite(df, with_pcm=False, persist=False)
+    assert not [r for r in res2.violations.collect()
+                if "speaking rate" in r["message"]]

@@ -706,6 +706,146 @@ def audio_feature_report(features: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# joint audio <-> transcript consistency gates (the graft's A+B axes).
+#
+# The north star pairs every audio clip with its transcript; beyond
+# per-side checks (PCM invariant, transcript Match) a curation pipeline
+# needs JOINT plausibility gates tying the two modalities together:
+# transcript length must be speakable within the clip's duration
+# (characters-per-second bounds), and the audio's measured energy must be
+# consistent with the transcript's existence (silent audio with a
+# transcript / active audio with no transcript are both labeling defects).
+# All gates are pure Column expressions over columns already in the row —
+# zero joins, zero shuffles, same codegen stage as the feature projection
+# — so at 10^12 rows they are free riders on the feature scan.
+
+
+def transcript_gate_conditions(
+    max_cps: float = 25.0,
+    min_cps: float = 1.0,
+    silent_rms_db: float = -60.0,
+    transcript_col: str = "transcript",
+    dur_col: str = "dur_ms",
+) -> list:
+    """(gate_name, fail_condition) per joint gate — single threshold
+    source shared by ``transcript_gate_labels`` (per-row label column)
+    and ``transcript_consistency_violations`` (violation rows).
+
+    Rate gates (``cps_high`` / ``cps_low`` / ``transcript_empty``) read
+    only metadata columns and apply to every row; the energy gates
+    (``silent_transcribed`` / ``active_empty``) additionally require an
+    ``audio_features`` row (``rms_db``) and skip rows whose features are
+    NULL (payload absent / undecodable / non-PCM)."""
+    tlen = F.length(F.trim(F.coalesce(F.col(transcript_col), F.lit(""))))
+    dur = F.col(dur_col)
+    # multiply-then-divide, both engines, so the float64 result is
+    # bit-identical between Spark and an external SQL oracle
+    cps = (tlen * F.lit(1000.0)) / dur
+    has_rms = F.col("rms_db").isNotNull()
+    return [
+        ("active_empty",
+         has_rms & (F.col("rms_db") > silent_rms_db) & (tlen == 0)),
+        ("cps_high", (tlen > 0) & (dur > 0) & (cps > max_cps)),
+        ("cps_low", (tlen > 0) & (dur > 0) & (cps < min_cps)),
+        ("silent_transcribed",
+         has_rms & (F.col("rms_db") <= silent_rms_db) & (tlen > 0)),
+        ("transcript_empty", tlen == 0),
+    ]
+
+
+def transcript_gate_labels(**thresholds) -> Column:
+    """Sorted comma-joined failed joint-gate names as ONE Column
+    expression ('pass' when clean) — the join-free shape of
+    ``audio_gate_labels``. Unlike the signal gates this never returns
+    NULL: the rate gates are metadata-only, so rows without decodable
+    audio still get rate verdicts (the energy gates self-disable on NULL
+    ``rms_db``)."""
+    parts = [
+        F.when(cond, F.lit(name))
+        for name, cond in sorted(transcript_gate_conditions(**thresholds))
+    ]
+    joined = F.concat_ws(",", *parts)
+    return F.when(joined == "", F.lit("pass")).otherwise(joined)
+
+
+def transcript_rate_check_expr(
+    max_cps: float = 25.0,
+    min_cps: float = 1.0,
+    transcript_col: str = "transcript",
+    dur_col: str = "dur_ms",
+) -> Column:
+    """Metadata-only rate gate as a message Column (NULL = valid) in the
+    ``Schema.validate(extra_checks=...)`` contract — lets the flagship
+    suite stamp speaking-rate violations inside the same single-scan
+    select as the row schema and the PCM check."""
+    tlen = F.length(F.trim(F.coalesce(F.col(transcript_col), F.lit(""))))
+    dur = F.col(dur_col)
+    cps = (tlen * F.lit(1000.0)) / dur
+    return (
+        F.when(
+            (tlen > 0) & (dur > 0) & (cps > max_cps),
+            F.format_string(
+                "transcript rate %s chars/sec above plausible "
+                "speaking rate %s",
+                F.round(cps, 1).cast("string"), F.lit(str(max_cps)),
+            ),
+        )
+        .when(
+            (tlen > 0) & (dur > 0) & (cps < min_cps),
+            F.format_string(
+                "transcript rate %s chars/sec below plausible "
+                "speaking rate %s",
+                F.round(cps, 1).cast("string"), F.lit(str(min_cps)),
+            ),
+        )
+        .otherwise(F.lit(None).cast(StringType()))
+    )
+
+
+def transcript_consistency_violations(
+    features: DataFrame,
+    id_col: str = "clip_id",
+    **thresholds,
+) -> DataFrame:
+    """Joint-gate violations over an ``audio_features`` output — pure
+    Column expressions, one row per failed gate, same row shape as the
+    suite's violations table."""
+    conds = dict(transcript_gate_conditions(**thresholds))
+    msgs = {
+        "active_empty":
+            "audio has energy but transcript is empty",
+        "cps_high":
+            "transcript rate above plausible speaking rate",
+        "cps_low":
+            "transcript rate below plausible speaking rate",
+        "silent_transcribed":
+            "audio is silent but a transcript is present",
+        "transcript_empty":
+            "transcript is empty",
+    }
+    entries = F.array(*[
+        F.when(
+            conds[name],
+            F.struct(
+                F.array(F.lit("transcript")).alias("path"),
+                F.lit(msgs[name]).alias("message"),
+                F.lit("ValueInvalid").alias("error_type"),
+                F.lit(name).alias("offending"),
+            ),
+        ).otherwise(F.lit(None))
+        for name in sorted(conds)
+    ])
+    e = F.explode(F.filter(entries, lambda x: x.isNotNull())).alias("e")
+    return features.select(id_col, e).select(
+        id_col,
+        F.col("e.path").alias("path"),
+        F.col("e.message").alias("message"),
+        F.col("e.error_type").alias("error_type"),
+        F.col("e.offending").alias("offending"),
+    )
+
+
 SPECTRAL_FEATURE_COLS = (
     "dominant_hz", "spectral_centroid_hz", "spectral_bandwidth_hz",
     "spectral_flatness", "spectral_rolloff_hz",

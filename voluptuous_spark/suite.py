@@ -119,6 +119,7 @@ def run_suite(
     persist: bool = True,
     broadcast_transcripts: bool = False,
     content_mode: str = "jvm",
+    transcript_rate: tuple[float, float] | None = None,
 ) -> SuiteResult:
     """Run the full constraint suite with a single scan of the source.
 
@@ -133,6 +134,18 @@ def run_suite(
       codecs, and the oracle the JVM expression is tested against.
     """
     extra = []
+    if transcript_rate is not None:
+        # joint audio<->text speaking-rate gate: pure Column over metadata
+        # already in the row — rides the same single-scan select, zero
+        # added shuffles. Opt-in because plausible chars/sec bounds are a
+        # property of the corpus language/style (and the synthetic test
+        # fixture's transcripts are deliberately duration-uncorrelated).
+        from .audio import transcript_rate_check_expr
+
+        lo, hi = transcript_rate
+        extra.append(
+            ("transcript", transcript_rate_check_expr(max_cps=hi, min_cps=lo))
+        )
     if with_pcm and content_mode == "jvm":
         from .audio import pcm_check_expr
 
