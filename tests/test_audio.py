@@ -614,3 +614,130 @@ def test_transcript_rate_in_suite(spark):
     res2 = run_suite(df, with_pcm=False, persist=False)
     assert not [r for r in res2.violations.collect()
                 if "speaking rate" in r["message"]]
+
+
+def test_audio_resample(spark):
+    """Linear resample: exact interpolation on a ramp, constant stays
+    constant, tone frequency preserved across the rate change, metadata
+    updated, undecodable clips pass through untouched."""
+    from voluptuous_spark.audio import (
+        audio_resample,
+        audio_spectral_features,
+        decode_wav_numpy,
+        encode_wav_pcm16,
+    )
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    sine = 16384 * np.sin(2 * np.pi * 440 * t)
+    ramp = np.array([0, 10, 20], dtype=np.int16)
+    const = np.full(1000, 1234, dtype=np.int16)
+    rows = [
+        ("sine", bytes(encode_wav_pcm16(sine.astype(np.int16), sr)), sr,
+         1000, "wav"),
+        ("ramp", bytes(encode_wav_pcm16(ramp, 8000)), 8000, 0, "wav"),
+        ("const", bytes(encode_wav_pcm16(const, sr)), sr, 62, "wav"),
+        ("bad", b"JUNKJUNKJUNK", sr, 100, "wav"),
+        ("opus", b"OggS****", 48000, 100, "opus"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int,"
+        " codec string")
+    out = {r["clip_id"]: r for r in audio_resample(df, 8000).collect()}
+
+    # const 16k -> 8k: half the samples, same value, sr updated
+    s, got_sr = decode_wav_numpy(out["const"]["bytes"])
+    assert got_sr == 8000 and out["const"]["sr_hz"] == 8000
+    assert s.shape[0] == 500 and np.all(s == 1234)
+    assert out["const"]["dur_ms"] == 62  # duration metadata untouched
+
+    # passthroughs keep original bytes and sr
+    assert out["bad"]["bytes"] == b"JUNKJUNKJUNK"
+    assert out["bad"]["sr_hz"] == sr
+    assert out["opus"]["bytes"] == b"OggS****"
+
+    # 2x upsample of [0,10,20] at positions j*0.5 -> exact midpoints
+    up = {r["clip_id"]: r
+          for r in audio_resample(df, 16000).collect()}
+    s2, _ = decode_wav_numpy(up["ramp"]["bytes"])
+    assert s2.tolist() == [0, 5, 10, 15, 20, 20]
+
+    # tone survives the rate change at the same absolute frequency
+    feats = audio_spectral_features(
+        spark.createDataFrame(
+            [(k, bytes(v["bytes"]), v["sr_hz"], v["dur_ms"], "wav")
+             for k, v in out.items() if k == "sine"],
+            "clip_id string, bytes binary, sr_hz int, dur_ms int,"
+            " codec string",
+        )
+    ).collect()[0]
+    assert abs(feats["dominant_hz"] - 440) < 20
+
+
+def test_audio_normalize_gain(spark):
+    """Peak/RMS gain normalization: levels land on target within one
+    LSB of quantization; silence and undecodable clips pass through."""
+    from voluptuous_spark.audio import audio_features, audio_normalize_gain
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    quiet = 800 * np.sin(2 * np.pi * 440 * t)     # ~ -29 dBFS RMS
+    loud = 30000 * np.sin(2 * np.pi * 220 * t)
+    silence = np.zeros(sr)
+    df = _wav_df(spark, [("quiet", quiet), ("loud", loud),
+                         ("silence", silence)], sr)
+
+    peaked = audio_normalize_gain(df, target_dbfs=-1.0, mode="peak")
+    f = {r["clip_id"]: r for r in audio_features(peaked).collect()}
+    assert abs(f["quiet"]["peak_db"] - (-1.0)) < 0.02
+    assert abs(f["loud"]["peak_db"] - (-1.0)) < 0.02
+    assert f["silence"]["rms_db"] == -120.0  # untouched
+
+    rmsed = audio_normalize_gain(df, target_dbfs=-20.0, mode="rms")
+    f2 = {r["clip_id"]: r for r in audio_features(rmsed).collect()}
+    assert abs(f2["quiet"]["rms_db"] - (-20.0)) < 0.02
+    assert abs(f2["loud"]["rms_db"] - (-20.0)) < 0.02
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        audio_normalize_gain(df, mode="loudness")
+
+
+def test_cross_rate_near_duplicates(spark):
+    """A 16k master and its 8k-derived copy meet as near-duplicates after
+    canonicalization (resample to one rate + fixed 300-2000Hz fingerprint
+    bands at n_fft=2048); unrelated broadband content stays far."""
+    from voluptuous_spark.audio import (
+        audio_near_duplicates,
+        audio_resample,
+        encode_wav_pcm16,
+        _resample_linear,
+    )
+
+    base = _smooth_noise(11, n=32000)
+    low = _resample_linear(base, 16000, 8000)  # the 8k-derived copy
+    other = _smooth_noise(12, n=32000)
+    rows = [
+        ("master", bytes(encode_wav_pcm16(base, 16000)), 16000, 2000,
+         "wav", "t"),
+        ("derived8k", bytes(encode_wav_pcm16(low, 8000)), 8000, 2000,
+         "wav", "t"),
+        ("other", bytes(encode_wav_pcm16(other, 16000)), 16000, 2000,
+         "wav", "t"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int,"
+        " codec string, transcript string")
+    canon = audio_resample(df, 16000)
+    kw = dict(f_lo=300.0, f_hi=2000.0, n_fft=2048, hop=1024,
+              max_hamming=7, n_lsh_bands=8)
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in audio_near_duplicates(canon, **kw).collect()
+    }
+    assert ("derived8k", "master") in pairs or ("master", "derived8k") in pairs
+    assert not any("other" in p for p in pairs)
+    # without canonicalization the native-rate fingerprints differ in
+    # frame geometry and the pair is NOT found
+    raw = audio_near_duplicates(df, **kw).collect()
+    assert not any({r.id_a, r.id_b} == {"master", "derived8k"} for r in raw)

@@ -1174,7 +1174,7 @@ def audio_exact_duplicates(
 
 
 def _fingerprint_one(buf, codec, n_fft=256, hop=128, n_bands=64,
-                     f_lo=100.0):
+                     f_lo=100.0, f_hi=None):
     """64-bit spectral fingerprint of one clip, Haitsma-Kalker bits
     majority-voted across frames: per frame t and band b the sub-bit is
     ``sign((E[b,t]-E[b+1,t]) - (E[b,t-1]-E[b+1,t-1]))`` — the
@@ -1185,7 +1185,12 @@ def _fingerprint_one(buf, codec, n_fft=256, hop=128, n_bands=64,
     homogeneous in signal scale, so gain changes preserve the fingerprint
     exactly; small additive noise flips only near-tie sub-bits, which the
     majority vote absorbs. Bands are geometrically spaced between f_lo
-    and 0.45*sr."""
+    and f_hi (default 0.45*sr — full-bandwidth fingerprint). For corpora
+    mixing recording rates, pass a FIXED absolute range inside the lowest
+    Nyquist (the published Haitsma-Kalker setup is 300-2000Hz): bands
+    pinned to absolute frequencies ignore the dead spectrum above a
+    band-limited clip's original Nyquist, so a clip and its resampled
+    copy fingerprint alike."""
     if buf is None or (codec is not None and codec != "wav"):
         return None
     try:
@@ -1204,7 +1209,8 @@ def _fingerprint_one(buf, codec, n_fft=256, hop=128, n_bands=64,
            + hop * np.arange(n_frames)[:, None])
     frames = a[idx] * np.hanning(n_fft)[None, :]
     power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
-    f_hi = 0.45 * sr
+    if f_hi is None:
+        f_hi = 0.45 * sr
     edges = np.geomspace(max(f_lo, 1.0), max(f_hi, f_lo * 2.0),
                          n_bands + 2)
     bins = np.clip(
@@ -1234,10 +1240,15 @@ def audio_fingerprints(
     drop_bytes: bool = True,
     n_fft: int = 256,
     hop: int = 128,
+    f_lo: float = 100.0,
+    f_hi: float | None = None,
 ) -> DataFrame:
     """Append ``afp`` (64-bit spectral fingerprint, long; NULL = payload
     absent/undecodable/non-PCM) in one zero-copy ``mapInArrow`` pass.
-    O(n log n_fft) per clip, embarrassingly parallel, payload dropped."""
+    O(n log n_fft) per clip, embarrassingly parallel, payload dropped.
+    ``f_lo``/``f_hi`` pin the band range to absolute frequencies
+    (default: 0.45*sr) — fix them (e.g. 300/2000Hz) when the corpus
+    mixes recording rates so resampled copies fingerprint alike."""
     import pyarrow as pa
 
     out_fields = [
@@ -1257,7 +1268,7 @@ def audio_fingerprints(
             fps = [
                 _fingerprint_one(
                     bcol[i].as_buffer() if bcol[i].is_valid else None,
-                    codec[i], n_fft=n_fft, hop=hop,
+                    codec[i], n_fft=n_fft, hop=hop, f_lo=f_lo, f_hi=f_hi,
                 )
                 for i in range(batch.num_rows)
             ]
@@ -1281,6 +1292,10 @@ def audio_near_duplicates(
     max_hamming: int = 3,
     n_lsh_bands: int = 4,
     fingerprints: DataFrame | None = None,
+    n_fft: int = 256,
+    hop: int = 128,
+    f_lo: float = 100.0,
+    f_hi: float | None = None,
 ) -> DataFrame:
     """Near-duplicate audio pairs ``(id_a, id_b, hamming)`` via banded LSH
     over the 64-bit spectral fingerprint: the fingerprint splits into
@@ -1299,11 +1314,22 @@ def audio_near_duplicates(
     dedups the shuffled sides, but a broadcast side re-runs the
     decode+FFT pass — on a large corpus, persist the narrow fingerprint
     table once and pass it here so the payload scan happens exactly
-    once."""
+    once.
+
+    Cross-rate corpora: canonicalize first (``audio_resample`` to one
+    rate), then pin the band range inside the LOWEST original Nyquist
+    with an FFT fine enough to resolve the narrowest log band, and widen
+    the verify threshold to absorb the resampler's interpolation error —
+    ``f_lo=300, f_hi=2000, n_fft=2048, hop=1024, max_hamming=7,
+    n_lsh_bands=8`` (band range per the published Haitsma-Kalker setup;
+    8 LSH bands keep pigeonhole recall total for hamming <= 7). Measured
+    on broadband content, a 16k master and its 8k-derived copy land at
+    hamming 4-5 while unrelated clips stay > 25
+    (tests/test_audio.py)."""
     band_width = 64 // n_lsh_bands
     mask = (1 << band_width) - 1
     fp = fingerprints if fingerprints is not None else audio_fingerprints(
-        df, bytes_col, codec_col
+        df, bytes_col, codec_col, n_fft=n_fft, hop=hop, f_lo=f_lo, f_hi=f_hi
     )
     fp = fp.filter(F.col("afp").isNotNull()).select(id_col, "afp")
     bands = fp.select(
@@ -1450,3 +1476,172 @@ def audio_segments(
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.mapInArrow(gen, ddl)
+
+
+# ---------------------------------------------------------------------------
+# audio normalization transforms (training-data curation): sample-rate
+# resampling and gain normalization. Both are deterministic numpy kernels
+# in ONE zero-copy ``mapInArrow`` pass — the payload crosses the
+# JVM->Python boundary once in each direction, no per-sample Python — and
+# both REPLACE the bytes column in place, so a curation pipeline chains
+# them ahead of fingerprinting/dedup without a second payload scan.
+# Clips that cannot decode (missing/truncated payload, non-PCM codec)
+# pass through untouched: normalization must never drop rows — the
+# validation gates own reject decisions.
+
+
+def _resample_linear(s: np.ndarray, src_sr: int, dst_sr: int) -> np.ndarray:
+    """Deterministic linear-interpolation resample of int16 samples.
+    n_out = round(n * dst/src); output sample j sits at input position
+    j * (src/dst), linearly interpolated and rounded half-up
+    (floor(x+0.5)) so the result is a pure closed form of the input —
+    no library resampler, no dither."""
+    n = s.shape[0]
+    if src_sr == dst_sr or n == 0:
+        return s.astype(np.int16, copy=False)
+    n_out = int(round(n * dst_sr / src_sr))
+    if n_out <= 0:
+        return np.zeros(0, dtype=np.int16)
+    pos = np.arange(n_out, dtype=np.float64) * (src_sr / dst_sr)
+    i0 = np.minimum(pos.astype(np.int64), n - 1)
+    i1 = np.minimum(i0 + 1, n - 1)
+    frac = pos - i0
+    a = s.astype(np.float64)
+    v = a[i0] * (1.0 - frac) + a[i1] * frac
+    return np.clip(np.floor(v + 0.5), -32768, 32767).astype(np.int16)
+
+
+def audio_resample(
+    df: DataFrame,
+    target_sr: int,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+) -> DataFrame:
+    """Resample every decodable clip to ``target_sr`` (linear
+    interpolation), re-encode as PCM16 WAV in place, and update the
+    ``sr_col`` metadata to match. Duration is preserved (``dur_ms``
+    untouched); undecodable/non-PCM clips pass through with their
+    original bytes and metadata.
+
+    The canonical pre-dedup normalization step: spectral fingerprints and
+    content signatures only compare equal across clips recorded at
+    different rates after the corpus is brought to one rate. At 10^12
+    rows this is embarrassingly parallel (zero shuffles); Arrow batch
+    size bounds worker memory (session.py)."""
+    import pyarrow as pa
+
+    out_schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def gen(batches):
+        for batch in batches:
+            bcol = batch.column(batch.schema.get_field_index(bytes_col))
+            codec = batch.column(
+                batch.schema.get_field_index(codec_col)
+            ).to_pylist()
+            srs = batch.column(
+                batch.schema.get_field_index(sr_col)
+            ).to_pylist()
+            new_bytes: list = []
+            new_sr: list = []
+            for i in range(batch.num_rows):
+                sc = bcol[i]
+                buf = sc.as_buffer() if sc.is_valid else None
+                if buf is None or (codec[i] is not None and codec[i] != "wav"):
+                    new_bytes.append(buf.to_pybytes() if buf else None)
+                    new_sr.append(srs[i])
+                    continue
+                try:
+                    s, sr = decode_wav_numpy(memoryview(buf))
+                except ValueError:
+                    new_bytes.append(buf.to_pybytes())
+                    new_sr.append(srs[i])
+                    continue
+                out = _resample_linear(s, sr, target_sr)
+                new_bytes.append(encode_wav_pcm16(out, target_sr))
+                new_sr.append(target_sr)
+            arrays = []
+            for nm in names:
+                if nm == bytes_col:
+                    arrays.append(pa.array(new_bytes, type=pa.binary()))
+                elif nm == sr_col:
+                    arrays.append(pa.array(
+                        new_sr,
+                        type=batch.column(
+                            batch.schema.get_field_index(sr_col)
+                        ).type,
+                    ))
+                else:
+                    arrays.append(
+                        batch.column(batch.schema.get_field_index(nm))
+                    )
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.mapInArrow(gen, out_schema_ddl)
+
+
+def audio_normalize_gain(
+    df: DataFrame,
+    target_dbfs: float = -1.0,
+    mode: str = "peak",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Scale every decodable clip so its peak (``mode='peak'``) or RMS
+    (``mode='rms'``) level hits ``target_dbfs``, re-encoding PCM16 WAV in
+    place (samples clipped at full scale — relevant only for RMS boosts).
+    Digital silence and undecodable/non-PCM clips pass through unchanged.
+    Same zero-copy single-pass execution shape as ``audio_resample``."""
+    if mode not in ("peak", "rms"):
+        raise ValueError(f"mode must be 'peak' or 'rms', got {mode!r}")
+    import pyarrow as pa
+
+    target_amp = 32768.0 * (10.0 ** (target_dbfs / 20.0))
+    out_schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def gen(batches):
+        for batch in batches:
+            bcol = batch.column(batch.schema.get_field_index(bytes_col))
+            codec = batch.column(
+                batch.schema.get_field_index(codec_col)
+            ).to_pylist()
+            new_bytes: list = []
+            for i in range(batch.num_rows):
+                sc = bcol[i]
+                buf = sc.as_buffer() if sc.is_valid else None
+                if buf is None or (codec[i] is not None and codec[i] != "wav"):
+                    new_bytes.append(buf.to_pybytes() if buf else None)
+                    continue
+                try:
+                    s, sr = decode_wav_numpy(memoryview(buf))
+                except ValueError:
+                    new_bytes.append(buf.to_pybytes())
+                    continue
+                a = s.astype(np.float64)
+                level = (
+                    float(np.max(np.abs(a))) if mode == "peak"
+                    else float(np.sqrt(np.dot(a, a) / a.shape[0]))
+                    if a.shape[0] else 0.0
+                )
+                if level <= 0.0:
+                    new_bytes.append(buf.to_pybytes())
+                    continue
+                v = a * (target_amp / level)
+                out = np.clip(
+                    np.floor(v + 0.5), -32768, 32767
+                ).astype(np.int16)
+                new_bytes.append(encode_wav_pcm16(out, sr))
+            arrays = [
+                pa.array(new_bytes, type=pa.binary()) if nm == bytes_col
+                else batch.column(batch.schema.get_field_index(nm))
+                for nm in names
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.mapInArrow(gen, out_schema_ddl)
