@@ -741,3 +741,55 @@ def test_cross_rate_near_duplicates(spark):
     # frame geometry and the pair is NOT found
     raw = audio_near_duplicates(df, **kw).collect()
     assert not any({r.id_a, r.id_b} == {"master", "derived8k"} for r in raw)
+
+
+def test_audio_activity_spans_and_trim(spark):
+    """Energy-based activity: spans land exactly on 20ms frame
+    boundaries of an engineered silence/tone layout; trim cuts leading
+    and trailing silence sample-exactly and keeps internal pauses."""
+    from voluptuous_spark.audio import (
+        audio_activity_spans,
+        audio_trim_silence,
+        decode_wav_numpy,
+        encode_wav_pcm16,
+    )
+
+    sr = 16000
+    def tone(ms):
+        t = np.arange(sr * ms // 1000) / sr
+        return (16384 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    def sil(ms):
+        return np.zeros(sr * ms // 1000, dtype=np.int16)
+
+    # [100ms sil][200ms tone][60ms sil][100ms tone][140ms sil]
+    clip = np.concatenate([sil(100), tone(200), sil(60), tone(100),
+                           sil(140)])
+    rows = [
+        ("mix", bytes(encode_wav_pcm16(clip, sr)), sr, 600, "wav", "t"),
+        ("allsil", bytes(encode_wav_pcm16(sil(200), sr)), sr, 200,
+         "wav", "t"),
+        ("bad", b"JUNKJUNKJUNK", sr, 100, "wav", "t"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int,"
+        " codec string, transcript string")
+
+    spans = sorted(
+        (r.clip_id, r.span_idx, r.start_ms, r.end_ms, r.span_ms)
+        for r in audio_activity_spans(df, frame_ms=20).collect()
+    )
+    assert spans == [("mix", 0, 100, 300, 200), ("mix", 1, 360, 460, 100)]
+
+    out = {r["clip_id"]: r for r in
+           audio_trim_silence(df, frame_ms=20).collect()}
+    s, got_sr = decode_wav_numpy(out["mix"]["bytes"])
+    # exact slice: samples 1600 .. 7360 (100ms..460ms at 16kHz)
+    assert got_sr == sr
+    assert np.array_equal(s, clip[1600:7360])
+    assert out["mix"]["dur_ms"] == 360
+    # fully silent -> empty payload, dur 0
+    s2, _ = decode_wav_numpy(out["allsil"]["bytes"])
+    assert s2.shape[0] == 0 and out["allsil"]["dur_ms"] == 0
+    # undecodable passthrough
+    assert out["bad"]["bytes"] == b"JUNKJUNKJUNK"
+    assert out["bad"]["dur_ms"] == 100

@@ -1645,3 +1645,188 @@ def audio_normalize_gain(
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.mapInArrow(gen, out_schema_ddl)
+
+
+# ---------------------------------------------------------------------------
+# energy-based activity detection: per-clip active spans + silence trim.
+# Speech-corpus curation needs both the ANALYSIS (where is the energy —
+# leading/trailing dead air, long internal pauses, fraction of the clip
+# that is actually speech) and the TRANSFORM (cut the dead air so storage,
+# decode time and downstream fingerprints track content, not padding).
+# Frame verdicts are RMS-threshold decisions over fixed frames — exact
+# integer closed forms of the samples, so tests pin spans to the sample.
+
+
+def _activity_spans_one(
+    s: np.ndarray, sr: int, frame_ms: int, threshold_dbfs: float
+) -> list:
+    """[(start_sample, end_sample), ...] merged active spans of one clip.
+    A frame is active iff its RMS exceeds the threshold; adjacent active
+    frames merge; span edges land on frame boundaries (the tail frame may
+    be shorter). Sample indices, not ms, so the trim transform slices
+    losslessly. Vectorized: one cumulative-sum-of-squares pass, no
+    per-sample Python."""
+    n = s.shape[0]
+    if n == 0:
+        return []
+    flen = max(1, sr * frame_ms // 1000)
+    a = s.astype(np.float64)
+    cumsq = np.concatenate(([0.0], np.cumsum(a * a)))
+    starts = np.arange(0, n, flen, dtype=np.int64)
+    ends = np.minimum(starts + flen, n)
+    rms = np.sqrt((cumsq[ends] - cumsq[starts]) / (ends - starts))
+    active = rms > 32768.0 * (10.0 ** (threshold_dbfs / 20.0))
+    if not active.any():
+        return []
+    edges = np.flatnonzero(np.diff(np.concatenate(
+        ([False], active, [False]))))
+    return [
+        (int(starts[int(edges[k])]), int(ends[int(edges[k + 1]) - 1]))
+        for k in range(0, edges.shape[0], 2)
+    ]
+
+
+def audio_activity_spans(
+    df: DataFrame,
+    frame_ms: int = 20,
+    threshold_dbfs: float = -50.0,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    id_cols: tuple[str, ...] = ("clip_id",),
+) -> DataFrame:
+    """One row per merged active span: id columns + ``span_idx``,
+    ``start_ms``, ``end_ms``, ``span_ms``. Undecodable/non-PCM clips emit
+    zero rows; fully-silent clips emit zero rows (their absence IS the
+    verdict — join back against the corpus for a silent-clip report).
+    One zero-copy ``mapInArrow`` fan-out, payload dropped; row fan-out is
+    bounded by clip duration / frame_ms."""
+    import pyarrow as pa
+
+    id_fields = [f for f in df.schema.fields if f.name in id_cols]
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in id_fields
+    ) + ", `span_idx` int, `start_ms` long, `end_ms` long, `span_ms` long"
+
+    def gen(batches):
+        for batch in batches:
+            bcol = batch.column(batch.schema.get_field_index(bytes_col))
+            codec = batch.column(
+                batch.schema.get_field_index(codec_col)
+            ).to_pylist()
+            ids = {
+                f.name: batch.column(
+                    batch.schema.get_field_index(f.name)
+                ).to_pylist()
+                for f in id_fields
+            }
+            out: dict[str, list] = {f.name: [] for f in id_fields}
+            for c in ("span_idx", "start_ms", "end_ms", "span_ms"):
+                out[c] = []
+            for i in range(batch.num_rows):
+                sc = bcol[i]
+                if not sc.is_valid or (
+                    codec[i] is not None and codec[i] != "wav"
+                ):
+                    continue
+                try:
+                    s, sr = decode_wav_numpy(memoryview(sc.as_buffer()))
+                except ValueError:
+                    continue
+                for j, (k0, k1) in enumerate(_activity_spans_one(
+                        s, sr, frame_ms, threshold_dbfs)):
+                    t0, t1 = k0 * 1000 // sr, k1 * 1000 // sr
+                    for f in id_fields:
+                        out[f.name].append(ids[f.name][i])
+                    out["span_idx"].append(j)
+                    out["start_ms"].append(t0)
+                    out["end_ms"].append(t1)
+                    out["span_ms"].append(t1 - t0)
+            names: list = []
+            arrays = []
+            for f in id_fields:
+                arrays.append(pa.array(out[f.name]))
+                names.append(f.name)
+            arrays.append(pa.array(out["span_idx"], type=pa.int32()))
+            names.append("span_idx")
+            for c in ("start_ms", "end_ms", "span_ms"):
+                arrays.append(pa.array(out[c], type=pa.int64()))
+                names.append(c)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.mapInArrow(gen, ddl)
+
+
+def audio_trim_silence(
+    df: DataFrame,
+    frame_ms: int = 20,
+    threshold_dbfs: float = -50.0,
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    dur_col: str = "dur_ms",
+) -> DataFrame:
+    """Cut leading and trailing silence (internal pauses are kept): the
+    payload is re-encoded to the [first active span start, last active
+    span end] sample slice and ``dur_col`` updated to the trimmed
+    duration. Fully-silent clips trim to an empty payload with dur 0 —
+    downstream gates (``rms_db``/``transcript`` consistency) own the
+    reject decision. Undecodable/non-PCM clips pass through untouched.
+    Same single-pass zero-copy execution shape as ``audio_resample``."""
+    import pyarrow as pa
+
+    out_schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    names = [f.name for f in df.schema.fields]
+
+    def gen(batches):
+        for batch in batches:
+            bcol = batch.column(batch.schema.get_field_index(bytes_col))
+            codec = batch.column(
+                batch.schema.get_field_index(codec_col)
+            ).to_pylist()
+            durs = batch.column(
+                batch.schema.get_field_index(dur_col)
+            ).to_pylist()
+            new_bytes: list = []
+            new_dur: list = []
+            for i in range(batch.num_rows):
+                sc = bcol[i]
+                buf = sc.as_buffer() if sc.is_valid else None
+                if buf is None or (codec[i] is not None and codec[i] != "wav"):
+                    new_bytes.append(buf.to_pybytes() if buf else None)
+                    new_dur.append(durs[i])
+                    continue
+                try:
+                    s, sr = decode_wav_numpy(memoryview(buf))
+                except ValueError:
+                    new_bytes.append(buf.to_pybytes())
+                    new_dur.append(durs[i])
+                    continue
+                spans = _activity_spans_one(s, sr, frame_ms, threshold_dbfs)
+                if not spans:
+                    new_bytes.append(encode_wav_pcm16(
+                        np.zeros(0, dtype=np.int16), sr))
+                    new_dur.append(0)
+                    continue
+                k0, k1 = spans[0][0], spans[-1][1]  # exact sample slice
+                out = s[k0:k1]
+                new_bytes.append(encode_wav_pcm16(out, sr))
+                new_dur.append(round(out.shape[0] * 1000 / sr))
+            arrays = []
+            for nm in names:
+                if nm == bytes_col:
+                    arrays.append(pa.array(new_bytes, type=pa.binary()))
+                elif nm == dur_col:
+                    arrays.append(pa.array(
+                        new_dur,
+                        type=batch.column(
+                            batch.schema.get_field_index(dur_col)
+                        ).type,
+                    ))
+                else:
+                    arrays.append(
+                        batch.column(batch.schema.get_field_index(nm))
+                    )
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.mapInArrow(gen, out_schema_ddl)
