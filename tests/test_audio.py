@@ -793,3 +793,19 @@ def test_audio_activity_spans_and_trim(spark):
     # undecodable passthrough
     assert out["bad"]["bytes"] == b"JUNKJUNKJUNK"
     assert out["bad"]["dur_ms"] == 100
+
+
+def test_transcript_gates_metadata_only(spark):
+    """energy_gates=False works on a raw clips table with no rms_db
+    column (rate gates are metadata-only)."""
+    from voluptuous_spark.audio import transcript_gate_labels
+
+    df = spark.createDataFrame(
+        [("a", 1000, "a plausible short line"), ("b", 1000, "z" * 100)],
+        "clip_id string, dur_ms int, transcript string")
+    got = {r["clip_id"]: r["g"] for r in df.select(
+        "clip_id",
+        transcript_gate_labels(max_cps=25.0, min_cps=2.0,
+                               energy_gates=False).alias("g"),
+    ).collect()}
+    assert got == {"a": "pass", "b": "cps_high"}

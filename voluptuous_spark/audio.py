@@ -727,6 +727,7 @@ def transcript_gate_conditions(
     silent_rms_db: float = -60.0,
     transcript_col: str = "transcript",
     dur_col: str = "dur_ms",
+    energy_gates: bool = True,
 ) -> list:
     """(gate_name, fail_condition) per joint gate — single threshold
     source shared by ``transcript_gate_labels`` (per-row label column)
@@ -736,22 +737,28 @@ def transcript_gate_conditions(
     only metadata columns and apply to every row; the energy gates
     (``silent_transcribed`` / ``active_empty``) additionally require an
     ``audio_features`` row (``rms_db``) and skip rows whose features are
-    NULL (payload absent / undecodable / non-PCM)."""
+    NULL (payload absent / undecodable / non-PCM). Pass
+    ``energy_gates=False`` on a raw clips table that has no ``rms_db``
+    column — referencing it there would fail analysis."""
     tlen = F.length(F.trim(F.coalesce(F.col(transcript_col), F.lit(""))))
     dur = F.col(dur_col)
     # multiply-then-divide, both engines, so the float64 result is
     # bit-identical between Spark and an external SQL oracle
     cps = (tlen * F.lit(1000.0)) / dur
-    has_rms = F.col("rms_db").isNotNull()
-    return [
-        ("active_empty",
-         has_rms & (F.col("rms_db") > silent_rms_db) & (tlen == 0)),
+    gates = [
         ("cps_high", (tlen > 0) & (dur > 0) & (cps > max_cps)),
         ("cps_low", (tlen > 0) & (dur > 0) & (cps < min_cps)),
-        ("silent_transcribed",
-         has_rms & (F.col("rms_db") <= silent_rms_db) & (tlen > 0)),
         ("transcript_empty", tlen == 0),
     ]
+    if energy_gates:
+        has_rms = F.col("rms_db").isNotNull()
+        gates += [
+            ("active_empty",
+             has_rms & (F.col("rms_db") > silent_rms_db) & (tlen == 0)),
+            ("silent_transcribed",
+             has_rms & (F.col("rms_db") <= silent_rms_db) & (tlen > 0)),
+        ]
+    return gates
 
 
 def transcript_gate_labels(**thresholds) -> Column:
