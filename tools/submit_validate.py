@@ -6,7 +6,8 @@ cluster, resumable from per-partition checkpoints.
         tools/submit_validate.py \
         --clips /data/clips --transcripts /data/transcripts \
         --output /data/validation_out --checkpoint /data/validation_ckpt \
-        [--format iceberg] [--buckets 256] [--no-pcm]
+        [--format iceberg] [--buckets 256] [--no-pcm] \
+        [--resample-to 16000] [--trim-silence] [--transcript-rate 1:25]
 
 Outputs under --output:
     violations/   one row per Invalid (clip_id, path, message, error_type,
@@ -47,6 +48,15 @@ def main(argv=None) -> int:
     ap.add_argument("--no-pcm", action="store_true",
                     help="skip the Arrow PCM decode check")
     ap.add_argument("--run-id", default="submit")
+    ap.add_argument("--transcript-rate", default=None, metavar="LO:HI",
+                    help="enable the joint speaking-rate gate with "
+                         "chars/sec bounds, e.g. 1:25")
+    ap.add_argument("--resample-to", type=int, default=None, metavar="SR",
+                    help="canonicalize the corpus to one sample rate "
+                         "before validation (linear resample)")
+    ap.add_argument("--trim-silence", action="store_true",
+                    help="cut leading/trailing silence (frame-RMS) "
+                         "before validation")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -72,6 +82,21 @@ def main(argv=None) -> int:
         else None
     )
 
+    # optional canonicalization passes ahead of validation — each is one
+    # zero-copy Arrow pass; chaining them keeps a single payload scan
+    if args.resample_to:
+        from voluptuous_spark.audio import audio_resample
+
+        clips = audio_resample(clips, args.resample_to)
+    if args.trim_silence:
+        from voluptuous_spark.audio import audio_trim_silence
+
+        clips = audio_trim_silence(clips)
+    transcript_rate = None
+    if args.transcript_rate:
+        lo, hi = args.transcript_rate.split(":")
+        transcript_rate = (float(lo), float(hi))
+
     if args.checkpoint:
         ckpt = CheckpointedValidation(
             spark, args.checkpoint, n_buckets=args.buckets
@@ -85,7 +110,8 @@ def main(argv=None) -> int:
         print(f"checkpointed row-level validation: {steps} steps")
 
     res = run_suite(
-        clips, transcripts, with_pcm=not args.no_pcm, persist=True
+        clips, transcripts, with_pcm=not args.no_pcm, persist=True,
+        transcript_rate=transcript_rate,
     )
     out = args.output
     res.violations.write.mode("overwrite").parquet(f"{out}/violations")
