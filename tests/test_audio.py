@@ -809,3 +809,45 @@ def test_transcript_gates_metadata_only(spark):
                                energy_gates=False).alias("g"),
     ).collect()}
     assert got == {"a": "pass", "b": "cps_high"}
+
+
+def test_transform_kernel_properties():
+    """Pure-kernel invariants across random broadband signals: same-rate
+    resample is identity, trim is idempotent, peak-normalize is
+    idempotent within 1 LSB of requantization, spans tile within the
+    clip and never overlap."""
+    from voluptuous_spark.audio import _activity_spans_one, _resample_linear
+
+    for seed in range(20):
+        s = _smooth_noise(seed, n=8000 + 137 * seed)
+        # same-rate resample: exact identity
+        assert np.array_equal(_resample_linear(s, 16000, 16000), s)
+        # round-trip 2x up then down: length restored
+        up = _resample_linear(s, 16000, 32000)
+        back = _resample_linear(up, 32000, 16000)
+        assert back.shape[0] == s.shape[0]
+
+        spans = _activity_spans_one(s, 16000, 20, -50.0)
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert a1 < b0  # ordered, non-overlapping, gap between spans
+        for (a0, a1) in spans:
+            assert 0 <= a0 < a1 <= s.shape[0]
+        if spans:
+            # trim idempotence: the trimmed slice starts and ends in
+            # active frames, so re-trimming keeps every sample
+            cut = s[spans[0][0]:spans[-1][1]]
+            spans2 = _activity_spans_one(cut, 16000, 20, -50.0)
+            assert spans2[0][0] == 0
+            assert spans2[-1][1] == cut.shape[0]
+
+        # peak normalize idempotence within 1 LSB
+        a = s.astype(np.float64)
+        peak = np.abs(a).max()
+        if peak == 0:
+            continue
+        g = 32768.0 * 10 ** (-3.0 / 20.0) / peak
+        once = np.clip(np.floor(a * g + 0.5), -32768, 32767)
+        p2 = np.abs(once).max()
+        g2 = 32768.0 * 10 ** (-3.0 / 20.0) / p2
+        twice = np.clip(np.floor(once * g2 + 0.5), -32768, 32767)
+        assert np.abs(twice - once).max() <= 1.0
