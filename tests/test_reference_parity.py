@@ -829,6 +829,34 @@ CASES = [
     ({"d": ("Datetime", "%H:%M%z")}, {"d": "03:04+00:00"},
      {"d": "03:04Z"}, {"d": "03:04z"}, {"d": "03:04+00:0059"},
      {"d": "03:04+0060"}),
+    # fuzz seed 7880: SomeOf's path-less NotEnoughValid inside a
+    # Maybe(dict) branch keeps its EMPTY path through the mapping loop
+    # (schema_builder.py:365-371 adjusts only error_type), so the dict
+    # branch loses the Any(None, ...) deepest-path selection and the
+    # whole branch collapses to the None branch's 'not a valid value'
+    ({"k0": {"n0": ("Maybe", {"n0": ("SomeOf",
+                                     [("Range", 10, 50), ("Range", 5, 99),
+                                      ("Range", 10, 49)], 2)})},
+      ("Remove", "k1"): ("Any", {"b0": ("In", [" pad "])},
+                         {"b0": ("Match", "^[a-z]{2,4}$"), "b1": ""}),
+      "k2": ("Unordered", [("NotIn", [9, -5]),
+                           ("KW", "In", [[5, 100, 50]], {"msg": "fz in"}),
+                           ("Clamp", 10, 25)])},
+     {"k0": {"n0": {"n0": 4}}, "k1": {"b1": "a"}, "k2": "x@y.com"},
+     {"k0": {"n0": {"n0": 25}}, "k2": "x@y.com"}),
+    # fuzz seed 8341: set container-class gates ('expected a frozenset')
+    # must be reinstated through Schema-INSTANCE values too — the
+    # single-document pre-walk recurses into their inner dicts
+    ({"k0": {"n0": [("NotIn", ["zebra", "yes"])],
+             "n1": ("Schema", {"n0": frozenset({str}),
+                               "n1": ("Equal", "0")}, True)},
+      "k1": ("Length", 0, 1),
+      "k2": [[("Range", 1, 3, False, False)]],
+      ("Exclusive", "g0", "grp", "fz group msg"): str,
+      ("Exclusive", "g1", "grp", "fz group msg"): "blue"},
+     {"k0": {"n0": ["Hello World", "off"],
+             "n1": {"n0": {"Hello World", "no", "a"}, "n1": "x@y.com"}},
+      "k1": [" pad ", "abcdef"], "k2": [[3], [49]], "g0": "ab"}),
 ]
 
 # (schema spec, schema kwargs, docs...) — policy/flag cases

@@ -204,9 +204,49 @@ def _py_str(col, dt):
         return F.concat(
             F.lit("["), F.array_join(elems, ", "), F.lit("]")
         )
+    if isinstance(dt, T.StructType):
+        # Python dict repr: {'a': 1, 'b': 'x'} (struct columns hold what
+        # the reference sees as nested dicts)
+        if not dt.fields:
+            return F.lit("{}")
+        parts: list = []
+        for i, f in enumerate(dt.fields):
+            head = "{'" if i == 0 else ", '"
+            v = F.coalesce(
+                _py_repr(col[f.name], f.dataType), F.lit("None")
+            )
+            parts += [F.lit(head + f.name + "': "), v]
+        return F.concat(*(parts + [F.lit("}")]))
     if isinstance(dt, T.BooleanType):
         return F.when(col, F.lit("True")).otherwise(F.lit("False"))
     return col.cast("string")
+
+
+def _py_repr(col, dt):
+    """Python ``repr(v)`` rendering: like ``_py_str`` but strings carry
+    quotes (container elements render with repr, str(['a']))."""
+    if isinstance(dt, T.StringType):
+        return F.concat(F.lit("'"), col, F.lit("'"))
+    return _py_str(col, dt)
+
+
+def _typed_lit(value, dt):
+    """Build a literal Column of Spark type ``dt`` from a Python value —
+    ``F.lit`` extended to dict->struct (field order taken from ``dt``)
+    and element-typed arrays. Only call when ``_lit_comparable(value,
+    dt)`` holds."""
+    if isinstance(value, dict) and isinstance(dt, T.StructType):
+        return F.struct(
+            *[
+                _typed_lit(value[f.name], f.dataType).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(value, (list, tuple)) and isinstance(dt, T.ArrayType):
+        if not value:
+            return F.lit([]).cast(dt)
+        return F.array(*[_typed_lit(x, dt.elementType) for x in value])
+    return F.lit(value)
 
 
 def _lit_comparable(value, dt) -> bool:
@@ -227,7 +267,22 @@ def _lit_comparable(value, dt) -> bool:
     if isinstance(value, bytes):
         return isinstance(dt, T.BinaryType)
     if isinstance(value, (list, tuple)):
-        return isinstance(dt, T.ArrayType)
+        return isinstance(dt, T.ArrayType) and all(
+            _lit_comparable(x, dt.elementType) for x in value
+        )
+    if isinstance(value, dict):
+        # dict literal vs struct column: comparable only when shapes
+        # align (differing key sets are plain Python inequality -> the
+        # caller degrades to a static False)
+        return isinstance(dt, T.StructType) and set(value) == {
+            f.name for f in dt.fields
+        } and all(
+            _lit_comparable(value[f.name], f.dataType) for f in dt.fields
+        )
+    if isinstance(value, type):
+        # a CLASS as a comparison target (Equal(str)): never equal to a
+        # data cell under Python semantics (tests.py test_equal)
+        return False
     return True
 
 
@@ -503,6 +558,15 @@ class Validator:
     def _m(self, default: str) -> str:
         return self.msg or default
 
+    def __call__(self, value):
+        """Direct single-value invocation like the reference's validators
+        (``All(...)('x')``, validators are callables throughout
+        validators.py) — wraps self in a Schema and rides the
+        single-document path; needs an active SparkSession."""
+        from .schema import Schema
+
+        return Schema(self)(value)
+
 
 # -- markers (schema_builder.py:971-1246) -----------------------------------
 
@@ -551,6 +615,15 @@ class _Undefined:
 
     def __repr__(self):
         return "..."
+
+    # deepcopied schemas must keep the SAME sentinel so `default is
+    # UNDEFINED` still holds (tests.py test_copy_dict_undefined; the
+    # reference had the same bug class with copied Undefined instances)
+    def __copy__(self):
+        return self
+
+    def __deepcopy__(self, memo):
+        return self
 
 
 UNDEFINED = _Undefined()
@@ -2009,7 +2082,7 @@ class Equal(Validator):
     def bind(self, dtype):
         def _err(col, pystr=None):
             if _lit_comparable(self.target, dtype):
-                ok = col.eqNullSafe(F.lit(self.target))
+                ok = col.eqNullSafe(_typed_lit(self.target, dtype))
             else:
                 # cross-type equality is False in Python; Spark's
                 # implicit cast would wrongly accept '5' for 5
@@ -2131,8 +2204,16 @@ class Number(Validator):
                 )
             return e.otherwise(F.lit(None))
 
-        if self.yield_decimal and self.precision and self.scale is not None:
-            out_t = T.DecimalType(self.precision, self.scale)
+        if self.yield_decimal:
+            if self.precision is not None and self.scale is not None:
+                out_t = T.DecimalType(self.precision, self.scale)
+            else:
+                # no explicit precision/scale: the reference yields
+                # Decimal(v) exactly (validators.py:1169-1173); the
+                # widest general-purpose Spark decimal stands in —
+                # equality with the mathematical value is preserved
+                # (Decimal('12345678901234.000...') == 12345678901234)
+                out_t = T.DecimalType(38, 18)
             out = lambda c: c.try_cast(out_t)  # noqa: E731
         else:
             out_t, out = dtype, lambda c: c  # noqa: E731
@@ -2517,16 +2598,27 @@ class Literal(Validator):
         self.lit = lit
 
     def bind(self, dtype):
+        comparable = _lit_comparable(self.lit, dtype)
+
         def err(col):
-            ok = col.eqNullSafe(F.lit(self.lit))
+            if comparable:
+                ok = col.eqNullSafe(_typed_lit(self.lit, dtype))
+            else:
+                # shape/type mismatch is plain Python inequality
+                # (util.py:141-146 catches its own Invalid) — degrade to
+                # a static fail with the reference message
+                ok = F.lit(False)
             m = F.format_string(
-                "%s not match for " + str(self.lit), col.cast("string")
+                "%s not match for " + str(self.lit).replace("%", "%%"),
+                _py_str(col, dtype),
             )
             return F.when(ok, F.lit(None)).otherwise(
                 F.struct(m.alias("message"), F.lit("LiteralInvalid").alias("error_type"))
             )
 
-        return RowCheck(lambda c: F.lit(self.lit), err, dtype)
+        out = (lambda c: _typed_lit(self.lit, dtype)) if comparable \
+            else (lambda c: c)
+        return RowCheck(out, err, dtype)
 
 
 class PandasValidator(Validator):

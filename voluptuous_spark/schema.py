@@ -238,6 +238,41 @@ class Schema:
                 "Schema.__call__ needs an active SparkSession"
             )
         _assert_representable(data)
+        if isinstance(self.schema, (list, tuple)):
+            from . import exceptions as er
+
+            # exact container-class gate (schema_builder.py:585-591): a
+            # list schema takes lists only, a tuple schema tuples only
+            seq_cls = list if isinstance(self.schema, list) else tuple
+            if not isinstance(data, seq_cls):
+                raise er.MultipleInvalid([er.SequenceTypeInvalid(
+                    "expected a %s" % seq_cls.__name__
+                )])
+            if len(self.schema) == 0:
+                # empty alternatives reject every element; the reference
+                # passes the remaining VALUE as the error path
+                # (tests.py test_schema_empty_list: 'not a valid value
+                # @ data[123]')
+                if len(data):
+                    raise er.MultipleInvalid([er.ValueInvalid(
+                        "not a valid value", path=list(data)
+                    )])
+                return seq_cls()
+        if isinstance(self.schema, dsl.Object) and not isinstance(data, dict):
+            return self._call_object_doc(data, spark)
+        if (
+            isinstance(self.schema, dsl.Maybe)
+            and isinstance(self.schema._inner, dict)
+            and isinstance(data, dict)
+        ):
+            # root-level Maybe({...}) over a dict document (tests.py
+            # test_maybe: Maybe = Any(None, {...}) and a non-None dict
+            # rides the inner mapping schema; its deeper errors win the
+            # deepest-path selection over the None branch)
+            return type(self)(
+                self.schema._inner, required=self.required,
+                extra=self.extra,
+            )(data, spark)
         if not isinstance(data, dict):
             return self._call_scalar_doc(data, spark)
         if data and not all(isinstance(k, str) for k in data):
@@ -273,6 +308,26 @@ class Schema:
             raise er.MultipleInvalid(
                 [er.DictInvalid("expected a dictionary")]
             )
+        if data is None and _accepts_none(self.schema):
+            # root-level None against a None-admitting schema
+            # (Maybe(int)(None) -> None, validators.py:622-635) — short-
+            # circuit driver-side: a NULL carrier cell would read as an
+            # absent key
+            return None
+        if isinstance(self.schema, type) and not isinstance(
+            data,
+            (bool, int, float, str, bytes, list, tuple, set,
+             frozenset, dict),
+        ):
+            # arbitrary Python object (or root None) against a type
+            # schema (tests.py test_class: Schema(C1)(C1()) passes,
+            # Schema(C1)(None) -> 'expected C1'): not representable as a
+            # typed cell — the isinstance gate runs driver-side
+            if isinstance(data, self.schema):
+                return data
+            raise er.MultipleInvalid([er.TypeInvalid(
+                "expected %s" % self.schema.__name__
+            )])
         carrier = Schema({dsl.Required("__v__"): self.schema})
         try:
             return carrier({"__v__": data}, spark)["__v__"]
@@ -286,6 +341,10 @@ class Schema:
                     # no ctx at the top level)
                     if not sub._path and sub.error_type == "dictionary value":
                         sub.error_type = None
+                elif not sub.path and sub.error_type == "dictionary value":
+                    # drop-path validators (SomeOf) emit with an empty
+                    # path already; strip the carrier ctx the same way
+                    sub.error_type = None
             raise er.MultipleInvalid(e.errors) from None
 
     def _call_map_doc(self, data: dict, spark) -> dict:
@@ -334,7 +393,58 @@ class Schema:
             # keys were not transformed, restore the input order (the
             # reference preserves OrderedDict order, tests.py:1128-1129)
             out = {k: out[k] for k in data}
+        # container-type preservation (type(out)() at schema_builder.py
+        # :295): an OrderedDict document comes back as an OrderedDict
+        if type(data) is not dict:
+            out = type(data)(out)
         return out
+
+    def _call_object_doc(self, data, spark):
+        """``Object`` schema over an arbitrary Python instance
+        (schema_builder.py:413-441): optional ``cls`` isinstance gate,
+        then the instance's non-None attributes validate like a dict
+        (None attributes are FILTERED by the reference — the same
+        None-is-absent rule this engine uses everywhere). Rides the
+        engine's Object-over-struct path via a one-key carrier so errors
+        carry the reference's 'object value' ctx. Returns
+        ``type(data)(**out)`` like the reference."""
+        from . import exceptions as er
+
+        obj = self.schema
+        if obj.cls is not dsl.UNDEFINED and not isinstance(data, obj.cls):
+            raise er.MultipleInvalid([er.ObjectInvalid(
+                "expected a {0!r}".format(obj.cls)
+            )])
+        try:
+            attrs = {
+                k: v for k, v in vars(data).items()
+                if not k.startswith("_") and v is not None
+            }
+        except TypeError:
+            attrs = {}
+        # pad literal schema keys so missing attributes surface as
+        # required-key errors instead of an untyped empty struct
+        doc = {}
+        for k in obj:
+            name = _key_name(k)
+            if isinstance(name, str):
+                doc[name] = None
+        doc.update(attrs)
+        carrier = Schema(
+            {dsl.Required("__o__"): obj},
+            required=self.required, extra=self.extra,
+        )
+        try:
+            out = carrier({"__o__": doc}, spark)["__o__"]
+        except er.MultipleInvalid as e:
+            for sub in e.errors:
+                if sub.path and sub.path[0] == "__o__":
+                    sub._path = sub.path[1:]
+            raise er.MultipleInvalid(e.errors) from None
+        try:
+            return type(data)(**out)
+        except TypeError:
+            return data
 
     def _infer_doc_type(self, data: dict) -> T.StructType:
         hints = {}
@@ -371,7 +481,10 @@ class Schema:
                     continue
                 del result[old_key]
             result[k] = v
-        return Schema(
+        # instantiate via type(self) so Schema subclasses extend to the
+        # subclass (schema_builder.py:762-767, tests.py
+        # test_schema_extend_handles_schema_subclass)
+        return type(self)(
             result,
             self.required if required is None else required,
             self.extra if extra is None else extra,
@@ -384,23 +497,25 @@ class Schema:
         reference's plain-dict form (recursive: nested dicts stay dicts,
         lists become element-type alternatives) or, as a Spark-side
         extension, a DataFrame (column dtypes map to Python types)."""
-        if isinstance(data, dict):
-            def value_to_schema_type(value):
-                if isinstance(value, dict):
-                    if len(value) == 0:
-                        return dict
-                    return {k: value_to_schema_type(v)
-                            for k, v in value.items()}
-                if isinstance(value, list):
-                    if len(value) == 0:
-                        return list
-                    return [value_to_schema_type(v) for v in value]
-                return type(value)
+        def value_to_schema_type(value):
+            if isinstance(value, dict):
+                if len(value) == 0:
+                    return dict
+                return {k: value_to_schema_type(v)
+                        for k, v in value.items()}
+            if isinstance(value, list):
+                if len(value) == 0:
+                    return list
+                return [value_to_schema_type(v) for v in value]
+            return type(value)
 
-            # keys stay PLAIN (presence follows the required= kwarg);
-            # tests.py:1150-1160 compares equal to Required keys only
-            # because Marker equality unwraps (tests.py:1183-1199 relies
-            # on required=False accepting subsets)
+        # keys stay PLAIN (presence follows the required= kwarg);
+        # tests.py:1150-1160 compares equal to Required keys only
+        # because Marker equality unwraps (tests.py:1183-1199 relies
+        # on required=False accepting subsets)
+        if isinstance(data, (dict, list)) or not hasattr(data, "schema"):
+            # plain documents including scalars (Schema.infer('foo') ==
+            # Schema(str), tests.py test_schema_infer_scalar)
             return cls(value_to_schema_type(data), **kwargs)
         rev = {
             T.StringType: str, T.BooleanType: bool, T.BinaryType: bytes,
@@ -1086,6 +1201,19 @@ class Schema:
                         col, dtype, fld.path
                     )
                     out_cols[fld.name] = out_col
+                    if getattr(sub0, "_from_maybe", False):
+                        sub_errs, sub_arrs, _deep = _maybe_none_collapse(
+                            fld.path, sub_errs, sub_arrs, col, dtype
+                        )
+                        for v_ in sub_errs:
+                            al = f"__mb_{len(hidden)}"
+                            hidden.append(v_.alias(al))
+                            err_entries.append(F.col(al))
+                        for a_ in sub_arrs:
+                            al = f"__mb_{len(hidden)}"
+                            hidden.append(a_.cast(_VIOL_ARR_T).alias(al))
+                            err_arrays.append(F.col(al))
+                        continue
                     if msg_override is not None:
                         # Msg over a dynamic-key map value: per-entry
                         # errors sit at depth 1 relative to the Msg, so
@@ -1107,15 +1235,35 @@ class Schema:
                         err_entries.extend(sub_errs)
                         err_arrays.extend(sub_arrs)
                     continue
+                from_maybe = bool(getattr(sub0, "_from_maybe", False))
+                sub_arr_sink = [] if from_maybe else err_arrays
                 out_col, sub_errs = sub._validate_struct(
                     col, dtype, fld.path,
                     as_object=isinstance(v, dsl.Object),
                     root=v if sub0 is not None else self.schema,
                     msg_override=msg_override,
-                    arrays=err_arrays,
+                    arrays=sub_arr_sink,
                     rebase=len(fld.path) if is_reentry else 0,
                 )
                 out_cols[fld.name] = out_col
+                if from_maybe:
+                    # Any(None, {...}) shallow-vs-deep selection; stage
+                    # the gated channels so stage-2 alias resolution
+                    # cannot rebind them to the transformed struct
+                    sub_errs, m_arrs, _deep = _maybe_none_collapse(
+                        fld.path, sub_errs, sub_arr_sink, col, dtype
+                    )
+                    staged = []
+                    for v_ in sub_errs:
+                        al = f"__mb_{len(hidden)}"
+                        hidden.append(v_.alias(al))
+                        staged.append(F.col(al))
+                    err_entries.extend(staged)
+                    for a_ in m_arrs:
+                        al = f"__mb_{len(hidden)}"
+                        hidden.append(a_.cast(_VIOL_ARR_T).alias(al))
+                        err_arrays.append(F.col(al))
+                    continue
                 if msg_override is not None:
                     # the Msg collapse condition references the ORIGINAL
                     # nested column; evaluate the returned entries as
@@ -2484,16 +2632,39 @@ class Schema:
                     outs.append(sub_col.alias(name))
                     continue
                 child_entries: list = []
+                from_maybe = bool(getattr(sub0, "_from_maybe", False))
+                sub_arr_sink = (
+                    [] if (from_maybe and arrays is not None) else arrays
+                )
                 o, _ = sub_schema._validate_struct(
                     sub_col, sub_t, path,
                     as_object=isinstance(val, dsl.Object),
                     root=val if sub0 is not None else root,
                     msg_override=sub_msg_override,
-                    arrays=arrays,
+                    arrays=sub_arr_sink,
                     entries_out=child_entries,
                     rebase=len(path) if sub_is_reentry else rebase,
                 )
                 outs.append(o.alias(name))
+                if from_maybe:
+                    # Any(None, {...}) shallow-vs-deep selection over the
+                    # re-entry's collected error channels (fuzz seed 7880)
+                    singles = [e for e in child_entries if e[0] is not None]
+                    markers = [e for e in child_entries if e[0] is None]
+                    child_arrs = sub_arr_sink if arrays is not None else []
+                    new_singles, new_arrs, any_deep = _maybe_none_collapse(
+                        path, [e[0] for e in singles], child_arrs,
+                        sub_col, sub_t,
+                    )
+                    lens = [e[1] for e in singles] + [len(path)]
+                    entries.extend(
+                        (v2, l, None) for v2, l in zip(new_singles, lens)
+                    )
+                    if arrays is not None:
+                        arrays.extend(new_arrs)
+                    for _, l, c in markers:
+                        entries.append((None, l, c & any_deep))
+                    continue
                 entries.extend(child_entries)
                 continue
             if isinstance(val, list) and isinstance(sub_t, T.ArrayType):
@@ -2844,6 +3015,14 @@ def _reinstate_set_gates(schema, data):
         if isinstance(s, dsl.Msg):
             inner = walk(s.schema, d)
             return s if inner is s.schema else dsl.Msg(inner, s.msg, s.cls)
+        if isinstance(s, Schema):
+            # Schema instances as dict values re-enter with their own
+            # flags — the walk must reach their set nodes too (fuzz seed
+            # 8341: {'n0': frozenset({str})} nested in a Schema value)
+            inner = walk(s.schema, d)
+            return s if inner is s.schema else type(s)(
+                inner, required=s.required, extra=s.extra
+            )
         if isinstance(s, dict) and isinstance(d, dict):
             return {
                 k: (walk(v, d.get(_key_name(k)))
@@ -2856,12 +3035,33 @@ def _reinstate_set_gates(schema, data):
     return new if changed else None
 
 
+def _accepts_none(s) -> bool:
+    """Does a value schema admit None as a VALUE (validators.py:622-635
+    Maybe = Any(None, v); Any branches recurse)? Used by the single-
+    document path to short-circuit a root None, which a carrier column
+    would otherwise read as an absent key."""
+    if s is None or s is type(None):
+        return True
+    if isinstance(s, dsl.Maybe):
+        return True
+    if isinstance(s, dsl.Any):
+        return any(_accepts_none(b) for b in s.validators)
+    return False
+
+
 def _assert_representable(data, path=()):
     """Single-document mode rides a typed one-row DataFrame, so a MIXED-
     type sequence ([1, 'a']) has no column type. Raise the engine's
     UnsupportedSchema with the path instead of a deep py4j type error —
     a documented static-typing divergence from the reference, which
     validates heterogeneous lists element-by-element."""
+    if isinstance(data, type):
+        # a CLASS as a data value (Schema({'type': In((int, str))})
+        # ({'type': float})): no Spark cell type can hold it
+        raise UnsupportedSchema(
+            "Python class %r at %s is not representable as a typed "
+            "column value (single-document mode)" % (data, list(path))
+        )
     if isinstance(data, dict):
         for k, v in data.items():
             _assert_representable(v, path + (k,))
@@ -2966,7 +3166,11 @@ def _maybe_expand(v, sub_t, extra=PREVENT_EXTRA):
     if isinstance(inner, dict):
         if (v.msg is None
                 and isinstance(sub_t, (T.StructType, T.MapType))):
-            return Schema(inner, required=False, extra=extra)
+            sch = Schema(inner, required=False, extra=extra)
+            # the caller applies the Any(None, inner) shallow-vs-deep
+            # error selection (see _maybe_none_collapse)
+            sch._from_maybe = True
+            return sch
         return dsl.Any(None, inner, msg=v.msg)
     if (isinstance(inner, (list, tuple)) and inner
             and isinstance(sub_t, T.ArrayType) and v.msg is None):
@@ -2991,6 +3195,43 @@ _VIOL_ARR_T = (
     "array<struct<path:array<string>,message:string,"
     "error_type:string,offending:string,ctx:string>>"
 )
+
+
+def _maybe_none_collapse(key_path, singles, arrs, off_col, off_t):
+    """Reference ``Maybe(dict)`` = ``Any(None, {...})`` error selection
+    (validators.py:330-336 with error.py:70-77): the dict branch's
+    MultipleInvalid competes with the None branch's shallow ScalarInvalid
+    by its first error's PATH DEPTH. Errors raised path-less inside the
+    inner dict (SomeOf's NotEnoughValid/TooManyValid, validators.py:
+    1244-1259) keep an empty path through the mapping loop (only
+    error_type is adjusted, schema_builder.py:365-371), so an inner dict
+    whose failures are all shallow LOSES to the None branch and the whole
+    branch collapses to 'not a valid value' at the key (fuzz seed 7880).
+    Any strictly-deeper error keeps the full inner error set. (When deep
+    and shallow errors coexist the reference's pick follows data-key
+    encounter order; this engine passes the full set through — a
+    documented approximation.)"""
+    depth = len(key_path)
+    any_deep = F.lit(False)
+    any_err = F.lit(False)
+    for s in singles:
+        any_deep = any_deep | (s.isNotNull() & (F.size(s["path"]) > depth))
+        any_err = any_err | s.isNotNull()
+    for a in arrs:
+        any_deep = any_deep | F.exists(
+            a, lambda x: F.size(x["path"]) > depth
+        )
+        any_err = any_err | (F.coalesce(F.size(a), F.lit(0)) > 0)
+    generic = _violation(
+        key_path, F.lit("not a valid value"), "ScalarInvalid",
+        py_repr_col(off_col, off_t), any_err & ~any_deep,
+        ctx="dictionary value",
+    )
+    new_singles = [F.when(any_deep, s).otherwise(F.lit(None)) for s in singles]
+    new_singles.append(generic)
+    empty_v = F.lit([]).cast(_VIOL_ARR_T)
+    new_arrs = [F.when(any_deep, a).otherwise(empty_v) for a in arrs]
+    return new_singles, new_arrs, any_deep
 
 
 def _msg_collapse_seq(msg_override, key_path, singles, arrs,
