@@ -258,6 +258,19 @@ _BY_NAME = {
 }
 
 
+def _register_invalid_subclass(cls):
+    """User-defined Invalid subclasses (tests.md: 'subclasses of Invalid
+    are raised as is' — a custom callable raising SpecialInvalid must
+    surface as SpecialInvalid from the driver bridge) register by name so
+    ``invalid_from_row`` reconstructs the exact class."""
+    _BY_NAME.setdefault(cls.__name__, cls)
+
+
+Invalid.__init_subclass__ = classmethod(
+    lambda cls, **kw: _register_invalid_subclass(cls)
+)
+
+
 class VirtualPathComponent(str):
     """Group-check path component (reference schema_builder.py:963-968):
     renders WITHOUT quotes — str(e) gives "... @ data[<group>]"."""

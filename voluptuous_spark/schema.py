@@ -238,6 +238,20 @@ class Schema:
                 "Schema.__call__ needs an active SparkSession"
             )
         _assert_representable(data)
+        if isinstance(self.schema, type) and self.schema in (
+            dict, list, tuple, set, frozenset,
+        ):
+            from . import exceptions as er
+
+            # bare container-TYPE schema (tests.md:73-99: Schema(dict) /
+            # Schema(list) / Schema(tuple)): a driver-side isinstance
+            # gate; the data passes through unchanged, so subclasses
+            # (custom Dict/List) keep their type
+            if isinstance(data, self.schema):
+                return data
+            raise er.MultipleInvalid([er.TypeInvalid(
+                "expected %s" % self.schema.__name__
+            )])
         if isinstance(self.schema, (list, tuple)):
             from . import exceptions as er
 
@@ -282,6 +296,35 @@ class Schema:
             return Schema(gated, required=self.required, extra=self.extra)(
                 data, spark
             )
+        # Object schemas as dict VALUES over Python instances (tests.md:
+        # 248-251, {'meta': Object({...})} on {'meta': Structure(...)}):
+        # substitute the instance's attribute dict for the ride, rebuild
+        # the instance type on the way out (type(data)(**out), reference
+        # _compile_object schema_builder.py:439)
+        obj_originals: dict = {}
+        if isinstance(self.schema, dict):
+            from . import exceptions as er
+
+            for k, v in self.schema.items():
+                name = _key_name(k)
+                if not (isinstance(v, dsl.Object) and isinstance(name, str)):
+                    continue
+                dv = data.get(name)
+                if dv is None or isinstance(dv, dict):
+                    continue
+                if (v.cls is not dsl.UNDEFINED
+                        and not isinstance(dv, v.cls)):
+                    raise er.MultipleInvalid([er.ObjectInvalid(
+                        "expected a {0!r}".format(v.cls), path=[name]
+                    )])
+                obj_originals[name] = dv
+            if obj_originals:
+                data = dict(data)
+                for name, o in obj_originals.items():
+                    data[name] = {
+                        k2: v2 for k2, v2 in _iterate_object_attrs(o)
+                        if v2 is not None
+                    }
         stype = self._infer_doc_type(data)
         df = spark.createDataFrame([_to_row_value(data, stype)], stype)
         res = self.validate(df, id_cols=[])
@@ -290,6 +333,11 @@ class Schema:
         out = rows[0].asDict(recursive=True)
         if isinstance(self.schema, dict):
             _strip_removed(out, self.schema)
+        for name, o in obj_originals.items():
+            try:
+                out[name] = type(o)(**out[name])
+            except TypeError:
+                out[name] = o
         return out
 
     def _call_scalar_doc(self, data, spark):
@@ -415,13 +463,9 @@ class Schema:
             raise er.MultipleInvalid([er.ObjectInvalid(
                 "expected a {0!r}".format(obj.cls)
             )])
-        try:
-            attrs = {
-                k: v for k, v in vars(data).items()
-                if not k.startswith("_") and v is not None
-            }
-        except TypeError:
-            attrs = {}
+        attrs = {
+            k: v for k, v in _iterate_object_attrs(data) if v is not None
+        }
         # pad literal schema keys so missing attributes surface as
         # required-key errors instead of an untyped empty struct
         doc = {}
@@ -2065,17 +2109,32 @@ class Schema:
 
         elem_t = dtype.elementType
         if any(isinstance(a, dict) for a in alternatives):
-            if len(alternatives) != 1 or not isinstance(
-                    elem_t, T.StructType):
-                raise UnsupportedSchema(
-                    "sequence-of-mapping schemas support exactly one dict "
-                    "alternative over an array<struct> column; mixed "
-                    "dict/scalar alternatives cannot share one Spark "
-                    "element type"
+            dicts = [a for a in alternatives if isinstance(a, dict)]
+            if isinstance(elem_t, T.StructType):
+                if len(dicts) != 1:
+                    raise UnsupportedSchema(
+                        "sequence-of-mapping schemas support exactly one "
+                        "dict alternative over an array<struct> column"
+                    )
+                # mixed alternatives (tests.md:3-44, Schema(['one',
+                # {...}])): scalar alternatives can never match a struct
+                # element (cross-type equality is statically False), so
+                # the dict alternative alone decides; its inner errors
+                # follow the reference's deep-abort semantics
+                return self._validate_dict_elements(
+                    dicts[0], col, dtype, prefix
                 )
-            return self._validate_dict_elements(
-                alternatives[0], col, dtype, prefix
-            )
+            # non-struct elements: a dict alternative shallow-fails every
+            # element with the reference's gate error ('expected a
+            # dictionary', schema_builder.py:452-455); keep it in
+            # POSITION so the last-failing-alternative rule picks the
+            # reference's message (tests.md:18 'expected a dictionary
+            # @ data[1]')
+            alternatives = [
+                dsl.ConstantFail("expected a dictionary", "DictInvalid")
+                if isinstance(a, dict) else a
+                for a in alternatives
+            ]
         removes = [compile_validator(a.schema, elem_t)
                    for a in alternatives if isinstance(a, Remove)]
         keeps = [compile_validator(a, elem_t)
@@ -3033,6 +3092,28 @@ def _reinstate_set_gates(schema, data):
 
     new = walk(schema, data)
     return new if changed else None
+
+
+def _iterate_object_attrs(obj):
+    """Attribute pairs of an arbitrary instance (reference
+    ``_iterate_object``, schema_builder.py:874-895): ``vars`` first,
+    namedtuple ``_asdict`` on TypeError, then own ``__slots__`` entries
+    (minus ``__dict__``)."""
+    d = {}
+    try:
+        d = dict(vars(obj))
+    except TypeError:
+        if hasattr(obj, "_asdict"):
+            d = dict(obj._asdict())
+    for item in d.items():
+        yield item
+    try:
+        slots = obj.__slots__
+    except AttributeError:
+        return
+    for key in slots:
+        if key != "__dict__":
+            yield (key, getattr(obj, key))
 
 
 def _accepts_none(s) -> bool:
