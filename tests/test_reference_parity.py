@@ -866,6 +866,15 @@ KW_CASES = [
     # combinator overwrites schema.required with its OWN default)
     ({"m": ("Maybe", {"x": int})}, {"required": True},
      {"m": {}}, {"m": {"x": 1}}),
+    # fuzz seed 9407: set container-class gates reinstate through Maybe
+    # inners too ('expected a set' on a list under Maybe({...{str}...}))
+    ({"k0": ("Maybe", {"n0": ("Equal", "abcdef"), "n1": {str}}),
+      "k1": ("Email",),
+      ("Optional", "k2", None, "x@y.com"): str},
+     {"extra": 1},
+     {"k0": {"n0": "", "n1": ["off", "zebra"]}, "k1": "x@",
+      "zz_extra": "Hello World"},
+     {"k0": {"n0": "abcdef", "n1": {"off", "zebra"}}, "k1": "x@y.com"}),
     # fuzz seeds 4300/4328: required=True makes a WILDCARD key ({str: v})
     # itself required — an empty nested map errors with the key schema as
     # the final path component (schema_builder.py:398-405)

@@ -310,6 +310,16 @@ def compile_validator(v, dtype: T.DataType, path: tuple = ()) -> RowCheck:
         if getattr(v, "_wants_path", False):
             return v.bind(dtype, path=path)
         return v.bind(dtype)
+    if isinstance(v, type) and issubclass(v, Validator):
+        # the reference's case transformers are bare FUNCTIONS
+        # (util.py:15-62) — Schema(Lower) means "apply", not
+        # "isinstance-check"; zero-arg DSL classes used bare compile as
+        # their instance
+        try:
+            inst = v()
+        except TypeError:
+            return _type_check(v, dtype)
+        return compile_validator(inst, dtype, path=path)
     if isinstance(v, type):
         return _type_check(v, dtype)
     if isinstance(v, (list, tuple)):
@@ -721,6 +731,15 @@ class Msg(Validator):
     (schema_builder.py:898-952)."""
 
     def __init__(self, schema_, msg, cls=None):
+        if cls is not None and not isinstance(cls, str):
+            from . import exceptions as er
+
+            if not (isinstance(cls, type) and issubclass(cls, er.Invalid)):
+                # construction-time gate, reference message verbatim
+                # incl. its typo (schema_builder.py:932-935)
+                raise er.SchemaError(
+                    "Msg can only use subclases of Invalid as custom class"
+                )
         self.schema = schema_
         self.msg = msg
         self.cls = cls  # error_type override (an error class NAME string)
@@ -1228,6 +1247,20 @@ class Maybe(Any):
         )
 
 
+def _re_inline_flags(flags: int) -> str:
+    """Python re flags -> Java-regex inline-flag prefix for ``rlike``
+    ((?i) etc.); UNICODE/ASCII have no Java analog and are dropped."""
+    import re as _re
+
+    s = "".join(
+        ch for ch, f in (
+            ("i", _re.IGNORECASE), ("m", _re.MULTILINE),
+            ("s", _re.DOTALL), ("x", _re.VERBOSE),
+        ) if flags & f
+    )
+    return "(?%s)" % s if s else ""
+
+
 class Match(Validator):
     """Anchored regex ``re.match`` (validators.py:414-454):
     'does not match regular expression <pat>', MatchInvalid.
@@ -1236,6 +1269,11 @@ class Match(Validator):
 
     def __init__(self, pattern, msg=None):
         self.pattern = pattern if isinstance(pattern, str) else pattern.pattern
+        # a precompiled re.Pattern carries flags (Match(re.compile(p,
+        # re.I)), validators.py:441-444) — translate to Java inline flags
+        self.flags = "" if isinstance(pattern, str) else _re_inline_flags(
+            pattern.flags
+        )
         self.msg = msg
 
     def __repr__(self):
@@ -1247,6 +1285,7 @@ class Match(Validator):
                 lambda c: F.lit(False), "expected string or buffer", "MatchInvalid"
             )
         pat = self.pattern if self.pattern.startswith("^") else "^" + self.pattern
+        pat = self.flags + pat
         default = f"does not match regular expression {self.pattern}"
         return _pred_check(
             lambda c: c.rlike(pat), self._m(default), "MatchInvalid"
@@ -1258,6 +1297,9 @@ class Replace(Validator):
 
     def __init__(self, pattern, substitution, msg=None):
         self.pattern = pattern if isinstance(pattern, str) else pattern.pattern
+        self.flags = "" if isinstance(pattern, str) else _re_inline_flags(
+            pattern.flags
+        )
         self.substitution = substitution
         self.msg = msg
 
@@ -1277,7 +1319,9 @@ class Replace(Validator):
                 "Invalid",
             )
         return RowCheck(
-            lambda c: F.regexp_replace(c, self.pattern, self.substitution),
+            lambda c: F.regexp_replace(
+                c, self.flags + self.pattern, self.substitution
+            ),
             lambda c: F.lit(None),
             T.StringType(),
         )
@@ -2008,6 +2052,22 @@ class Unique(Validator):
             def arr(c):
                 return F.split(c, "")
         elif isinstance(dtype, T.ArrayType):
+            if isinstance(
+                dtype.elementType, (T.ArrayType, T.MapType, T.StructType)
+            ):
+                # container elements are unhashable in Python —
+                # set([set(...), ...]) raises TypeError
+                # (validators.py:989-992)
+                inner = {
+                    T.ArrayType: "list", T.MapType: "dict",
+                }.get(type(dtype.elementType), "dict")
+                return _pred_check(
+                    lambda c: F.lit(False),
+                    self._m("contains unhashable elements: "
+                            f"unhashable type: '{inner}'"),
+                    "TypeInvalid",
+                )
+
             def arr(c):
                 return c
         elif isinstance(dtype, T.MapType):
@@ -2584,7 +2644,11 @@ class SetTo(Validator):
 
 
 class Set(Validator):
-    """list -> set (util.py:109-132): Spark keeps arrays; dedupe."""
+    """list -> set (util.py:109-132): Spark keeps arrays; dedupe. The
+    single-document path converts the result to a real Python set."""
+
+    def __init__(self, msg=None):
+        self.msg = msg
 
     def bind(self, dtype):
         return RowCheck(lambda c: F.array_distinct(c), lambda c: F.lit(None), dtype)
@@ -2892,9 +2956,6 @@ class IsFile(CallableValidator):
     def __init__(self, msg=None):
         super().__init__(_path_probe("isfile"), msg=msg or "Not a file",
                          error_type="FileInvalid", truth_mode=True)
-
-    def __call__(self):  # reference usage is IsFile() — already an instance
-        return self
 
 
 class IsDir(CallableValidator):

@@ -55,6 +55,31 @@ def _iterate_mapping_candidates(schema: dict) -> list:
     return sorted(schema.items(), key=prio)
 
 
+def _compile_scalar(schema):
+    """API-parity twin of the reference's scalar compiler
+    (schema_builder.py:770-818): returns a ``(path, value) -> value``
+    closure. Bare callables run driver-side exactly like the reference
+    (they may change the value's type, which a typed column cannot);
+    everything else rides the engine's single-document path."""
+    if callable(schema) and not isinstance(schema, type) and not isinstance(
+        schema, _vs.dsl.Validator
+    ):
+        def validate_callable(path, value):
+            try:
+                return schema(value)
+            except _exc.Invalid:
+                raise
+            except (ValueError, TypeError):
+                raise _exc.ValueInvalid("not a valid value", list(path))
+
+        return validate_callable
+
+    def validate(path, value):
+        return _vs.Schema(schema)(value)
+
+    return validate
+
+
 def _submodule(name: str, names: dict) -> types.ModuleType:
     mod = types.ModuleType(name)
     for k, v in names.items():
@@ -114,6 +139,7 @@ def install(name: str = "voluptuous") -> types.ModuleType:
         if k in public
     }
     sb_names["_iterate_mapping_candidates"] = _iterate_mapping_candidates
+    sb_names["_compile_scalar"] = _compile_scalar
     sb = _submodule(name + ".schema_builder", sb_names)
 
     err = _submodule(

@@ -362,6 +362,14 @@ class Schema:
             # circuit driver-side: a NULL carrier cell would read as an
             # absent key
             return None
+        if data is None and isinstance(self.schema, dsl.DefaultTo):
+            # DefaultTo(42)(None) -> 42; callable defaults are factories
+            # (util.py:65-86, DefaultTo(list) -> [])
+            d = self.schema.default_value
+            return d() if callable(d) else d
+        if data is None and isinstance(self.schema, dsl.SetTo):
+            v = self.schema.value
+            return v() if callable(v) else v
         if isinstance(self.schema, type) and not isinstance(
             data,
             (bool, int, float, str, bytes, list, tuple, set,
@@ -378,7 +386,28 @@ class Schema:
             )])
         carrier = Schema({dsl.Required("__v__"): self.schema})
         try:
-            return carrier({"__v__": data}, spark)["__v__"]
+            res = carrier({"__v__": data}, spark)["__v__"]
+            if isinstance(self.schema, dsl.Set) and isinstance(res, list):
+                # a real Python set comes back from the single-document
+                # path (util.py:124-129); unhashable elements raise the
+                # reference's TypeInvalid
+                try:
+                    return set(res)
+                except TypeError as te:
+                    raise er.MultipleInvalid([er.TypeInvalid(
+                        self.schema.msg
+                        or "cannot be presented as set: {0}".format(te)
+                    )]) from None
+            if isinstance(res, list) and isinstance(
+                data, (tuple, set, frozenset)
+            ):
+                # container-type preservation (type(data)(out),
+                # schema_builder.py:628-631); namedtuples rebuild
+                # positionally
+                if hasattr(data, "_fields"):
+                    return type(data)(*res)
+                return type(data)(res)
+            return res
         except er.MultipleInvalid as e:
             for sub in e.errors:
                 if sub.path and sub.path[0] == "__v__":
@@ -393,6 +422,16 @@ class Schema:
                     # drop-path validators (SomeOf) emit with an empty
                     # path already; strip the carrier ctx the same way
                     sub.error_type = None
+                if isinstance(sub.msg, str) and "__v__" in sub.msg:
+                    # validators that EMBED rendered sub-paths in their
+                    # message (SomeOf, validators.py:1255-1257) rendered
+                    # the carrier key; a root value renders path-less
+                    sub.args = (
+                        sub.msg.replace(" @ data['__v__']", ""),
+                    ) + sub.args[1:]
+                    sub._error_message = sub._error_message.replace(
+                        " @ data['__v__']", ""
+                    )
             raise er.MultipleInvalid(e.errors) from None
 
     def _call_map_doc(self, data: dict, spark) -> dict:
@@ -702,7 +741,7 @@ class Schema:
                 _, errs = sub._validate_struct(
                     col, dtype, path, root=self.schema, arrays=arrs
                 )
-        elif isinstance(v, list) and isinstance(dtype, T.ArrayType):
+        elif isinstance(v, (list, tuple)) and isinstance(dtype, T.ArrayType):
             _, errs, arrs = self._validate_sequence(v, col, dtype, path)
         elif (
             isinstance(v, (dsl.Any, dsl.All))
@@ -1322,7 +1361,7 @@ class Schema:
                     err_entries.extend(sub_errs)
                 continue
 
-            if isinstance(v, list) and isinstance(dtype, T.ArrayType):
+            if isinstance(v, (list, tuple)) and isinstance(dtype, T.ArrayType):
                 # element-level errors with index paths
                 out_col, seq_singles, seq_arrs = self._validate_sequence(
                     v, col, dtype, fld.path
@@ -1651,6 +1690,8 @@ class Schema:
                 return F.lit(dsl._pytype_matches(key_schema, key_t))
             if isinstance(key_schema, dsl.Validator):
                 return key_schema.bind(key_t).err(k).isNull()
+            if not dsl._lit_comparable(key_schema, key_t):
+                return F.lit(False)  # cross-type literal key never matches
             return k.eqNullSafe(F.lit(key_schema))
 
         cands = []  # (match_fn, value_check, is_remove, key_schema)
@@ -1750,10 +1791,17 @@ class Schema:
                     )
                 )
                 continue
-            contains = F.map_contains_key(col, F.lit(name))
+            if not dsl._lit_comparable(name, key_t):
+                # a literal schema key of another type than the map's key
+                # type can never be present (Python cross-type equality is
+                # False; an ANSI cast would throw — Schema({'one': 'two',
+                # int: str}) over {10: 'twenty'})
+                contains = F.lit(False)
+            else:
+                contains = F.map_contains_key(col, F.lit(name))
             default = getattr(key, "default", UNDEFINED)
             required = self.required or isinstance(key, Required)
-            if default is not UNDEFINED:
+            if default is not UNDEFINED and dsl._lit_comparable(name, key_t):
                 d = F.lit(_resolve_default(default)).cast(val_t)
                 out = F.when(
                     out.isNotNull() & ~F.map_contains_key(out, F.lit(name)),
@@ -1946,10 +1994,45 @@ class Schema:
         if routed:
             by_name = {f.name: f for f in dtype.fields}
 
+            def _branch_literals(b) -> dict:
+                return {
+                    _key_name(k): x for k, x in b.items()
+                    if isinstance(x, (str, int, float))
+                    and not isinstance(x, type)
+                }
+
+            def _probe_tag_keys(b) -> set:
+                """Which literal keys does the discriminant ACTUALLY
+                compare? Probe it at compile time: perturb one literal at
+                a time and watch whether the branch drops out (the
+                doctest idiom compares only 'type'; the all-literals
+                idiom drops the branch on any change). Any probe failure
+                degrades to all literal keys (the conservative filter)."""
+                lits = _branch_literals(b)
+                alts = list(v.validators)
+                try:
+                    if b not in list(v.discriminant(dict(lits), alts)):
+                        return set(lits)
+                except Exception:
+                    return set(lits)
+                tag = set()
+                for k in lits:
+                    probe = dict(lits)
+                    probe[k] = "__vs_probe__"
+                    try:
+                        if b not in list(v.discriminant(probe, alts)):
+                            tag.add(k)
+                    except Exception:
+                        tag.add(k)
+                return tag
+
             def candidacy(b) -> Column:
                 pred = F.lit(True)
+                tag_keys = _probe_tag_keys(b)
                 for k, val in b.items():
                     name = _key_name(k)
+                    if name not in tag_keys:
+                        continue
                     if isinstance(val, (str, int, float)) and not isinstance(
                             val, type):
                         if name not in by_name:
@@ -2726,7 +2809,7 @@ class Schema:
                     continue
                 entries.extend(child_entries)
                 continue
-            if isinstance(val, list) and isinstance(sub_t, T.ArrayType):
+            if isinstance(val, (list, tuple)) and isinstance(sub_t, T.ArrayType):
                 o, seq_singles, seq_arrs = self._validate_sequence(
                     val, sub_col, sub_t, path
                 )
@@ -3082,6 +3165,11 @@ def _reinstate_set_gates(schema, data):
             return s if inner is s.schema else type(s)(
                 inner, required=s.required, extra=s.extra
             )
+        if isinstance(s, dsl.Maybe):
+            # Maybe({... frozenset ...}) — the single surviving branch's
+            # set nodes still gate container classes (fuzz seed 9407)
+            inner = walk(s._inner, d)
+            return s if inner is s._inner else dsl.Maybe(inner, msg=s.msg)
         if isinstance(s, dict) and isinstance(d, dict):
             return {
                 k: (walk(v, d.get(_key_name(k)))
