@@ -370,6 +370,25 @@ class Schema:
         if data is None and isinstance(self.schema, dsl.SetTo):
             v = self.schema.value
             return v() if callable(v) else v
+        if (
+            callable(self.schema)
+            and not isinstance(self.schema, (type, dsl.Validator))
+            and not isinstance(self.schema, (dict, list, tuple, set,
+                                             frozenset))
+        ):
+            # bare Python callable at the ROOT runs driver-side exactly
+            # like the reference (_compile_scalar, schema_builder.py:
+            # 800-811: ValueError trapped, Invalid re-raised) — it may
+            # return a value of a DIFFERENT type (README.md Date example
+            # returns datetime), which a typed carrier column cannot
+            try:
+                return self.schema(data)
+            except er.Invalid as e:
+                raise er.MultipleInvalid([e]) from None
+            except ValueError:
+                raise er.MultipleInvalid(
+                    [er.ValueInvalid("not a valid value")]
+                ) from None
         if isinstance(self.schema, type) and not isinstance(
             data,
             (bool, int, float, str, bytes, list, tuple, set,
@@ -1800,7 +1819,14 @@ class Schema:
             else:
                 contains = F.map_contains_key(col, F.lit(name))
             default = getattr(key, "default", UNDEFINED)
-            required = self.required or isinstance(key, Required)
+            # Optional opts a key OUT of schema-level required=True
+            # (schema_builder.py:1018-1049; README 'Optional dictionary
+            # keys': Schema({1: 2, Optional(3): 4}, required=True)({1: 2})
+            # passes)
+            required = (
+                isinstance(key, Required)
+                or (self.required and not isinstance(key, Optional))
+            )
             if default is not UNDEFINED and dsl._lit_comparable(name, key_t):
                 d = F.lit(_resolve_default(default)).cast(val_t)
                 out = F.when(
@@ -2321,8 +2347,8 @@ class Schema:
             ).otherwise(F.lit(None))
 
         keep_srcs = [a for a in alternatives if not isinstance(a, Remove)]
-        if (isinstance(elem_t, T.ArrayType) and keep_srcs and not removes
-                and all(isinstance(a, list) for a in keep_srcs)):
+        if (isinstance(elem_t, T.ArrayType) and not removes
+                and _viable_seq_alts_all_lists(keep_srcs, elem_t)):
             # NESTED sequence schemas ([[...]]): the reference re-raises
             # any error DEEPER than the element index immediately
             # (schema_builder.py:616-620), so the first element whose
@@ -2361,12 +2387,12 @@ class Schema:
 
         elem_t = dtype.elementType
         keep_srcs = [a for a in alternatives if not isinstance(a, Remove)]
-        nested = (isinstance(elem_t, T.ArrayType) and keep_srcs
-                  and all(isinstance(a, list) for a in keep_srcs))
+        nested = (isinstance(elem_t, T.ArrayType)
+                  and _viable_seq_alts_all_lists(keep_srcs, elem_t))
         empty = F.array().cast(_VIOL_ARR_T)
 
         if nested:
-            inner_alts = keep_srcs[0]
+            inner_alts = next(a for a in keep_srcs if isinstance(a, list))
 
             def per(i):
                 x = F.try_element_at(col, (i + 1).cast("int"))
@@ -3364,6 +3390,23 @@ _VIOL_ARR_T = (
     "array<struct<path:array<string>,message:string,"
     "error_type:string,offending:string,ctx:string>>"
 )
+
+
+def _viable_seq_alts_all_lists(keep_srcs, elem_t) -> bool:
+    """Over an array<array<...>> column, scalar-literal alternatives can
+    never match an ARRAY element (Python cross-type equality is False) —
+    so ``Schema([[2, 3], 6])`` routes through the nested-sequence
+    machinery exactly like ``Schema([[2, 3]])``: the list alternative
+    alone decides, its deep inner errors abort (README.md 'matching is
+    depth-first and fail-fast': 'not a valid value @ data[0][0]')."""
+    viable = [
+        a for a in keep_srcs
+        if isinstance(a, list)
+        or isinstance(a, (dsl.Validator, type))
+        or callable(a)
+        or dsl._lit_comparable(a, elem_t)
+    ]
+    return bool(viable) and all(isinstance(a, list) for a in viable)
 
 
 def _maybe_none_collapse(key_path, singles, arrs, off_col, off_t):
