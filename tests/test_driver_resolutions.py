@@ -1,0 +1,253 @@
+"""Single-document driver resolutions: values a typed one-row DataFrame
+cannot carry faithfully are resolved driver-side with the reference's
+exact semantics (schema._resolve_driver_values):
+
+- EXPLICIT None values — validator(None) matrix (dsl.none_verdict),
+  probed case-by-case against reference validators.py/util.py.
+- MIXED-type sequences — element-wise rides replicating
+  _compile_sequence (schema_builder.py:578-632), _compile_set (:665-703),
+  ExactSequence (validators.py:920-956), Unordered greedy
+  (validators.py:1035-1113).
+- Python CLASSES as data values — In/NotIn membership driver-side
+  (validators.py:842-846, 874-878).
+- Root NON-mapping schemas over dict documents — Equal/Literal
+  deep-compare, Msg/All/Schema re-entry (_compile_scalar,
+  schema_builder.py:770-818).
+- Coerce(Enum) at the root yields the Enum MEMBER (validators.py:151).
+
+These freeze the behaviors independently of the reference checkout (the
+reference-corpus suites re-verify them against the reference when it is
+available)."""
+
+import enum
+
+import pytest
+
+import voluptuous_spark as vs
+from voluptuous_spark import exceptions as er
+
+
+def _err(fn, *args):
+    with pytest.raises(er.MultipleInvalid) as ctx:
+        fn(*args)
+    return ctx.value.errors
+
+
+# ---------------------------------------------------------------------------
+# explicit None values
+
+
+def test_none_scalar_validators(spark):
+    errs = _err(vs.Schema({"email": vs.Email()}), {"email": None})
+    assert str(errs[0]) == (
+        "expected an email address for dictionary value @ data['email']"
+    )
+    assert isinstance(errs[0], er.EmailInvalid)
+
+    errs = _err(vs.Schema({"url": vs.Url()}), {"url": None})
+    assert errs[0].msg == "expected a URL"
+
+    errs = _err(vs.Schema({"x": int}), {"x": None})
+    assert errs[0].msg == "expected int"
+    assert isinstance(errs[0], er.TypeInvalid)
+
+    errs = _err(vs.Schema({"x": vs.Coerce(int)}), {"x": None})
+    assert errs[0].msg == "expected int"
+
+    errs = _err(vs.Schema({"x": vs.Range(min=1)}), {"x": None})
+    assert errs[0].msg == (
+        "invalid value or type (must have a partial ordering)"
+    )
+
+
+def test_none_accepting_validators(spark):
+    s = vs.Schema({"x": vs.Maybe(int)})
+    assert s({"x": None}) == {"x": None}
+    s = vs.Schema({"x": vs.Boolean()})
+    assert s({"x": None}) == {"x": False}
+    s = vs.Schema({"x": vs.Lower})
+    assert s({"x": None}) == {"x": "none"}
+    s = vs.Schema({"x": vs.DefaultTo(7)})
+    assert s({"x": None}) == {"x": 7}
+    s = vs.Schema({"x": vs.Equal(None)})
+    assert s({"x": None}) == {"x": None}
+    s = vs.Schema({"x": vs.In(["a", None])})
+    assert s({"x": None}) == {"x": None}
+    # NotIn passes None when None is not a member (validators.py:874-878)
+    s = vs.Schema({"x": vs.NotIn(["a", "b"])})
+    assert s({"x": None}) == {"x": None}
+
+
+def test_none_required_key_validates_value(spark):
+    # a PRESENT-with-None required key is a VALUE error, not a missing key
+    errs = _err(
+        vs.Schema({vs.Required("x"): int}), {"x": None}
+    )
+    assert errs[0].msg == "expected int"
+    assert not any(
+        isinstance(e, er.RequiredFieldInvalid) for e in errs
+    )
+
+
+def test_none_extra_policies(spark):
+    base = {"x": 1, "y": None}
+    assert vs.Schema({"x": int}, extra=vs.ALLOW_EXTRA)(base) == {
+        "x": 1, "y": None,
+    }
+    assert vs.Schema({"x": int}, extra=vs.REMOVE_EXTRA)(base) == {"x": 1}
+    errs = _err(vs.Schema({"x": int}), base)
+    assert str(errs[0]) == "extra keys not allowed @ data['y']"
+
+
+def test_none_nested_and_groups_untouched(spark):
+    errs = _err(vs.Schema({"a": {"b": int}}), {"a": {"b": None}})
+    assert errs[0].path == ["a", "b"]
+    # presence-counting group levels keep the NULL-is-absent rule: the
+    # None value is NOT validated (the reference would raise TypeInvalid
+    # here) and passes through — the documented divergence for exactly
+    # these levels
+    s = vs.Schema({
+        vs.Exclusive("a", "g"): int, vs.Exclusive("b", "g"): int,
+    })
+    assert s({"a": None, "b": 1}) == {"a": None, "b": 1}
+
+
+def test_none_at_root(spark):
+    errs = _err(vs.Schema(vs.Email()), None)
+    assert errs[0].msg == "expected an email address"
+    assert vs.Schema(vs.Maybe(int))(None) is None
+    errs = _err(vs.Schema(5), None)
+    assert errs[0].msg == "not a valid value"
+
+
+# ---------------------------------------------------------------------------
+# mixed-type sequences
+
+
+def test_mixed_sequence_root(spark):
+    s = vs.Schema(["one", "two", int])
+    assert s(["one", 1]) == ["one", 1]
+    errs = _err(s, [3.5])
+    assert str(errs[0]) == "expected int @ data[0]"
+
+
+def test_mixed_sequence_remove(spark):
+    s = vs.Schema([vs.Remove(1), int])
+    assert s([1, 2, 3, 4, 1, 5, 6, 1, 1, 1]) == [2, 3, 4, 5, 6]
+    s = vs.Schema([1.0, vs.Remove(float), int])
+    assert s([1, 2, 1.0, 2.0, 3.0, 4]) == [1, 2, 1.0, 4]
+
+
+def test_mixed_sequence_dict_value_path(spark):
+    errs = _err(
+        vs.Schema({"string_key": [int]}),
+        {"string_key": [123, "should be int"]},
+    )
+    assert errs[0].path == ["string_key", 1]
+    assert errs[0].msg == "expected int"
+    errs = _err(
+        vs.Schema({"string_key": (int,)}),
+        {"string_key": (123, "should be int")},
+    )
+    assert errs[0].path == ["string_key", 1]
+
+
+def test_mixed_set_schema(spark):
+    s = vs.Schema({int, str})
+    assert s({42, "abc"}) == {42, "abc"}
+    errs = _err(s, {None})
+    assert errs[0].msg == "invalid value in set"
+    fs = vs.Schema(frozenset([int, str]))
+    assert fs(frozenset([42, "abc"])) == frozenset([42, "abc"])
+
+
+def test_mixed_exact_sequence(spark):
+    s = vs.Schema(vs.ExactSequence([str, int, list, list]))
+    assert s(["hourly_report", 10, [], []]) == ["hourly_report", 10, [], []]
+    assert s(("hourly_report", 10, [], [])) == ("hourly_report", 10, [], [])
+
+
+def test_mixed_unordered_greedy(spark):
+    s = vs.Schema(vs.Unordered([int, str]))
+    assert s([1, "2"]) == [1, "2"]
+    assert s(["1", 2]) == ["1", 2]
+    # greedy first-consumption: int eats the 3, literal 3 starves
+    errs = _err(vs.Schema(vs.Unordered([int, 3])), [3, 2])
+    assert "Element #1 (2) is not valid" in errs[0].msg
+    assert vs.Schema(vs.Unordered([3, int]))([3, 2]) == [3, 2]
+
+
+def test_mixed_literal_dicts(spark):
+    s = vs.Schema([vs.Literal({"a": 1}), vs.Literal({"b": 1})])
+    assert s([{"a": 1}, {"b": 1}]) == [{"a": 1}, {"b": 1}]
+    errs = _err(s, [{"c": 1}])
+    assert str(errs[0]) == "{'c': 1} not match for {'b': 1} @ data[0]"
+    assert isinstance(errs[0], er.LiteralInvalid)
+
+
+# ---------------------------------------------------------------------------
+# classes as data values
+
+
+def test_class_value_membership(spark):
+    s = vs.Schema({"type": vs.In((int, str, float))})
+    assert s({"type": float}) == {"type": float}
+    errs = _err(s, {"type": dict})
+    assert str(errs[0]) == (
+        "value must be one of [<class 'float'>, <class 'int'>, "
+        "<class 'str'>] for dictionary value @ data['type']"
+    )
+    s = vs.Schema({"type": vs.NotIn((int, str, float))})
+    assert s({"type": 42}) == {"type": 42}
+    errs = _err(s, {"type": str})
+    assert "value must not be one of" in errs[0].msg
+
+
+# ---------------------------------------------------------------------------
+# root non-mapping schemas over dict documents
+
+
+def test_validator_over_dict_document(spark):
+    assert vs.Schema(vs.Equal({"a": 1}))({"a": 1}) == {"a": 1}
+    errs = _err(vs.Schema(vs.Equal({"a": 1})), {"b": 2})
+    assert errs[0].msg == (
+        "Values are not equal: value:{'b': 2} != target:{'a': 1}"
+    )
+    assert vs.Schema(vs.Literal({"a": 1}))({"a": 1}) == {"a": 1}
+    errs = _err(vs.Schema(vs.Literal({"a": 1})), {"b": 1})
+    assert errs[0].msg == "{'b': 1} not match for {'a': 1}"
+    assert vs.Schema(vs.All({"a": int}))({"a": 1}) == {"a": 1}
+    assert vs.Schema(vs.Msg({"a": int}, "custom"))({"a": 1}) == {"a": 1}
+    errs = _err(vs.Schema(vs.Msg({"a": int}, "custom")), {"a": "x"})
+    assert errs[0].msg == "custom"
+    # depth>1 passes through the Msg override (schema_builder.py:946-949)
+    errs = _err(
+        vs.Schema(vs.Msg({"a": {"b": int}}, "custom")), {"a": {"b": "x"}}
+    )
+    assert errs[0].path == ["a", "b"]
+    assert vs.Schema(vs.Schema({"a": int}))({"a": 1}) == {"a": 1}
+
+
+# ---------------------------------------------------------------------------
+# Coerce(Enum) member at the root
+
+
+def test_coerce_enum_member(spark):
+    class Choice(enum.Enum):
+        Easy = 1
+        Medium = 2
+        Hard = 3
+
+    class StringChoice(str, enum.Enum):
+        Easy = "easy"
+        Medium = "medium"
+        Hard = "hard"
+
+    assert vs.Schema(vs.Coerce(Choice))(1) is Choice.Easy
+    assert vs.Schema(vs.Coerce(StringChoice))("easy") is StringChoice.Easy
+    errs = _err(vs.Schema(vs.Coerce(Choice)), 4)
+    assert errs[0].msg == "expected Choice or one of 1, 2, 3"
+    errs = _err(vs.Schema(vs.Coerce(StringChoice)), "hello")
+    assert errs[0].msg == (
+        "expected StringChoice or one of 'easy', 'medium', 'hard'"
+    )

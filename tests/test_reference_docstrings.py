@@ -39,8 +39,6 @@ EXPECTED_DIVERGENCES = {
         "map document mixes int and float values (no column type)",
     ("voluptuous.schema_builder.Remove", 7):
         "map document mixes int and str KEYS (no MapType key type)",
-    ("voluptuous.schema_builder.Remove", 10):
-        "mixed-type sequence [1, 2, 3, 4.0, ..., '7']",
     ("voluptuous.schema_builder.Schema._compile_dict", 36):
         "digit-string key '10' renders data[10] (engine restores numeric "
         "path components for list indexes / numeric map keys)",
@@ -50,22 +48,6 @@ EXPECTED_DIVERGENCES = {
     ("voluptuous.validators.Any", 10):
         "transforming validators inside Any branches are validation-only "
         "(identity output) — one column type per field",
-    ("voluptuous.validators.Coerce", 8):
-        "explicit None value reads as absent key (engine-wide rule)",
-    ("voluptuous.validators.ExactSequence", 9):
-        "mixed-type sequence ['hourly_report', 10, [], []]",
-    ("voluptuous.validators.ExactSequence", 11):
-        "mixed-type sequence ('hourly_report', 10, [], [])",
-    ("voluptuous.validators.Unordered", 8):
-        "mixed-type sequence ['foo', 1]",
-    ("voluptuous.validators.Unordered", 10):
-        "mixed-type sequence [1, 'foo']",
-    ("voluptuous.validators.IsDir", 4):
-        "IsDir()(None): explicit None reads as absent key",
-    ("voluptuous.validators.IsFile", 6):
-        "IsFile()(None): explicit None reads as absent key",
-    ("voluptuous.validators.PathExists", 6):
-        "PathExists()(None): explicit None reads as absent key",
 }
 
 

@@ -34,8 +34,6 @@ _SHIM_NAMES = (
 
 # example lineno (fence-stripped source) -> documented reason
 EXPECTED_DIVERGENCES = {
-    256: "mixed-type sequence ['a', 1, 'string', 1, 'string']",
-    301: "mixed-type set {1, 2, 'abc'}",
     442: "dict value schema under a dynamic-key MapType "
          "(Schema({1: {Extra: object}})): nested per-entry mapping "
          "validation inside transform_values is not expressible",

@@ -39,41 +39,13 @@ _SHIM_NAMES = (
 
 # name -> documented divergence (STRICT xfail: these must keep failing)
 XFAIL = {
-    # -- typed columns cannot hold heterogeneous sequences ------------------
-    "test_remove": "mixed-type sequence [1, 2, 1.0, ...] has no column type",
-    "test_unordered": "mixed-type sequence [1, '2'] has no column type",
-    "test_path_with_list_index": "mixed-type sequence value",
-    "test_path_with_tuple_index": "mixed-type sequence value",
-    "test_path_with_arbitrary_hashable_dict_key":
-        "arbitrary hashable objects as dict keys + mixed-type sequence",
-    "test_set_of_integers_and_strings": "mixed-type set literal",
-    "test_frozenset_of_integers_and_strings": "mixed-type frozenset literal",
-    "test_literal":
-        "one array column cannot hold dicts of differing shapes "
-        "({'a': 1} vs {'b': 1})",
-    # -- Python classes as DATA VALUES have no cell type --------------------
-    "test_in_unsortable_container":
-        "In((int, str, float)) with a CLASS as the data value",
-    "test_not_in_unsortable_container":
-        "NotIn((int, str, float)) with a CLASS as the data value",
     # -- non-scalar / mixed-type dict keys -----------------------------------
+    "test_path_with_arbitrary_hashable_dict_key":
+        "arbitrary hashable objects as dict keys",
     "test_path_with_tuple_dict_key":
         "tuple dict keys are not representable as a MapType key",
     "test_required_complex_key_mixed_types":
         "one MapType column cannot mix int and str data keys",
-    # -- NULL means 'key absent' in column land ------------------------------
-    "test_email_validation_with_none":
-        "explicit None value reads as absent key (engine-wide rule)",
-    "test_any_with_discriminant":
-        "explicit None value reads as absent key (engine-wide rule)",
-    "test_fqdn_url_validation_with_bad_data[1]":
-        "explicit None value reads as absent key (engine-wide rule)",
-    "test_url_validation_with_bad_data[0]":
-        "explicit None value reads as absent key (engine-wide rule)",
-    # -- documented Coerce(Enum) accept-side divergence ----------------------
-    "test_coerce_enum":
-        "Coerce(Enum) validates membership but yields the raw value, "
-        "not the Enum member (documented in dsl.Coerce)",
 }
 
 

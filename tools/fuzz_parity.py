@@ -387,6 +387,33 @@ def gen_list_spec(rng):
     return ("Contains", rng.choice(pool)), sample
 
 
+_NONE_UNSAFE_HEADS = {"Number", "Replace", "UnionDisc", "PyCallable",
+                      "CLS", "SelfRef", "AnyReq", "KW", "err"}
+
+
+def _none_safe(spec) -> bool:
+    """May an EXPLICIT ``None`` value be drawn for a key with this value
+    spec?  True only when the engine's driver-side ``none_verdict`` covers
+    every node the spec can compile to (schema._resolve_doc_nones); heads
+    the verdict bails on (discriminant Unions, Number/Replace crash-parity,
+    custom classes, callables) keep the documented NULL-is-absent
+    divergence and are excluded from the None draw."""
+    if isinstance(spec, tuple):
+        if spec and spec[0] in _NONE_UNSAFE_HEADS:
+            return False
+        return all(_none_safe(s) for s in spec[1:])
+    if isinstance(spec, dict):
+        for k, v in spec.items():
+            if isinstance(k, tuple) and k[0] in ("Exclusive", "Inclusive"):
+                return False
+            if not _none_safe(v):
+                return False
+        return True
+    if isinstance(spec, (list, set, frozenset)):
+        return all(_none_safe(s) for s in spec)
+    return True
+
+
 def gen_dict_spec(rng, depth):
     sub = {}
     samplers = {}
@@ -412,6 +439,34 @@ def gen_dict_spec(rng, depth):
             if k not in group_keys or r.random() > 0.45
         }
 
+    # explicit-None draw for nested keys the resolution walk reaches
+    # (plain-dict and Schema-instance values only; wrapper branches
+    # below keep the None-free sampler — their nested Nones stay on the
+    # documented NULL-is-absent path)
+    none_ok = (set() if group_keys else {
+        k for k, s in sub.items()
+        if isinstance(k, str) and _none_safe(s)
+    })
+
+    def sample_nones(r):
+        d = sample(r)
+        for k in list(d):
+            if k in none_ok and r.random() < 0.12:
+                d[k] = None
+        return d
+
+    def _strip_nones(d):
+        # message-rewriting wrappers (Msg) block the driver-resolution
+        # walk: explicit Nones under them keep the documented
+        # NULL-is-absent rule, so the grammar does not draw them there
+        if isinstance(d, dict):
+            return {k: _strip_nones(v) for k, v in d.items()
+                    if v is not None}
+        return d
+
+    def sample_stripped(r):
+        return _strip_nones(sample(r))
+
     p = rng.random()
     if p < 0.1:
         # dynamic-key map schema {str: v} (schema_builder.py:469-488):
@@ -436,16 +491,17 @@ def gen_dict_spec(rng, depth):
         # engine-wide documented divergence — which under required=True
         # would flag mismatches that aren't parity bugs); the null-pass
         # path is frozen in test_reference_parity CASES instead.
-        return ("Maybe", sub), sample
+        return ("Maybe", sub), sample_nones
     if p < 0.28:
         # Msg over a nested dict schema: the depth<=1 override rule
         # (schema_builder.py:946-949) — only direct descendants get the
-        # custom message
-        return ("Msg", sub, "fuzz dict message"), sample
+        # custom message. Nested explicit Nones are stripped: Msg blocks
+        # the driver-resolution walk (documented NULL-is-absent there)
+        return ("Msg", sub, "fuzz dict message"), sample_stripped
     if p < 0.32:
         # Schema instance as the value: callable re-entry with its OWN
         # required flag and boundary-key path prepend
-        return ("Schema", sub, rng.random() < 0.5), sample
+        return ("Schema", sub, rng.random() < 0.5), sample_nones
     if p < 0.40 and depth < 2:
         # Union with the canonical tag discriminant (validators.py:
         # 343-382): branches are dicts whose literal 'tag' routes the
@@ -489,7 +545,7 @@ def gen_dict_spec(rng, depth):
         def sample_any(r):
             return (f1 if r.random() < 0.5 else f2)(r)
         return ("Any", s1, s2), sample_any
-    return sub, sample
+    return sub, sample_nones
 
 
 def _gen_plain_spec(rng):
@@ -540,9 +596,11 @@ def gen_case(seed):
     nkeys = rng.randint(1, 3)
     schema = {}
     samplers = []  # (key, sample_fn, marker)
+    key_specs = {}
     for i in range(nkeys):
         key = f"k{i}"
         spec, fn = gen_value_spec(rng)
+        key_specs[key] = spec
         p = rng.random()
         if p < 0.08:
             # Remove: value never validated, key dropped from the output
@@ -594,11 +652,23 @@ def gen_case(seed):
             # present/absent combinations of the pair are drawn
             if rng.random() < (0.45 if key in group_keys else 0.12):
                 continue  # absent key
+            # explicit-None draw (single-doc resolution path); skipped
+            # when a group pair was drawn — presence-counting levels
+            # keep the documented NULL-is-absent rule
+            if (not group_keys and rng.random() < 0.10
+                    and key in key_specs and _none_safe(key_specs[key])):
+                doc[key] = None
+                continue
             # wild draw: a value of a random type, exercising the
             # cross-type (Python-semantics) degradation paths
             doc[key] = _wild(rng) if rng.random() < 0.15 else fn(rng)
         if kw.get("extra") is not None and rng.random() < 0.3:
             doc["zz_extra"] = rng.choice(STRS)
+        if not group_keys and rng.random() < 0.08:
+            # explicit-None EXTRA key: exercises all three extra policies
+            # (reference keeps it under ALLOW, drops under REMOVE, errors
+            # under the PREVENT default)
+            doc["zz_none"] = None
         docs.append(doc)
     if kw_extra_pending and _has_dict_branch_combinator(schema):
         # REMOVE_EXTRA pruning INSIDE an Any/Union dict branch is the

@@ -24,6 +24,7 @@ keys skip validation of NULL cells. ``Maybe`` explicitly admits NULL.
 
 from __future__ import annotations
 
+import enum
 import re as _re
 import typing
 
@@ -2973,6 +2974,279 @@ class PathExists(CallableValidator):
         super().__init__(_path_probe("exists"),
                          msg=msg or "path does not exist",
                          error_type="PathInvalid", truth_mode=True)
+
+
+# -- explicit-None semantics (single-document mode) --------------------------
+#
+# In column land NULL means "key absent" (the engine-wide table rule: a
+# DataFrame cell cannot distinguish a missing key from an explicit null).
+# The single-document path CAN distinguish them — the Python dict is right
+# there — so Schema.__call__ resolves explicit-None values driver-side with
+# the reference's exact validator(None) semantics, probed one validator at
+# a time against /root/reference (validators.py / util.py; see
+# tests/test_reference_parity.py None cases). Verdicts that cannot be
+# decided driver-side return None and the documented NULL-is-absent rule
+# keeps applying to that path.
+
+_VERDICT_BAIL = None
+
+
+def _none_err(errs):
+    if not isinstance(errs, list):
+        errs = [errs]
+    return ("error", errs)
+
+
+def none_verdict(node, self_schema=None):
+    """Reference semantics of validating an EXPLICIT ``None`` value.
+
+    Returns ``('accept', out_value)`` (None passes, possibly transformed),
+    ``('error', [Invalid, ...])`` (the reference raises; paths are relative
+    to the node), or ``None`` — unknown, keep the engine's NULL-is-absent
+    behavior for this path. ``self_schema`` resolves ``Self`` references.
+    """
+    from . import exceptions as er
+    from .schema import Schema as _Schema
+
+    # -- nodes that ACCEPT None ---------------------------------------------
+    if node is None or node is type(None):
+        return ("accept", None)
+    if isinstance(node, _Schema):
+        return none_verdict(node.schema, self_schema)
+    if isinstance(node, Maybe):
+        return ("accept", None)
+    if isinstance(node, DefaultTo):
+        d = node.default_value
+        return ("accept", d() if callable(d) else d)
+    if isinstance(node, SetTo):
+        v = node.value
+        return ("accept", v() if callable(v) else v)
+    if isinstance(node, Boolean):
+        return ("accept", False)          # bool(None) (validators.py:239)
+    if isinstance(node, IsFalse):
+        return ("accept", None)           # falsy passes (validators.py:207)
+    if isinstance(node, Object):
+        return ("accept", None)           # _compile_object iterates no attrs
+    # bare transform functions str()-cast first (util.py:15-62)
+    if node is Lower or isinstance(node, Lower):
+        return ("accept", "none")
+    if node is Upper or isinstance(node, Upper):
+        return ("accept", "NONE")
+    if (node is Strip or node is Capitalize or node is Title
+            or isinstance(node, (Strip, Capitalize, Title))):
+        return ("accept", "None")
+    if isinstance(node, NotIn):
+        try:
+            inside = None in node.container
+        except TypeError:
+            inside = False
+        if not inside:
+            return ("accept", None)
+        return _none_err(er.NotInInvalid(
+            node.msg or "value must not be one of %s"
+            % _sorted_repr(node.container)))
+    if isinstance(node, In):
+        try:
+            inside = None in node.container
+        except TypeError:
+            inside = False
+        if inside:
+            return ("accept", None)
+        return _none_err(er.InInvalid(
+            node.msg or "value must be one of %s"
+            % _sorted_repr(node.container)))
+    if isinstance(node, Equal):
+        if node.target is None:
+            return ("accept", None)
+        return _none_err(er.Invalid(
+            node.msg or "Values are not equal: value:%s != target:%s"
+            % (None, node.target)))
+
+    # -- combinators --------------------------------------------------------
+    if isinstance(node, Msg):
+        inner = none_verdict(node.schema, self_schema)
+        if inner is None or inner[0] == "accept":
+            return inner
+        e = inner[1][0]
+        if len(e.path) > 1:               # depth rule (schema_builder.py:946)
+            return inner
+        cls = node.cls
+        if isinstance(cls, str):
+            cls = er._BY_NAME.get(cls, er.Invalid)
+        return _none_err((cls or er.Invalid)(node.msg))
+    if isinstance(node, Marker):          # marker as a VALUE: unwrap
+        return none_verdict(node.schema, self_schema)
+    if isinstance(node, All):
+        v = None
+        subs = list(node.validators)
+        for i, sub in enumerate(subs):
+            nv = none_verdict(sub, self_schema)
+            if nv is None:
+                return _VERDICT_BAIL
+            kind, payload = nv
+            if kind == "error":
+                if node.msg:
+                    return _none_err(er.AllInvalid(node.msg))
+                return ("error", payload)
+            v = payload
+            if v is not None:
+                # value left None-land: the remaining stages are ordinary
+                # values — delegate to the engine's own single-doc path
+                rest = subs[i + 1:]
+                if not rest:
+                    return ("accept", v)
+                try:
+                    return ("accept", _Schema(All(*rest))(v))
+                except er.MultipleInvalid as e:
+                    if node.msg:
+                        return _none_err(er.AllInvalid(node.msg))
+                    return ("error", list(e.errors))
+        return ("accept", v)
+    if isinstance(node, SomeOf):
+        passed, errors = 0, []
+        for sub in node.validators:
+            nv = none_verdict(sub, self_schema)
+            if nv is None:
+                return _VERDICT_BAIL
+            kind, payload = nv
+            if kind == "accept":
+                if payload is not None:
+                    return _VERDICT_BAIL  # value threading leaves None-land
+                passed += 1
+            else:
+                errors.append(payload[0])
+        lo = node.min_valid or 0
+        hi = node.max_valid if node.max_valid is not None else len(
+            list(node.validators))
+        if lo <= passed <= hi:
+            return ("accept", None)
+        msg = node.msg or ", ".join(str(e) for e in errors)
+        if passed > hi:
+            return _none_err(er.TooManyValid(msg))
+        return _none_err(er.NotEnoughValid(msg))
+    if isinstance(node, Union) and node.discriminant is not None:
+        return _VERDICT_BAIL              # user callable routes on the value
+    if isinstance(node, Any):             # covers Or/Union-sans-discriminant
+        best = None
+        for sub in node.validators:
+            nv = none_verdict(sub, self_schema)
+            if nv is None:
+                return _VERDICT_BAIL
+            kind, payload = nv
+            if kind == "accept":
+                return ("accept", payload)
+            e = payload[0]
+            if best is None or len(e.path) > len(best.path):
+                best = e              # deepest wins, ties keep the FIRST
+        if best is None:
+            return _none_err(er.AnyInvalid(node.msg or "no valid value found"))
+        if node.msg:
+            return _none_err(er.AnyInvalid(node.msg))
+        return _none_err(best)
+
+    # -- scalar validators that REJECT None ---------------------------------
+    if isinstance(node, Coerce):
+        if node.msg:
+            return _none_err(er.CoerceInvalid(node.msg))
+        name = getattr(node.type, "__name__", str(node.type))
+        message = "expected %s" % name
+        if isinstance(node.type, type) and issubclass(node.type, enum.Enum):
+            values = [e.value for e in node.type]
+            message += " or one of " + str(values)[1:-1]
+        return _none_err(er.CoerceInvalid(message))
+    if isinstance(node, Match):
+        return _none_err(er.MatchInvalid("expected string or buffer"))
+    if isinstance(node, Email):
+        return _none_err(er.EmailInvalid(
+            node.msg or "expected an email address"))
+    if isinstance(node, FqdnUrl):
+        return _none_err(er.UrlInvalid(
+            node.msg or "expected a fully qualified domain name URL"))
+    if isinstance(node, Url):
+        return _none_err(er.UrlInvalid(node.msg or "expected a URL"))
+    if isinstance(node, IsTrue):
+        return _none_err(er.TrueInvalid(node.msg or "value was not true"))
+    if isinstance(node, (Range, Clamp)):
+        return _none_err(er.RangeInvalid(
+            node.msg
+            or "invalid value or type (must have a partial ordering)"))
+    if isinstance(node, Length):
+        return _none_err(er.RangeInvalid(node.msg or "invalid value or type"))
+    if isinstance(node, Date):
+        return _none_err(er.DateInvalid(
+            node.msg or "value does not match expected format %s"
+            % node.format))
+    if isinstance(node, Datetime):
+        return _none_err(er.DatetimeInvalid(
+            node.msg or "value does not match expected format %s"
+            % node.format))
+    if isinstance(node, Contains):
+        return _none_err(er.ContainsInvalid(node.msg or "value is not allowed"))
+    if isinstance(node, Unique):
+        return _none_err(er.TypeInvalid(
+            node.msg or "contains unhashable elements: "
+            "'NoneType' object is not iterable"))
+    if isinstance(node, Set):
+        return _none_err(er.TypeInvalid(
+            "cannot be presented as set: 'NoneType' object is not iterable"))
+    if isinstance(node, Literal):
+        return _none_err(er.LiteralInvalid(
+            "%s not match for %s" % (None, node.lit)))
+    if isinstance(node, ExactSequence):
+        return _none_err(er.ExactSequenceInvalid(node.msg))
+    if isinstance(node, Unordered):
+        return _none_err(er.Invalid("Value None is not sequence!"))
+    if isinstance(node, IsFile):
+        return _none_err(er.FileInvalid("Not a file"))
+    if isinstance(node, IsDir):
+        return _none_err(er.DirInvalid("Not a directory"))
+    if isinstance(node, PathExists):
+        return _none_err(er.PathInvalid("Not a Path"))
+    if isinstance(node, CallableValidator):
+        cls = er._BY_NAME.get(node.error_type, er.Invalid)
+        default_msg = node.msg or "not a valid value"
+        try:
+            r = node.fn(None)
+        except er.Invalid as e:
+            return _none_err(e)
+        except (ValueError, TypeError):
+            return _none_err(cls(default_msg))
+        if node.truth_mode:
+            if r:
+                return ("accept", None)
+            return _none_err(cls(default_msg))
+        return ("accept", r)
+
+    # -- structural nodes ---------------------------------------------------
+    if isinstance(node, _SelfSentinel):
+        if self_schema is not None and not isinstance(
+                self_schema, _SelfSentinel):
+            return none_verdict(self_schema, None)
+        return _VERDICT_BAIL
+    if isinstance(node, dict):
+        return _none_err(er.DictInvalid("expected a dictionary"))
+    if isinstance(node, list):
+        return _none_err(er.SequenceTypeInvalid("expected a list"))
+    if isinstance(node, tuple):
+        return _none_err(er.SequenceTypeInvalid("expected a tuple"))
+    if isinstance(node, (set, frozenset)):
+        return _none_err(er.Invalid(
+            "expected a %s" % type(node).__name__))
+    if isinstance(node, type):
+        return _none_err(er.TypeInvalid("expected %s" % node.__name__))
+    if isinstance(node, (str, bytes, int, float, complex)):
+        return _none_err(er.ScalarInvalid("not a valid value"))
+    if callable(node) and not isinstance(node, Validator):
+        # bare Python callable: run it exactly like the reference's
+        # _compile_scalar (schema_builder.py:800-811); a TypeError from
+        # user code propagates there too (crash parity)
+        try:
+            return ("accept", node(None))
+        except er.Invalid as e:
+            return _none_err(e)
+        except ValueError:
+            return _none_err(er.ValueInvalid("not a valid value"))
+    return _VERDICT_BAIL
 
 
 class Object(dict):

@@ -23,6 +23,7 @@ Scale notes (10^12-row design):
 
 from __future__ import annotations
 
+import enum as _enum
 import typing
 
 from pyspark.sql import Column, DataFrame
@@ -237,7 +238,6 @@ class Schema:
             raise RuntimeError(
                 "Schema.__call__ needs an active SparkSession"
             )
-        _assert_representable(data)
         if isinstance(self.schema, type) and self.schema in (
             dict, list, tuple, set, frozenset,
         ):
@@ -272,6 +272,25 @@ class Schema:
                         "not a valid value", path=list(data)
                     )])
                 return seq_cls()
+        if (isinstance(data, (list, tuple, set, frozenset))
+                and _is_mixed_seq(data)):
+            # MIXED-type root sequence ([1, 'a'], differing struct
+            # shapes): no ArrayType can carry it — validate element-wise
+            # driver-side with the reference's exact sequence semantics
+            # (each element rides the column engine individually)
+            from . import exceptions as er
+
+            nv = _mixed_seq_verdict(
+                self.schema, data, required=self.required, extra=self.extra)
+            if nv is not None:
+                kind, payload = nv
+                if kind == "accept":
+                    return payload
+                raise er.MultipleInvalid(payload)
+        if not isinstance(data, dict):
+            # dict documents are checked AFTER the driver-resolution walk
+            # (which lifts mixed-type/None values out of the ride)
+            _assert_representable(data)
         if isinstance(self.schema, dsl.Object) and not isinstance(data, dict):
             return self._call_object_doc(data, spark)
         if (
@@ -291,6 +310,14 @@ class Schema:
             return self._call_scalar_doc(data, spark)
         if data and not all(isinstance(k, str) for k in data):
             return self._call_map_doc(data, spark)
+        if not isinstance(self.schema, dict) and isinstance(
+            self.schema, (Schema, dsl.Msg, dsl.All, dsl.Equal, dsl.Literal)
+        ):
+            # root NON-mapping schema over a dict document (reference
+            # _compile_scalar path: Equal/Literal deep-compare dicts,
+            # Msg/All/Schema re-enter the compiler) — the dict flow below
+            # assumes a mapping schema, so route driver-side
+            return self._call_validator_dict_doc(data, spark)
         gated = _reinstate_set_gates(self.schema, data)
         if gated is not None:
             return Schema(gated, required=self.required, extra=self.extra)(
@@ -325,20 +352,95 @@ class Schema:
                         k2: v2 for k2, v2 in _iterate_object_attrs(o)
                         if v2 is not None
                     }
+        driver_res = ()
+        if isinstance(self.schema, dict) and not isinstance(
+                self.schema, dsl.Object):
+            data, driver_res = _resolve_driver_values(
+                self.schema, data, self.extra, self.schema
+            )
+        _assert_representable(data)
         stype = self._infer_doc_type(data)
         df = spark.createDataFrame([_to_row_value(data, stype)], stype)
         res = self.validate(df, id_cols=[])
-        raise_if_invalid(res)
+        if driver_res:
+            _merge_driver_resolutions(res, driver_res)
+        else:
+            raise_if_invalid(res)
         rows = res.valid.collect()
         out = rows[0].asDict(recursive=True)
         if isinstance(self.schema, dict):
             _strip_removed(out, self.schema)
+        for p, kind, payload in driver_res:
+            if kind == "accept":
+                _set_nested(out, p, payload)
+            elif kind == "drop":
+                cur = out
+                for comp in p[:-1]:
+                    cur = cur.get(comp) if isinstance(cur, dict) else None
+                    if cur is None:
+                        break
+                if isinstance(cur, dict):
+                    cur.pop(p[-1], None)
         for name, o in obj_originals.items():
             try:
                 out[name] = type(o)(**out[name])
             except TypeError:
                 out[name] = o
         return out
+
+    def _call_validator_dict_doc(self, data: dict, spark):
+        """Root NON-mapping schema over a dict document (reference
+        ``_compile_scalar``, schema_builder.py:770-818: ``Equal`` /
+        ``Literal`` deep-compare dicts; ``Msg``/``All``/``Schema`` re-enter
+        the compiler with the document). Driver-side — the dict engine
+        flow assumes a mapping schema."""
+        from . import exceptions as er
+
+        node = self.schema
+        if isinstance(node, Schema):
+            return type(self)(
+                node.schema, required=node.required, extra=node.extra
+            )(data, spark)
+        if isinstance(node, dsl.Msg):
+            try:
+                return type(self)(
+                    node.schema, required=self.required, extra=self.extra
+                )(data, spark)
+            except er.MultipleInvalid as e:
+                if len(e.errors[0].path) > 1:  # depth rule
+                    raise
+                cls = node.cls
+                if isinstance(cls, str):
+                    cls = er._BY_NAME.get(cls, er.Invalid)
+                raise er.MultipleInvalid(
+                    [(cls or er.Invalid)(node.msg)]) from None
+        if isinstance(node, dsl.All):
+            v = data
+            for sub in node.validators:
+                try:
+                    v = type(self)(
+                        sub, required=self.required, extra=self.extra
+                    )(v, spark)
+                except er.MultipleInvalid:
+                    if node.msg:
+                        raise er.MultipleInvalid(
+                            [er.AllInvalid(node.msg)]) from None
+                    raise
+            return v
+        if isinstance(node, dsl.Equal):
+            if data != node.target:
+                raise er.MultipleInvalid([er.Invalid(
+                    node.msg or "Values are not equal: value:%s != target:%s"
+                    % (data, node.target))])
+            return data
+        if isinstance(node, dsl.Literal):
+            if node.lit != data:
+                raise er.MultipleInvalid([er.LiteralInvalid(
+                    "%s not match for %s" % (data, node.lit))])
+            return node.lit
+        raise UnsupportedSchema(  # pragma: no cover - caller filters kinds
+            "schema %r over a dict document is not supported in "
+            "single-document mode" % (node,))
 
     def _call_scalar_doc(self, data, spark):
         """Top-level NON-dict document (``Schema(int)(5)`` -> ``5``,
@@ -370,6 +472,36 @@ class Schema:
         if data is None and isinstance(self.schema, dsl.SetTo):
             v = self.schema.value
             return v() if callable(v) else v
+        if (
+            isinstance(self.schema, dsl.Coerce)
+            and isinstance(self.schema.type, type)
+            and issubclass(self.schema.type, _enum.Enum)
+        ):
+            # root Coerce(Enum) yields the Enum MEMBER exactly like the
+            # reference (validators.py:151-157: self.type(v)); a Row cell
+            # cannot hold members, so table mode keeps the raw value
+            # (documented in dsl.Coerce) — single-document mode is exact
+            try:
+                return self.schema.type(data)
+            except (ValueError, KeyError, TypeError):
+                msg = self.schema.msg
+                if not msg:
+                    name = self.schema.type.__name__
+                    values = [e.value for e in self.schema.type]
+                    msg = ("expected %s or one of " % name
+                           + str(values)[1:-1])
+                raise er.MultipleInvalid(
+                    [er.CoerceInvalid(msg)]) from None
+        if data is None:
+            # EXPLICIT root None: reference validator(None) semantics
+            # (dsl.none_verdict); unknown verdicts fall through to the
+            # documented NULL-is-absent carrier behavior
+            nv = dsl.none_verdict(self.schema, self_schema=self.schema)
+            if nv is not None:
+                kind, payload = nv
+                if kind == "accept":
+                    return payload
+                raise er.MultipleInvalid(payload)
         if (
             callable(self.schema)
             and not isinstance(self.schema, (type, dsl.Validator))
@@ -463,6 +595,7 @@ class Schema:
         order-preservation guarantee."""
         from pyspark.sql import functions as F
 
+        _assert_representable(data)
         kt = _infer_spark_type(next(iter(data)))
         vt = _infer_spark_type(next(iter(data.values())))
         stype = T.StructType(
@@ -3228,6 +3361,457 @@ def _iterate_object_attrs(obj):
     for key in slots:
         if key != "__dict__":
             yield (key, getattr(obj, key))
+
+
+_MISSING_NODE = object()
+
+
+def _type_sig(x):
+    """Recursive static-type signature of a document value: two elements
+    with different signatures cannot share one Spark column type."""
+    if x is None:
+        return None
+    if isinstance(x, bool):
+        return "bool"
+    if isinstance(x, dict):
+        return ("dict", tuple(sorted(
+            (str(k), _type_sig(v)) for k, v in x.items())))
+    if isinstance(x, (list, tuple, set, frozenset)):
+        return ("seq", tuple(sorted(
+            {repr(_type_sig(e)) for e in x})))
+    return type(x).__name__
+
+
+def _is_mixed_seq(data) -> bool:
+    """True when a sequence's elements have no single Spark element type
+    (mixed scalars, differing struct shapes, heterogeneous sub-lists) —
+    the cases a typed ArrayType column cannot carry."""
+    sigs = {_type_sig(x) for x in data if x is not None}
+    return len(sigs) > 1
+
+
+def _driver_validate_sequence(alternatives, data, spark,
+                              required=False, extra=PREVENT_EXTRA):
+    """Reference ``_compile_sequence`` (schema_builder.py:578-632)
+    replicated driver-side over per-element engine rides, for sequences a
+    typed ArrayType column cannot carry (mixed element types). Each
+    element is tried against the alternatives in order (``Remove``
+    matches drop the element); an error DEEPER than the element index
+    aborts immediately (schema_builder.py:620-623); otherwise the LAST
+    alternative's error is kept per failing element. Returns the
+    transformed element list."""
+    from . import exceptions as er
+
+    out = []
+    errors = []
+    for i, value in enumerate(data):
+        invalid = None
+        matched = False
+        for alt in alternatives:
+            remove = isinstance(alt, dsl.Remove)
+            node = alt.schema if remove else alt
+            try:
+                cval = Schema(node, required=required, extra=extra)(
+                    value, spark)
+            except er.MultipleInvalid as e:
+                first = e.errors[0]
+                if first.path:  # deep error aborts the whole sequence
+                    for sub in e.errors:
+                        sub.prepend([i])
+                    raise er.MultipleInvalid(list(e.errors)) from None
+                invalid = first
+                continue
+            except er.Invalid as e:
+                if e.path:
+                    e.prepend([i])
+                    raise er.MultipleInvalid([e]) from None
+                invalid = e
+                continue
+            matched = True
+            if not remove:
+                out.append(cval)
+            break
+        if not matched:
+            if invalid is None:
+                invalid = er.ValueInvalid("not a valid value")
+            invalid.prepend([i])
+            errors.append(invalid)
+    if errors:
+        raise er.MultipleInvalid(errors)
+    return out
+
+
+def _mixed_seq_verdict(node, v, required=False, extra=PREVENT_EXTRA):
+    """Driver verdict for a MIXED-type sequence value against a schema
+    node (the ArrayType compiler cannot carry it). Returns
+    ``('accept', out)``, ``('error', [Invalid])`` with element-relative
+    paths, or None (unknown — the documented static-typing divergence
+    keeps applying)."""
+    from . import exceptions as er
+
+    spark = None  # engine rides fetch the active session themselves
+    while isinstance(node, Schema):
+        required, extra = node.required, node.extra
+        node = node.schema
+    if isinstance(node, (list, tuple)):
+        seq_cls = list if isinstance(node, list) else tuple
+        if not isinstance(v, seq_cls):
+            return ("error", [er.SequenceTypeInvalid(
+                "expected a %s" % seq_cls.__name__)])
+        if not node:
+            return ("error", [er.ValueInvalid("not a valid value")])
+        try:
+            out = _driver_validate_sequence(
+                list(node), v, spark, required=required, extra=extra)
+        except er.MultipleInvalid as e:
+            return ("error", list(e.errors))
+        if hasattr(v, "_fields"):  # namedtuple reconstruction
+            return ("accept", type(v)(*out))
+        return ("accept", type(v)(out))
+    if isinstance(node, dsl.ExactSequence):
+        vals = list(node.validators)
+        if not isinstance(v, (list, tuple)) or len(v) != len(vals):
+            return ("error", [er.ExactSequenceInvalid(node.msg)])
+        out = []
+        for x, sub in zip(v, vals):
+            try:
+                out.append(Schema(sub, required=required, extra=extra)(
+                    x, spark))
+            except er.MultipleInvalid as e:
+                if node.msg is not None:
+                    return ("error", [er.ExactSequenceInvalid(node.msg)])
+                return ("error", list(e.errors))
+        return ("accept", type(v)(out))
+    if isinstance(node, dsl.Unordered):
+        vals = list(node.validators)
+        if not isinstance(v, (list, tuple)):
+            return ("error", [er.Invalid(
+                node.msg or "Value %s is not sequence!" % (v,))])
+        if len(v) != len(vals):
+            return ("error", [er.Invalid(
+                node.msg or "List lengths differ, value:%s != target:%s"
+                % (len(v), len(vals)))])
+        consumed = set()
+        missing = []
+        for index, value in enumerate(v):
+            found = False
+            for i, sub in enumerate(vals):
+                if i in consumed:
+                    continue
+                try:
+                    Schema(sub, required=required, extra=extra)(value, spark)
+                except er.Invalid:
+                    continue
+                found = True
+                consumed.add(i)
+                break
+            if not found:
+                missing.append((index, value))
+        if missing:
+            return ("error", [er.Invalid(
+                node.msg
+                or "Element #%s (%s) is not valid against any validator"
+                % (el[0], el[1])) for el in missing])
+        return ("accept", v)
+    if isinstance(node, (set, frozenset)):
+        type_ = type(node)
+        if not isinstance(v, type_):
+            return ("error", [er.Invalid(
+                "expected a %s" % type_.__name__)])
+        errors = []
+        for value in v:
+            ok = False
+            for sub in node:
+                try:
+                    Schema(sub, required=required, extra=extra)(value, spark)
+                    ok = True
+                    break
+                except er.Invalid:
+                    continue
+            if not ok:
+                errors.append(er.Invalid(
+                    "invalid value in %s" % type_.__name__))
+        if errors:
+            return ("error", errors)
+        return ("accept", v)
+    return None
+
+
+def _class_value_verdict(node, v):
+    """Python CLASS as a data value (``{'type': float}``): no Spark cell
+    can hold it, but membership/equality checks compare driver-side
+    exactly like the reference (``In``/``NotIn`` just use ``in``,
+    validators.py:842-846/874-878)."""
+    from . import exceptions as er
+
+    while isinstance(node, Schema):
+        node = node.schema
+    if isinstance(node, dsl.Marker):
+        node = node.schema
+    if isinstance(node, dsl.In):
+        try:
+            inside = v in node.container
+        except TypeError:
+            inside = False
+        if inside:
+            return ("accept", v)
+        return ("error", [er.InInvalid(
+            node.msg or "value must be one of %s"
+            % dsl._sorted_repr(node.container))])
+    if isinstance(node, dsl.NotIn):
+        try:
+            inside = v in node.container
+        except TypeError:
+            inside = True
+        if not inside:
+            return ("accept", v)
+        return ("error", [er.NotInInvalid(
+            node.msg or "value must not be one of %s"
+            % dsl._sorted_repr(node.container))])
+    if isinstance(node, dsl.Equal):
+        if v == node.target:
+            return ("accept", v)
+        return ("error", [er.Invalid(
+            node.msg or "Values are not equal: value:%s != target:%s"
+            % (v, node.target))])
+    return None
+
+
+def _resolve_driver_values(schema_dict, data, extra_policy, root_schema):
+    """Single-document mode: resolve dict values a typed one-row
+    DataFrame cannot carry faithfully, with the reference's exact
+    semantics, driver-side:
+
+    - EXPLICIT ``None`` values (``dsl.none_verdict``) — a cell cannot
+      distinguish a missing key from an explicit null, so the table
+      engine's rule is NULL-is-absent; the Python document still
+      distinguishes them.
+    - MIXED-type sequences (``_mixed_seq_verdict``) — no ArrayType holds
+      ``[1, 'a']``; elements ride the column engine one at a time.
+    - Python CLASSES as values (``_class_value_verdict``) — membership
+      checks compare driver-side.
+
+    Returns ``(cleaned_data, resolutions)`` where cleaned_data carries a
+    NULL placeholder for every RESOLVED key (the struct keeps its field
+    order and schema-hinted type; the ride treats the cell as absent and
+    every ride error at the path is filtered as an artifact at merge) and
+    resolutions is a list of ``(path_tuple, kind, payload)`` with kind in
+    ``accept`` (payload goes into the output), ``drop``
+    (Remove/REMOVE_EXTRA), or ``error`` (payload = [Invalid] with full
+    paths + 'dictionary value' ctx). Paths whose verdict is unknown stay
+    in cleaned_data unchanged — the documented static-typing divergences
+    keep applying to exactly those.
+    """
+    from . import exceptions as er
+
+    res = []
+
+    def level_bails(smap):
+        # presence-counting groups and key-transforming/complex keys need
+        # the original presence semantics — leave the level untouched
+        for k in smap:
+            if isinstance(k, (dsl.Exclusive, dsl.Inclusive)):
+                return True
+            kk = k.schema if isinstance(k, dsl.Marker) else k
+            if kk is dsl.Extra or isinstance(kk, dsl.Extra) \
+                    or k is dsl.Extra or isinstance(k, dsl.Extra):
+                continue
+            if isinstance(kk, (str, bytes, bool, int, float)):
+                continue
+            if isinstance(kk, type):
+                continue
+            return True  # callable / Coerce / complex (Any) keys
+        return False
+
+    def claim(smap, k):
+        """Candidates claiming data key ``k`` in reference priority order
+        (values, Remove, markers, types — schema_builder.py:844-871);
+        returns ``([(is_remove, value_node), ...], extra_node)``."""
+        lits, rems, mark_lits, mark_types, types_ = [], [], [], [], []
+        extra_node = _MISSING_NODE
+        for sk, sv in smap.items():
+            if sk is dsl.Extra or isinstance(sk, dsl.Extra):
+                extra_node = sv
+                continue
+            if isinstance(sk, dsl.Remove):
+                inner = sk.schema
+                if (isinstance(inner, str) and inner == k) or (
+                        isinstance(inner, type) and isinstance(k, inner)):
+                    rems.append(sv)
+            elif isinstance(sk, dsl.Marker):
+                inner = sk.schema
+                if isinstance(inner, str) and inner == k:
+                    mark_lits.append(sv)
+                elif isinstance(inner, type) and isinstance(k, inner):
+                    mark_types.append(sv)
+            elif isinstance(sk, str):
+                if sk == k:
+                    lits.append(sv)
+            elif isinstance(sk, type):
+                if isinstance(k, sk):
+                    types_.append(sv)
+        cands = ([(False, v) for v in lits] + [(True, v) for v in rems]
+                 + [(False, v) for v in mark_lits]
+                 + [(False, v) for v in mark_types]
+                 + [(False, v) for v in types_])
+        return cands, extra_node
+
+    def record(path, nv):
+        kind, payload = nv
+        if kind == "accept":
+            res.append((path, "accept", payload))
+            return
+        errs = []
+        for e in payload:
+            if not e.path and e.error_type is None:
+                e.error_type = "dictionary value"
+            e.prepend(list(path))
+            errs.append(e)
+        res.append((path, "error", errs))
+
+    def resolve_value(cleaned, smap, k, v, prefix, ext, verdict_fn):
+        """Claim data key ``k`` (carrying an unrideable value ``v``) and
+        record a driver resolution; unknown verdicts keep ``v`` in
+        ``cleaned`` so the documented divergence still applies there.
+        Resolved keys stay in ``cleaned`` as NULL placeholders — the
+        struct keeps its field order and schema-hinted type, and every
+        ride error at the path is filtered as an artifact at merge."""
+        cands, extra_node = claim(smap, k)
+        for is_remove, vnode in cands:
+            nv = verdict_fn(vnode)
+            if is_remove:
+                if nv is not None and nv[0] == "accept":
+                    res.append((prefix + (k,), "drop", None))
+                    cleaned[k] = None
+                    return
+                if nv is not None:
+                    continue  # Remove fall-through on mismatch
+            if nv is None:
+                cleaned[k] = v  # unknown: keep the documented divergence
+            else:
+                record(prefix + (k,), nv)
+                cleaned[k] = None
+            return
+        if extra_node is not _MISSING_NODE:
+            nv = verdict_fn(extra_node)
+            if nv is None:
+                cleaned[k] = v
+            else:
+                record(prefix + (k,), nv)
+                cleaned[k] = None
+            return
+        cleaned[k] = None
+        if ext == ALLOW_EXTRA:
+            res.append((prefix + (k,), "accept", v))
+        elif ext == REMOVE_EXTRA:
+            res.append((prefix + (k,), "drop", None))
+        else:
+            res.append((prefix + (k,), "error", [er.Invalid(
+                "extra keys not allowed", path=list(prefix) + [k]
+            )]))
+
+    def walk(smap, doc, prefix, ext):
+        if level_bails(smap):
+            return doc
+        cleaned = {}
+        for k, v in doc.items():
+            if v is None:
+                resolve_value(
+                    cleaned, smap, k, v, prefix, ext,
+                    lambda n: dsl.none_verdict(n, self_schema=root_schema),
+                )
+            elif (isinstance(v, (list, tuple, set, frozenset))
+                    and _is_mixed_seq(v)):
+                resolve_value(
+                    cleaned, smap, k, v, prefix, ext,
+                    lambda n: _mixed_seq_verdict(n, v),
+                )
+            elif isinstance(v, type):
+                resolve_value(
+                    cleaned, smap, k, v, prefix, ext,
+                    lambda n: _class_value_verdict(n, v),
+                )
+            elif isinstance(v, dict):
+                cands, extra_node = claim(smap, k)
+                node = cands[0][1] if cands and not cands[0][0] else None
+                sub_ext = ext
+                while True:
+                    if isinstance(node, Schema):
+                        sub_ext = node.extra
+                        node = node.schema
+                    elif isinstance(node, dsl.Maybe):
+                        # Maybe(dict) over a non-None dict value rides the
+                        # inner mapping and passes its errors through
+                        # unchanged (Any deepest-error rule) — descend
+                        node = node._inner
+                    elif isinstance(node, dsl.Marker):
+                        node = node.schema
+                    else:
+                        break
+                if (isinstance(node, dsl.Union)
+                        and node.discriminant is not None):
+                    try:
+                        branches = [b for b in node.discriminant(
+                            v, list(node.validators))]
+                    except Exception:
+                        branches = []
+                    if len(branches) == 1 and isinstance(branches[0], dict) \
+                            and not isinstance(branches[0], dsl.Object):
+                        node = branches[0]
+                if isinstance(node, dict) and not isinstance(node, dsl.Object):
+                    cleaned[k] = walk(node, v, prefix + (k,), sub_ext)
+                else:
+                    cleaned[k] = v
+            else:
+                cleaned[k] = v
+        return cleaned
+
+    cleaned = walk(schema_dict, data, (), extra_policy)
+    return cleaned, res
+
+
+def _merge_driver_resolutions(result, driver_res, limit: int = 1000):
+    """Raise MultipleInvalid combining ride violations with driver-side
+    None resolutions (reference order: value errors, then missing-required
+    — schema_builder.py:399-405). Required-key errors for resolved paths
+    are artifacts of removing those keys from the ride and are dropped."""
+    from .exceptions import (MultipleInvalid, RequiredFieldInvalid,
+                             invalid_from_row)
+
+    rows = result.violations.limit(limit).collect()
+    ride = [invalid_from_row(r) for r in rows]
+    resolved = {p for (p, _k, _pl) in driver_res}
+
+    def _artifact(e):
+        # the resolved key was REMOVED from the ride, so any ride error
+        # at (or under) its path is an artifact of that removal — the
+        # required-key probe or an injected marker default being
+        # validated in the real value's place; the driver verdict is
+        # authoritative there
+        t = tuple(e.path)
+        return any(t[: len(p)] == p for p in resolved)
+
+    ride = [e for e in ride if not _artifact(e)]
+    extra = []
+    for _p, kind, payload in driver_res:
+        if kind == "error":
+            extra.extend(payload)
+    if not (ride or extra):
+        return
+    req = [e for e in ride if isinstance(e, RequiredFieldInvalid)]
+    val = [e for e in ride if not isinstance(e, RequiredFieldInvalid)]
+    raise MultipleInvalid(val + extra + req)
+
+
+def _set_nested(out: dict, path: tuple, value) -> None:
+    cur = out
+    for p in path[:-1]:
+        nxt = cur.get(p)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            cur[p] = nxt
+        cur = nxt
+    cur[path[-1]] = value
 
 
 def _accepts_none(s) -> bool:
