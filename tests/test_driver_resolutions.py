@@ -89,6 +89,96 @@ def test_none_required_key_validates_value(spark):
     )
 
 
+def test_none_accept_under_required_key(spark):
+    # fuzz find: an ACCEPT resolution under a Required key — the ride
+    # flags the placeholder row failed (required probe), but the merge is
+    # the authority and the transformed output must still come back
+    s = vs.Schema({
+        "k0": float,
+        vs.Required("k1", msg="need k1"): vs.NotIn(["zebra"]),
+    })
+    assert s({"k0": 0.5, "k1": None}) == {"k0": 0.5, "k1": None}
+    s = vs.Schema({vs.Required("x"): vs.Maybe(int)})
+    assert s({"x": None}) == {"x": None}
+
+
+def test_someof_none_pathless_and_boundary(spark):
+    # SomeOf raises PATH-LESS (validators.py:1255-1262): flat and
+    # literal-dict-nested errors render with 'for dictionary value' and
+    # no trailing path; inside a Schema-INSTANCE value the error attaches
+    # at the boundary key and the message embeds inner-relative paths
+    errs = _err(
+        vs.Schema({"x": vs.SomeOf(validators=[vs.Range(2, 9)],
+                                  min_valid=1)}),
+        {"x": None},
+    )
+    assert str(errs[0]) == (
+        "invalid value or type (must have a partial ordering) @ data['x'] "
+        "for dictionary value"
+    )
+    assert errs[0].path == []
+    inner = vs.Schema(
+        {"n0": float, "n1": vs.SomeOf(
+            validators=[vs.Clamp(0, 9), vs.Range(2, 9)], min_valid=2)},
+        required=True,
+    )
+    errs = _err(
+        vs.Schema({vs.Required("k0"): inner}),
+        {"k0": {"n0": 1.0, "n1": None}},
+    )
+    assert errs[0].path == ["k0"]
+    assert "@ data['n1']" in errs[0].msg
+
+
+def test_group_level_still_recurses_nested_dicts(spark):
+    # fuzz find: Exclusive/Inclusive at one level only freezes THAT
+    # level's keys; None values inside nested dict values still resolve
+    errs = _err(
+        vs.Schema({
+            "k1": {"n0": vs.Equal(2.5)},
+            vs.Exclusive("g0", "grp"): vs.In(["no"]),
+            vs.Exclusive("g1", "grp"): vs.In(["1"]),
+        }, extra=vs.ALLOW_EXTRA),
+        {"k1": {"n0": None}, "g0": "no"},
+    )
+    assert [str(e) for e in errs] == [
+        "Values are not equal: value:None != target:2.5 "
+        "for dictionary value @ data['k1']['n0']"
+    ]
+
+
+def test_group_violation_suppresses_resolutions(spark):
+    # reference group checks run BEFORE value validation and raise
+    # immediately (schema_builder.py:536-571): a nested None resolution
+    # must not add errors alongside the group error
+    errs = _err(
+        vs.Schema({
+            "k2": {"n1": vs.Length(1, 2)},
+            vs.Exclusive("g0", "grp"): vs.In(["ab"]),
+            vs.Exclusive("g1", "grp"): vs.In([3]),
+        }),
+        {"k2": {"n1": None}, "g0": "ab", "g1": 3},
+    )
+    assert len(errs) == 1
+    assert "group of exclusion" in errs[0].msg
+
+
+def test_extra_in_sequence_alternative(spark):
+    # Extra inside a sequence is the identity catch-all
+    # (reference Remove docstring, schema_builder.py:1227-1229)
+    s = vs.Schema([int, vs.Remove(float), vs.Extra])
+    assert s([1, 2, 3, 4.0, 5, 6.0, "7"]) == [1, 2, 3, 5, "7"]
+
+
+def test_merged_error_order_follows_data(spark):
+    # reference accumulates per-key errors in DATA-key iteration order
+    errs = _err(
+        vs.Schema({"a": int, "b": str, "c": float}),
+        {"c": None, "b": 2, "a": None},
+    )
+    assert [e.path for e in errs] == [["c"], ["b"], ["a"]]
+
+
 def test_none_extra_policies(spark):
     base = {"x": 1, "y": None}
     assert vs.Schema({"x": int}, extra=vs.ALLOW_EXTRA)(base) == {

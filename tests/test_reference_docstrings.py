@@ -6,7 +6,7 @@ docstrings carry ~232 doctest examples. They are harvested from the real
 modules, then executed against THIS engine via the
 :mod:`voluptuous_spark.refcompat` import shim.
 
-218/232 pass. The 14 entries in ``EXPECTED_DIVERGENCES`` are the
+227/232 pass. The 5 entries in ``EXPECTED_DIVERGENCES`` are the
 engine's documented static-typing rules ((group, example lineno) pairs);
 the comparison is exact in both directions — an entry that starts
 passing fails the test so the list stays honest.

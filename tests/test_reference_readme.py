@@ -6,8 +6,8 @@ public API tour (markers, combinators, custom callables, error paths,
 extra policies). Fences stripped, examples executed in order under the
 :mod:`voluptuous_spark.refcompat` import shim.
 
-121/124 pass. The 3 in ``EXPECTED_DIVERGENCES`` are documented
-static-typing rules; strict in both directions.
+123/124 pass. The 1 entry in ``EXPECTED_DIVERGENCES`` is a documented
+static-typing rule; strict in both directions.
 
 Skipped when the reference checkout is absent.
 """

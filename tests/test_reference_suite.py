@@ -8,12 +8,13 @@ via :mod:`voluptuous_spark.refcompat`, and every test function runs
 unmodified through the single-document path — which rides the same
 column-compiled plans as table-scale ``validate(df)``.
 
-150/167 pass verbatim. The 17 in ``XFAIL`` are the engine's documented
-static-typing divergences (typed columns cannot hold mixed-type
-sequences, Python classes as data values, or non-scalar dict keys; a
-NULL cell means "key absent") — each entry carries the reason, and the
-xfail is STRICT: if one starts passing, the test fails to force the
-entry's removal.
+164/167 pass verbatim. The 3 in ``XFAIL`` are the engine's documented
+static-typing divergences (non-scalar / mixed-type dict KEYS have no
+MapType representation) — each entry carries the reason, and the xfail
+is STRICT: if one starts passing, the test fails to force the entry's
+removal. Mixed-type sequences, Python classes as data values, and
+explicit None values are handled by the driver-resolution layer
+(schema._resolve_driver_values) and pass verbatim.
 
 Skipped entirely when the reference checkout is absent.
 """

@@ -221,10 +221,11 @@ def test_scalar_schema_single_doc(spark):
     with pytest.raises(MultipleInvalid) as ei:
         Schema([int])([1, None, 3])
     assert str(ei.value) == "expected int @ data[1]"
-    # mixed-type sequences have no column type: clear UnsupportedSchema,
-    # not a py4j type error (documented static-typing divergence)
-    with pytest.raises(UnsupportedSchema):
+    # mixed-type sequences validate element-wise driver-side (reference
+    # _compile_sequence semantics; schema._driver_validate_sequence)
+    with pytest.raises(MultipleInvalid) as ei:
         Schema([int])([1, "a"])
+    assert str(ei.value) == "expected int @ data[1]"
 
 
 def test_report_partitions(spark):

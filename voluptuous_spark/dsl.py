@@ -2997,13 +2997,19 @@ def _none_err(errs):
     return ("error", errs)
 
 
-def none_verdict(node, self_schema=None):
+def none_verdict(node, self_schema=None, path=()):
     """Reference semantics of validating an EXPLICIT ``None`` value.
 
     Returns ``('accept', out_value)`` (None passes, possibly transformed),
     ``('error', [Invalid, ...])`` (the reference raises; paths are relative
     to the node), or ``None`` — unknown, keep the engine's NULL-is-absent
     behavior for this path. ``self_schema`` resolves ``Self`` references.
+    ``path`` is the key path relative to the nearest Schema boundary —
+    SomeOf embeds it in its joined message (its sub-validators are called
+    with the key path, validators.py:1247-1257) while raising its own
+    error PATH-LESS (``raise NotEnoughValid(msg)``, no path argument):
+    such errors carry ``no_path_attach=True`` and must surface at the
+    enclosing Schema boundary, not at the key.
     """
     from . import exceptions as er
     from .schema import Schema as _Schema
@@ -3012,7 +3018,17 @@ def none_verdict(node, self_schema=None):
     if node is None or node is type(None):
         return ("accept", None)
     if isinstance(node, _Schema):
-        return none_verdict(node.schema, self_schema)
+        # a Schema INSTANCE is a callable boundary: inner paths restart,
+        # and the boundary prepends the key path to whatever emerges
+        # (validate_callable, schema_builder.py:805-809) — so a path-less
+        # inner error (SomeOf) attaches HERE and loses its path-less
+        # status
+        nv = none_verdict(node.schema, self_schema, ())
+        if nv is not None and nv[0] == "error":
+            for e in nv[1]:
+                if getattr(e, "no_path_attach", False):
+                    e.no_path_attach = False
+        return nv
     if isinstance(node, Maybe):
         return ("accept", None)
     if isinstance(node, DefaultTo):
@@ -3064,7 +3080,7 @@ def none_verdict(node, self_schema=None):
 
     # -- combinators --------------------------------------------------------
     if isinstance(node, Msg):
-        inner = none_verdict(node.schema, self_schema)
+        inner = none_verdict(node.schema, self_schema, path)
         if inner is None or inner[0] == "accept":
             return inner
         e = inner[1][0]
@@ -3075,12 +3091,12 @@ def none_verdict(node, self_schema=None):
             cls = er._BY_NAME.get(cls, er.Invalid)
         return _none_err((cls or er.Invalid)(node.msg))
     if isinstance(node, Marker):          # marker as a VALUE: unwrap
-        return none_verdict(node.schema, self_schema)
+        return none_verdict(node.schema, self_schema, path)
     if isinstance(node, All):
         v = None
         subs = list(node.validators)
         for i, sub in enumerate(subs):
-            nv = none_verdict(sub, self_schema)
+            nv = none_verdict(sub, self_schema, path)
             if nv is None:
                 return _VERDICT_BAIL
             kind, payload = nv
@@ -3105,7 +3121,7 @@ def none_verdict(node, self_schema=None):
     if isinstance(node, SomeOf):
         passed, errors = 0, []
         for sub in node.validators:
-            nv = none_verdict(sub, self_schema)
+            nv = none_verdict(sub, self_schema, path)
             if nv is None:
                 return _VERDICT_BAIL
             kind, payload = nv
@@ -3120,16 +3136,26 @@ def none_verdict(node, self_schema=None):
             list(node.validators))
         if lo <= passed <= hi:
             return ("accept", None)
-        msg = node.msg or ", ".join(str(e) for e in errors)
-        if passed > hi:
-            return _none_err(er.TooManyValid(msg))
-        return _none_err(er.NotEnoughValid(msg))
+        if node.msg:
+            msg = node.msg
+        else:
+            # sub-validators were called WITH the key path, so their
+            # renderings embed it; SomeOf's own error is raised path-less
+            # (validators.py:1255-1262)
+            for e in errors:
+                if not e.path:
+                    e._path = list(path)
+            msg = ", ".join(str(e) for e in errors)
+        exc = (er.TooManyValid(msg) if passed > hi
+               else er.NotEnoughValid(msg))
+        exc.no_path_attach = True
+        return _none_err(exc)
     if isinstance(node, Union) and node.discriminant is not None:
         return _VERDICT_BAIL              # user callable routes on the value
     if isinstance(node, Any):             # covers Or/Union-sans-discriminant
         best = None
         for sub in node.validators:
-            nv = none_verdict(sub, self_schema)
+            nv = none_verdict(sub, self_schema, path)
             if nv is None:
                 return _VERDICT_BAIL
             kind, payload = nv

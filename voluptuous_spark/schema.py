@@ -353,6 +353,7 @@ class Schema:
                         if v2 is not None
                     }
         driver_res = ()
+        doc_order = {k: i for i, k in enumerate(data)}
         if isinstance(self.schema, dict) and not isinstance(
                 self.schema, dsl.Object):
             data, driver_res = _resolve_driver_values(
@@ -363,10 +364,15 @@ class Schema:
         df = spark.createDataFrame([_to_row_value(data, stype)], stype)
         res = self.validate(df, id_cols=[])
         if driver_res:
-            _merge_driver_resolutions(res, driver_res)
+            _merge_driver_resolutions(res, driver_res, doc_order)
+            # the merge is the pass/fail authority here: ride errors at
+            # resolved paths are placeholder artifacts, so the row may be
+            # flagged failed (and absent from .valid) while the document
+            # is valid — read the transformed outputs off .annotated
+            rows = res.annotated.select(*res._out_names).collect()
         else:
             raise_if_invalid(res)
-        rows = res.valid.collect()
+            rows = res.valid.collect()
         out = rows[0].asDict(recursive=True)
         if isinstance(self.schema, dict):
             _strip_removed(out, self.schema)
@@ -3408,6 +3414,12 @@ def _driver_validate_sequence(alternatives, data, spark,
         invalid = None
         matched = False
         for alt in alternatives:
+            if alt is dsl.Extra or isinstance(alt, dsl.Extra):
+                # Extra as a sequence alternative is the identity
+                # catch-all (reference _compile, schema_builder.py:213)
+                matched = True
+                out.append(value)
+                break
             remove = isinstance(alt, dsl.Remove)
             node = alt.schema if remove else alt
             try:
@@ -3656,7 +3668,7 @@ def _resolve_driver_values(schema_dict, data, extra_policy, root_schema):
                  + [(False, v) for v in types_])
         return cands, extra_node
 
-    def record(path, nv):
+    def record(path, nv, boundary=()):
         kind, payload = nv
         if kind == "accept":
             res.append((path, "accept", payload))
@@ -3665,11 +3677,17 @@ def _resolve_driver_values(schema_dict, data, extra_policy, root_schema):
         for e in payload:
             if not e.path and e.error_type is None:
                 e.error_type = "dictionary value"
-            e.prepend(list(path))
+            if getattr(e, "no_path_attach", False):
+                # a PATH-LESS reference error (SomeOf) surfaces at the
+                # nearest Schema boundary, not at its key
+                e.prepend(list(boundary))
+            else:
+                e.prepend(list(path))
             errs.append(e)
         res.append((path, "error", errs))
 
-    def resolve_value(cleaned, smap, k, v, prefix, ext, verdict_fn):
+    def resolve_value(cleaned, smap, k, v, prefix, ext, verdict_fn,
+                      boundary=()):
         """Claim data key ``k`` (carrying an unrideable value ``v``) and
         record a driver resolution; unknown verdicts keep ``v`` in
         ``cleaned`` so the documented divergence still applies there.
@@ -3689,7 +3707,7 @@ def _resolve_driver_values(schema_dict, data, extra_policy, root_schema):
             if nv is None:
                 cleaned[k] = v  # unknown: keep the documented divergence
             else:
-                record(prefix + (k,), nv)
+                record(prefix + (k,), nv, boundary)
                 cleaned[k] = None
             return
         if extra_node is not _MISSING_NODE:
@@ -3697,7 +3715,7 @@ def _resolve_driver_values(schema_dict, data, extra_policy, root_schema):
             if nv is None:
                 cleaned[k] = v
             else:
-                record(prefix + (k,), nv)
+                record(prefix + (k,), nv, boundary)
                 cleaned[k] = None
             return
         cleaned[k] = None
@@ -3710,35 +3728,51 @@ def _resolve_driver_values(schema_dict, data, extra_policy, root_schema):
                 "extra keys not allowed", path=list(prefix) + [k]
             )]))
 
-    def walk(smap, doc, prefix, ext):
-        if level_bails(smap):
-            return doc
+    def walk(smap, doc, prefix, local, boundary, ext):
+        # presence-counting levels (Exclusive/Inclusive groups) keep the
+        # documented NULL-is-absent rule for THEIR OWN keys, but nested
+        # dict values still recurse (inner resolutions cannot change this
+        # level's key presence)
+        bails = level_bails(smap)
         cleaned = {}
         for k, v in doc.items():
+            if bails and not isinstance(v, dict):
+                cleaned[k] = v
+                continue
             if v is None:
                 resolve_value(
                     cleaned, smap, k, v, prefix, ext,
-                    lambda n: dsl.none_verdict(n, self_schema=root_schema),
+                    lambda n: dsl.none_verdict(
+                        n, self_schema=root_schema, path=local + (k,)),
+                    boundary,
                 )
             elif (isinstance(v, (list, tuple, set, frozenset))
                     and _is_mixed_seq(v)):
                 resolve_value(
                     cleaned, smap, k, v, prefix, ext,
                     lambda n: _mixed_seq_verdict(n, v),
+                    boundary,
                 )
             elif isinstance(v, type):
                 resolve_value(
                     cleaned, smap, k, v, prefix, ext,
                     lambda n: _class_value_verdict(n, v),
+                    boundary,
                 )
             elif isinstance(v, dict):
                 cands, extra_node = claim(smap, k)
                 node = cands[0][1] if cands and not cands[0][0] else None
                 sub_ext = ext
+                sub_local = local + (k,)
+                sub_boundary = boundary
                 while True:
                     if isinstance(node, Schema):
+                        # Schema INSTANCE = callable boundary: inner
+                        # paths restart there (schema_builder.py:805-809)
                         sub_ext = node.extra
                         node = node.schema
+                        sub_local = ()
+                        sub_boundary = prefix + (k,)
                     elif isinstance(node, dsl.Maybe):
                         # Maybe(dict) over a non-None dict value rides the
                         # inner mapping and passes its errors through
@@ -3759,22 +3793,27 @@ def _resolve_driver_values(schema_dict, data, extra_policy, root_schema):
                             and not isinstance(branches[0], dsl.Object):
                         node = branches[0]
                 if isinstance(node, dict) and not isinstance(node, dsl.Object):
-                    cleaned[k] = walk(node, v, prefix + (k,), sub_ext)
+                    cleaned[k] = walk(node, v, prefix + (k,), sub_local,
+                                      sub_boundary, sub_ext)
                 else:
                     cleaned[k] = v
             else:
                 cleaned[k] = v
         return cleaned
 
-    cleaned = walk(schema_dict, data, (), extra_policy)
+    cleaned = walk(schema_dict, data, (), (), (), extra_policy)
     return cleaned, res
 
 
-def _merge_driver_resolutions(result, driver_res, limit: int = 1000):
+def _merge_driver_resolutions(result, driver_res, doc_order=None,
+                              limit: int = 1000):
     """Raise MultipleInvalid combining ride violations with driver-side
-    None resolutions (reference order: value errors, then missing-required
-    — schema_builder.py:399-405). Required-key errors for resolved paths
-    are artifacts of removing those keys from the ride and are dropped."""
+    resolutions (reference order: value errors in DATA-key iteration
+    order, then missing-required — schema_builder.py:360-405). Ride
+    errors at resolved paths are artifacts of the key's placeholder
+    removal (the required probe, or an injected marker default validated
+    in the real value's place) and are dropped — the driver verdict is
+    authoritative there."""
     from .exceptions import (MultipleInvalid, RequiredFieldInvalid,
                              invalid_from_row)
 
@@ -3783,15 +3822,19 @@ def _merge_driver_resolutions(result, driver_res, limit: int = 1000):
     resolved = {p for (p, _k, _pl) in driver_res}
 
     def _artifact(e):
-        # the resolved key was REMOVED from the ride, so any ride error
-        # at (or under) its path is an artifact of that removal — the
-        # required-key probe or an injected marker default being
-        # validated in the real value's place; the driver verdict is
-        # authoritative there
         t = tuple(e.path)
         return any(t[: len(p)] == p for p in resolved)
 
     ride = [e for e in ride if not _artifact(e)]
+    if any(
+        e.path and isinstance(e.path[0], str)
+        and str(e.path[0]).startswith("<") and str(e.path[0]).endswith(">")
+        for e in ride
+    ):
+        # an Exclusive/Inclusive GROUP violation: the reference runs
+        # group checks BEFORE any value validation and raises immediately
+        # (schema_builder.py:536-571) — driver resolutions are moot
+        raise MultipleInvalid(ride)
     extra = []
     for _p, kind, payload in driver_res:
         if kind == "error":
@@ -3800,7 +3843,14 @@ def _merge_driver_resolutions(result, driver_res, limit: int = 1000):
         return
     req = [e for e in ride if isinstance(e, RequiredFieldInvalid)]
     val = [e for e in ride if not isinstance(e, RequiredFieldInvalid)]
-    raise MultipleInvalid(val + extra + req)
+    merged = val + extra
+    if doc_order:
+        # reference accumulation order: per-key errors appear in the
+        # DATA document's key-iteration order (stable within one key)
+        big = len(doc_order)
+        merged.sort(key=lambda e: doc_order.get(
+            e.path[0] if e.path else None, big))
+    raise MultipleInvalid(merged + req)
 
 
 def _set_nested(out: dict, path: tuple, value) -> None:
