@@ -6,10 +6,11 @@ docstrings carry ~232 doctest examples. They are harvested from the real
 modules, then executed against THIS engine via the
 :mod:`voluptuous_spark.refcompat` import shim.
 
-227/232 pass. The 5 entries in ``EXPECTED_DIVERGENCES`` are the
-engine's documented static-typing rules ((group, example lineno) pairs);
-the comparison is exact in both directions — an entry that starts
-passing fails the test so the list stays honest.
+228/232 pass. The 4 entries in ``EXPECTED_DIVERGENCES`` are the
+engine's documented divergences ((group, example lineno) pairs — three
+static-typing rules and one stale upstream docstring the reference
+itself fails); the comparison is exact in both directions — an entry
+that starts passing fails the test so the list stays honest.
 
 Skipped when the reference checkout is absent.
 """
@@ -36,9 +37,10 @@ _SHIM_NAMES = (
 # (doctest group, example.lineno) -> documented reason
 EXPECTED_DIVERGENCES = {
     ("voluptuous.schema_builder.Remove", 5):
-        "map document mixes int and float values (no column type)",
-    ("voluptuous.schema_builder.Remove", 7):
-        "map document mixes int and str KEYS (no MapType key type)",
+        "STALE reference docstring: the docstring expects 'extra keys "
+        "not allowed @ data[1]' but the reference library itself raises "
+        "TypeInvalid 'expected str @ data[1]' here (verified live); the "
+        "engine matches the reference's live behavior",
     ("voluptuous.schema_builder.Schema._compile_dict", 36):
         "digit-string key '10' renders data[10] (engine restores numeric "
         "path components for list indexes / numeric map keys)",

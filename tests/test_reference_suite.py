@@ -8,13 +8,14 @@ via :mod:`voluptuous_spark.refcompat`, and every test function runs
 unmodified through the single-document path — which rides the same
 column-compiled plans as table-scale ``validate(df)``.
 
-164/167 pass verbatim. The 3 in ``XFAIL`` are the engine's documented
-static-typing divergences (non-scalar / mixed-type dict KEYS have no
-MapType representation) — each entry carries the reason, and the xfail
-is STRICT: if one starts passing, the test fails to force the entry's
-removal. Mixed-type sequences, Python classes as data values, and
-explicit None values are handled by the driver-resolution layer
-(schema._resolve_driver_values) and pass verbatim.
+167/167 pass verbatim — the complete suite. Values a typed one-row
+DataFrame cannot carry (explicit None, mixed-type sequences/sets,
+Python classes as data values, tuple/object/mixed-type dict keys,
+mixed-type map values) are resolved driver-side with the reference's
+exact semantics (schema._resolve_driver_values /
+schema._driver_validate_mapping), each key and value still riding the
+column engine individually. ``XFAIL`` is empty; it stays STRICT so any
+future divergence must be documented here.
 
 Skipped entirely when the reference checkout is absent.
 """
@@ -39,15 +40,7 @@ _SHIM_NAMES = (
 )
 
 # name -> documented divergence (STRICT xfail: these must keep failing)
-XFAIL = {
-    # -- non-scalar / mixed-type dict keys -----------------------------------
-    "test_path_with_arbitrary_hashable_dict_key":
-        "arbitrary hashable objects as dict keys",
-    "test_path_with_tuple_dict_key":
-        "tuple dict keys are not representable as a MapType key",
-    "test_required_complex_key_mixed_types":
-        "one MapType column cannot mix int and str data keys",
-}
+XFAIL = {}
 
 
 def _swap_in_shim():

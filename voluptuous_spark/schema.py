@@ -601,6 +601,21 @@ class Schema:
         order-preservation guarantee."""
         from pyspark.sql import functions as F
 
+        key_kinds = {bool if isinstance(k, bool) else type(k)
+                     for k in data}
+        scalar_keys = all(
+            isinstance(k, (str, bytes, bool, int, float)) for k in data
+        )
+        if isinstance(self.schema, dict) and not isinstance(
+            self.schema, dsl.Object
+        ) and (
+            len(key_kinds) > 1 or not scalar_keys
+            or _is_mixed_seq(list(data.values()))
+        ):
+            # no MapType can carry this document (mixed/non-scalar key
+            # types, or mixed value types) — validate driver-side with
+            # each key/value riding the column engine individually
+            return self._driver_validate_mapping(data, spark)
         _assert_representable(data)
         kt = _infer_spark_type(next(iter(data)))
         vt = _infer_spark_type(next(iter(data.values())))
@@ -3547,6 +3562,196 @@ def _mixed_seq_verdict(node, v, required=False, extra=PREVENT_EXTRA):
             return ("error", errors)
         return ("accept", v)
     return None
+
+
+def _driver_match_key(skey, key, spark):
+    """Replicate the reference's compiled KEY schema driver-side
+    (schema_builder.py:338-346): returns ``(matched, new_key)``. Literal
+    keys compare by equality, type keys by isinstance, ``Any`` keys by
+    any branch, callables/validators may TRANSFORM the key."""
+    if isinstance(skey, dsl.Marker):
+        return _driver_match_key(skey.schema, key, spark)
+    if isinstance(skey, dsl.Any):
+        for b in skey.validators:
+            m, nk = _driver_match_key(b, key, spark)
+            if m:
+                return True, nk
+        return False, None
+    if isinstance(skey, type):
+        return isinstance(key, skey), key
+    if isinstance(skey, (str, bytes, bool, int, float, tuple, frozenset)):
+        try:
+            eq = bool(skey == key)
+        except Exception:
+            eq = False
+        return eq, key
+    if isinstance(skey, dsl.Validator):
+        try:
+            return True, Schema(skey)(key, spark)
+        except Exception:
+            return False, None
+    if callable(skey):
+        try:
+            return True, skey(key)
+        except Exception:
+            return False, None
+    try:
+        return bool(skey == key), key
+    except Exception:
+        return False, None
+
+
+def _key_prio(skey):
+    """Reference candidate priority (schema_builder.py:844-871): literal
+    values first, then Remove, markers, callables, types, Extra last."""
+    if skey is dsl.Extra or isinstance(skey, dsl.Extra):
+        return 5
+    if isinstance(skey, dsl.Remove):
+        return 1
+    if isinstance(skey, dsl.Marker):
+        return 2
+    if isinstance(skey, type):
+        return 4
+    if callable(skey):
+        return 3
+    return 0
+
+
+class _DriverMappingMixin:
+    """Single-document mapping validation for documents whose KEYS or
+    VALUES have no uniform column representation (tuple/object keys,
+    mixed int/str keys, mixed-type values): the reference's
+    ``validate_mapping`` (schema_builder.py:289-409) replicated
+    driver-side, with every VALUE (and transforming KEY) riding the
+    column engine individually via a nested ``Schema(...)`` call."""
+
+    def _driver_validate_mapping(self, data: dict, spark) -> dict:
+        from . import exceptions as er
+
+        smap = self.schema
+        candidates = sorted(smap.items(), key=lambda kv: _key_prio(kv[0]))
+
+        # required bookkeeping (schema_builder.py:246-263)
+        required_keys = set()
+        complex_required = []  # (marker, [candidate literals])
+        default_items = []
+        for sk in smap:
+            if sk is dsl.Extra or isinstance(sk, (dsl.Extra, dsl.Remove)):
+                continue
+            is_marker = isinstance(sk, dsl.Marker)
+            if is_marker and getattr(sk, "default", dsl.UNDEFINED) \
+                    is not dsl.UNDEFINED:
+                default_items.append(sk)
+            if isinstance(sk, dsl.Required) or (
+                self.required and not (
+                    is_marker and isinstance(sk, dsl.Optional))
+            ):
+                if is_marker and isinstance(sk.schema, dsl.Any):
+                    cands = [b for b in sk.schema.validators
+                             if not isinstance(b, (type, dsl.Validator))]
+                    complex_required.append((sk, cands))
+                else:
+                    required_keys.add(sk)
+
+        key_value_map = dict(data)
+        for marker in default_items:
+            if marker.schema not in key_value_map:
+                key_value_map[marker.schema] = _resolve_default(
+                    marker.default)
+
+        errors = []
+        # complex required: at least one candidate key present
+        # (schema_builder.py:311-325)
+        for marker, cands in complex_required:
+            if not any(c in key_value_map for c in cands):
+                msg = marker.msg or (
+                    "at least one of %s is required" % (cands,))
+                errors.append(er.RequiredFieldInvalid(msg, [marker]))
+
+        out = {}
+        for key, value in key_value_map.items():
+            key_path = [key]
+            key_error = None
+            claimed = False
+            for skey, svalue in candidates:
+                if skey is dsl.Extra or isinstance(skey, dsl.Extra):
+                    matched, new_key = True, key
+                else:
+                    matched, new_key = _driver_match_key(skey, key, spark)
+                if not matched:
+                    # only WILDCARD candidates contribute a key error
+                    # (literal candidates for other keys are irrelevant —
+                    # candidate bucketing, schema_builder.py:273-287)
+                    inner = (skey.schema if isinstance(skey, dsl.Marker)
+                             else skey)
+                    if key_error is None and isinstance(inner, type):
+                        key_error = er.TypeInvalid(
+                            "expected %s" % inner.__name__, list(key_path))
+                    elif key_error is None and (
+                        isinstance(inner, dsl.Validator) or (
+                            callable(inner)
+                            and not isinstance(inner, (str, bytes)))
+                    ) and not isinstance(inner, (str, bytes, bool, int,
+                                                 float, tuple, frozenset)):
+                        key_error = er.ValueInvalid(
+                            "not a valid value", list(key_path))
+                    continue
+                is_remove = isinstance(skey, dsl.Remove)
+                exception_errors = []
+                try:
+                    cval = Schema(
+                        svalue, required=self.required, extra=self.extra
+                    )(value, spark)
+                    if not is_remove:
+                        out[new_key] = cval
+                    claimed = True
+                    for marker, _c in complex_required:
+                        required_keys.discard(marker)
+                    required_keys.discard(skey)
+                    break
+                except er.MultipleInvalid as e:
+                    exception_errors.extend(e.errors)
+                except er.Invalid as e:
+                    exception_errors.append(e)
+                if is_remove:
+                    continue  # Remove fall-through on value mismatch
+                # no backtracking once a key is selected
+                # (schema_builder.py:347-348): record and stop
+                for err in exception_errors:
+                    if getattr(err, "no_path_attach", False):
+                        pass  # SomeOf-style: stays where it was raised
+                    elif not err.path:
+                        err._path = list(key_path)
+                        if err.error_type is None:
+                            err.error_type = "dictionary value"
+                    else:
+                        err.prepend(list(key_path))
+                    errors.append(err)
+                required_keys.discard(skey)
+                claimed = True
+                break
+            if claimed:
+                continue
+            if self.extra == ALLOW_EXTRA:
+                out[key] = value
+            elif self.extra == REMOVE_EXTRA:
+                continue
+            elif key_error is not None:
+                errors.append(key_error)
+            else:
+                errors.append(er.Invalid("extra keys not allowed", key_path))
+
+        for sk in required_keys:
+            msg = (sk.msg if isinstance(sk, dsl.Marker) and sk.msg
+                   else "required key not provided")
+            name = sk.schema if isinstance(sk, dsl.Marker) else sk
+            errors.append(er.RequiredFieldInvalid(msg, [name]))
+        if errors:
+            raise er.MultipleInvalid(errors)
+        return out
+
+
+Schema._driver_validate_mapping = _DriverMappingMixin._driver_validate_mapping
 
 
 def _class_value_verdict(node, v):
