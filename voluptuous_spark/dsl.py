@@ -808,7 +808,9 @@ class Coerce(Validator):
         message = self._m(f"expected {name}")
         if isinstance(self.type, type) and issubclass(self.type, enum.Enum):
             # Coerce(Enum) lists allowed values (validators.py:155-157);
-            # output stays the raw value (a Row cannot hold Enum members)
+            # table-scale output stays the raw value (a Row cannot hold
+            # Enum members); the single-document root path yields the
+            # member exactly like the reference (schema._call_scalar_doc)
             values = [e.value for e in self.type]
             if not self.msg:
                 message = (
