@@ -319,6 +319,69 @@ def test_validator_over_dict_document(spark):
 
 
 # ---------------------------------------------------------------------------
+# driver-side mapping (non-representable dict documents)
+
+
+def test_mixed_key_documents(spark):
+    s = vs.Schema({"a": int, 1: str})
+    assert s({"a": 5, 1: "x"}) == {"a": 5, 1: "x"}
+    errs = _err(s, {"a": 5, 1: 2})
+    assert str(errs[0]) == "expected str for dictionary value @ data[1]"
+    # extra policies over mixed-key docs
+    assert vs.Schema({"a": int}, extra=vs.ALLOW_EXTRA)(
+        {"a": 5, 2: "x"}) == {"a": 5, 2: "x"}
+    assert vs.Schema({"a": int}, extra=vs.REMOVE_EXTRA)(
+        {"a": 5, 2: "x"}) == {"a": 5}
+    errs = _err(vs.Schema({"a": int}), {"a": 5, 2: "x"})
+    assert str(errs[0]) == "extra keys not allowed @ data[2]"
+    # Remove wildcard claims int keys
+    assert vs.Schema({vs.Remove(int): str, "a": int})(
+        {"a": 5, 2: "x", 3: "y"}) == {"a": 5}
+    # two wildcards route by key type
+    s2 = vs.Schema({str: int, int: str})
+    assert s2({"a": 1, 2: "x"}) == {"a": 1, 2: "x"}
+    errs = _err(s2, {"a": "bad", 2: 3})
+    assert sorted(str(e) for e in errs) == [
+        "expected int for dictionary value @ data['a']",
+        "expected str for dictionary value @ data[2]",
+    ]
+
+
+def test_tuple_and_object_keys(spark):
+    s = vs.Schema({("fancy", "key"): int})
+    assert s({("fancy", "key"): 5}) == {("fancy", "key"): 5}
+    errs = _err(s, {("fancy", "key"): "bad"})
+    assert errs[0].path == [("fancy", "key")]
+
+    class HKey:
+        def __hash__(self):
+            return 1337
+
+    h = HKey()
+    s2 = vs.Schema({HKey: [int]})
+    errs = _err(s2, {h: [0, 1, "bad"]})
+    assert errs[0].path == [h, 2]
+
+
+def test_non_str_key_default_injection(spark):
+    s = vs.Schema({"a": int, vs.Optional(1, default="d"): str})
+    assert s({"a": 5}) == {"a": 5, 1: "d"}
+    assert s({"a": 5, 1: "x"}) == {"a": 5, 1: "x"}
+    errs = _err(s, {"a": 5, 1: 7})
+    assert str(errs[0]) == "expected str for dictionary value @ data[1]"
+
+
+def test_complex_required_mixed_key_types(spark):
+    s = vs.Schema({vs.Required(vs.Any("string_key", 123, 45.6)): str,
+                   "other": int})
+    assert s({123: "value", "other": 1}) == {123: "value", "other": 1}
+    assert s({45.6: "value", "other": 1}) == {45.6: "value", "other": 1}
+    errs = _err(s, {"other": 1})
+    assert "at least one of ['string_key', 123, 45.6] is required" in str(
+        errs[0])
+
+
+# ---------------------------------------------------------------------------
 # Coerce(Enum) member at the root
 
 

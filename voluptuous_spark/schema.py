@@ -310,6 +310,19 @@ class Schema:
             return self._call_scalar_doc(data, spark)
         if data and not all(isinstance(k, str) for k in data):
             return self._call_map_doc(data, spark)
+        if isinstance(self.schema, dict) and not isinstance(
+            self.schema, dsl.Object
+        ) and any(
+            isinstance(sk, dsl.Marker)
+            and getattr(sk, "default", dsl.UNDEFINED) is not dsl.UNDEFINED
+            and isinstance(sk.schema, (bool, int, float, bytes, tuple))
+            and sk.schema not in data
+            for sk in self.schema
+        ):
+            # a DEFAULT on a non-str literal key (Optional(1, default=...))
+            # cannot inject into a str-keyed struct — validate driver-side
+            # (reference default injection, schema_builder.py:299-307)
+            return self._driver_validate_mapping(data, spark)
         if not isinstance(self.schema, dict) and isinstance(
             self.schema, (Schema, dsl.Msg, dsl.All, dsl.Equal, dsl.Literal)
         ):
