@@ -363,6 +363,20 @@ def test_tuple_and_object_keys(spark):
     assert errs[0].path == [h, 2]
 
 
+def test_remove_claimed_dict_with_inner_none(spark):
+    # fuzz find: a Remove-claimed dict VALUE containing an explicit None
+    # must decide match-or-fall-through driver-side — the ride would
+    # read the None as absent and wrongly let Remove claim the key
+    s = vs.Schema({
+        "k1": float,
+        vs.Remove("k2"): {"n0": vs.All(vs.Clamp(-1, 0), vs.Equal(5))},
+    })
+    errs = _err(s, {"k2": {"n0": None}})
+    assert [str(e) for e in errs] == ["extra keys not allowed @ data['k2']"]
+    s2 = vs.Schema({"a": int, vs.Remove("k"): {"n": vs.Maybe(int)}})
+    assert s2({"a": 1, "k": {"n": None}}) == {"a": 1}
+
+
 def test_non_str_key_default_injection(spark):
     s = vs.Schema({"a": int, vs.Optional(1, default="d"): str})
     assert s({"a": 5}) == {"a": 5, 1: "d"}

@@ -370,7 +370,8 @@ class Schema:
         if isinstance(self.schema, dict) and not isinstance(
                 self.schema, dsl.Object):
             data, driver_res = _resolve_driver_values(
-                self.schema, data, self.extra, self.schema
+                self.schema, data, self.extra, self.schema,
+                required=self.required,
             )
         _assert_representable(data)
         stype = self._infer_doc_type(data)
@@ -3807,7 +3808,21 @@ def _class_value_verdict(node, v):
     return None
 
 
-def _resolve_driver_values(schema_dict, data, extra_policy, root_schema):
+def _has_unrideable(v):
+    """Does a value (sub)tree contain something the typed ride cannot
+    carry faithfully — an explicit None, a mixed-type sequence, or a
+    Python class?"""
+    if v is None or isinstance(v, type):
+        return True
+    if isinstance(v, dict):
+        return any(_has_unrideable(x) for x in v.values())
+    if isinstance(v, (list, tuple, set, frozenset)):
+        return _is_mixed_seq(v)
+    return False
+
+
+def _resolve_driver_values(schema_dict, data, extra_policy, root_schema,
+                           required=False):
     """Single-document mode: resolve dict values a typed one-row
     DataFrame cannot carry faithfully, with the reference's exact
     semantics, driver-side:
@@ -3979,6 +3994,23 @@ def _resolve_driver_values(schema_dict, data, extra_policy, root_schema):
                 )
             elif isinstance(v, dict):
                 cands, extra_node = claim(smap, k)
+                if cands and cands[0][0] and _has_unrideable(v):
+                    # a REMOVE candidate claims this dict value and the
+                    # subtree contains values the ride reads as absent —
+                    # the match-or-fall-through decision must be made
+                    # driver-side on the full value (reference
+                    # schema_builder.py:351-359)
+                    def full_verdict(n, _v=v):
+                        try:
+                            return ("accept", Schema(
+                                n, required=required, extra=ext)(_v))
+                        except er.MultipleInvalid as e:
+                            return ("error", list(e.errors))
+                    resolve_value(
+                        cleaned, smap, k, v, prefix, ext, full_verdict,
+                        boundary,
+                    )
+                    continue
                 node = cands[0][1] if cands and not cands[0][0] else None
                 sub_ext = ext
                 sub_local = local + (k,)
