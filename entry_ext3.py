@@ -137,16 +137,17 @@ def _audio_dedup(spark, sf_dir):
 
 def _audio_near_dups(spark, sf_dir):
     """Spectral-fingerprint near-dup pairs (banded LSH over 64-bit
-    Haitsma-Kalker bits). The FFT fingerprint is not SQL-expressible, so
-    this rides the driver's rows-only check; semantics are pinned by the
-    known-signal pytest oracles (test_audio)."""
+    Haitsma-Kalker bits). The Spark side runs the REAL decode -> FFT ->
+    fingerprint -> banded-LSH pipeline; the DuckDB oracle replays the
+    banded-LSH pair join + hamming count in pure SQL over the FROZEN
+    fingerprints of the deterministic 64-clip fixture
+    (_AFP_FROZEN below) — so the gate verifies the whole pipeline
+    end-to-end, not just the join."""
     from voluptuous_spark.audio import audio_near_duplicates
     from voluptuous_spark.datasynth import oracle_clips_df
 
     df = oracle_clips_df(spark, N_ORACLE_CLIPS)
-    return audio_near_duplicates(df, max_hamming=0).select(
-        "id_a", "id_b"
-    )
+    return audio_near_duplicates(df, max_hamming=0)
 
 
 def _audio_segments_check(spark, sf_dir):
@@ -294,3 +295,53 @@ EXTRA3_ORACLES = {
         JOIN zagg z ON z.c = cl.c
     """,
 }
+
+# Frozen 64-bit spectral fingerprints of the deterministic 64-clip
+# fixture (audio_fingerprints over oracle_clips_df(64), defaults
+# n_fft=256/hop=128/f_lo=100): decode-failure clips (c % 8 in 5,6,7)
+# yield NULL and are excluded. Regenerate with
+# tools/freeze_audio_fp.py if the fixture or fingerprint params change.
+_AFP_FROZEN = [
+    (0, 0), (1, -2131305051364210624), (2, -1053021300694153152),
+    (3, 1125899906842624), (4, 140892388196352), (8, 0),
+    (9, -4769851483049899968), (10, 1644169216),
+    (11, -1236282091309480928), (12, -6243445827756064672), (16, 0),
+    (17, -5993153651243072480), (18, 364938354619353088),
+    (19, 4769497431581034560), (20, -3951727214942206944), (24, 0),
+    (25, 0), (26, -3518623390466292704), (27, 1191388645365434432),
+    (28, -7109886910509563808), (32, 0), (33, 576460752303423488),
+    (34, -4521613920103823360), (35, -5353136700890397664),
+    (36, 6579016442382126144), (40, 0), (41, 5938164484872110080),
+    (42, 7291506791299596384), (43, 1164577604112533568),
+    (44, 2678046700714607648), (48, 0), (49, 18015635460194304),
+    (50, 284362357752864), (51, -6861760608504247232),
+    (52, 5423844168813297760), (56, 0), (57, 4844349743871298560),
+    (58, -8457406784234012576), (59, -5922844096009714656),
+    (60, 3325415178336),
+]
+
+_AFP_VALUES = ",".join(
+    f"(CAST({c} AS BIGINT), CAST({f} AS BIGINT))" for c, f in _AFP_FROZEN
+)
+
+# DuckDB replay of audio_near_duplicates' banded LSH join + hamming
+# verify (4 bands x 16 bits, max_hamming=0) over the frozen
+# fingerprints — same shifts/masks/xor/bit_count as the Spark plan.
+EXTRA3_ORACLES["audio_near_dups"] = f"""
+    WITH fp(clip_id, afp) AS (VALUES {_AFP_VALUES}),
+    bands AS (
+      SELECT clip_id, afp, band_id,
+             (afp >> (band_id * 16)) & 65535 AS band_bits
+      FROM fp, (VALUES (0),(1),(2),(3)) b(band_id)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.clip_id AS id_a, b.clip_id AS id_b,
+             a.afp AS fa, b.afp AS fb
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+       AND a.clip_id < b.clip_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(fa, fb)) <= 0
+"""

@@ -418,3 +418,80 @@ def test_coerce_enum_member(spark):
     assert errs[0].msg == (
         "expected StringChoice or one of 'easy', 'medium', 'hard'"
     )
+
+
+# ---------------------------------------------------------------------------
+# driver-side group enforcement + Remove reclaim (round-3 ADVICE fixes)
+
+
+def test_driver_mapping_exclusive_groups(spark):
+    # int keys route through _driver_validate_mapping / the MapType ride;
+    # Exclusive groups must still fire BEFORE value validation
+    # (reference _compile_dict, schema_builder.py:520-553)
+    errs = _err(
+        vs.Schema({vs.Exclusive(1, "g"): int, vs.Exclusive(2, "g"): str}),
+        {1: 10, 2: "x"},
+    )
+    assert len(errs) == 1
+    assert isinstance(errs[0], er.ExclusiveInvalid)
+    assert str(errs[0]) == (
+        "two or more values in the same group of exclusion 'g' @ data[<g>]"
+    )
+
+
+def test_driver_mapping_inclusive_groups(spark):
+    errs = _err(
+        vs.Schema({vs.Inclusive(1, "g"): int, vs.Inclusive(2, "g"): str}),
+        {1: 10},
+    )
+    assert len(errs) == 1
+    assert isinstance(errs[0], er.InclusiveInvalid)
+    assert str(errs[0]) == (
+        "some but not all values in the same group of inclusion 'g' "
+        "@ data[<g>]"
+    )
+    # both present -> valid
+    assert vs.Schema(
+        {vs.Inclusive(1, "g"): int, vs.Inclusive(2, "g"): str}
+    )({1: 10, 2: "x"}) == {1: 10, 2: "x"}
+
+
+def test_exclusive_msg_from_triggering_member(spark):
+    # the reference takes the message from the SECOND present member in
+    # group order (schema_builder.py:536-548), not the first with a msg
+    errs = _err(
+        vs.Schema({
+            vs.Exclusive("a", "g", msg="custom!"): int,
+            vs.Exclusive("b", "g"): int,
+        }),
+        {"a": 1, "b": 2},
+    )
+    assert errs[0].msg == (
+        "two or more values in the same group of exclusion 'g'"
+    )
+    errs = _err(
+        vs.Schema({
+            vs.Exclusive("a", "g"): int,
+            vs.Exclusive("b", "g", msg="custom!"): int,
+        }),
+        {"a": 1, "b": 2},
+    )
+    assert errs[0].msg == "custom!"
+
+
+def test_remove_then_later_candidate_reclaims(spark):
+    # reference schema_builder.py:355-366: a successful Remove match
+    # marks the key for removal but KEEPS scanning; a later candidate
+    # that validates reclaims (and keeps) the key
+    s = vs.Schema({
+        vs.Optional(1, default=9): int,
+        vs.Remove(str): int,
+        str: vs.Coerce(str),
+    })
+    assert s({"a": 5}) == {"a": "5", 1: 9}
+    # no later candidate reclaims -> dropped
+    assert vs.Schema(
+        {vs.Optional(1, default=9): int, vs.Remove(str): int}
+    )({"a": 5}) == {1: 9}
+    # later candidate ERRORS while removal pending -> silent, dropped
+    assert vs.Schema({vs.Remove(str): int, str: bool})({"a": 5}) == {}

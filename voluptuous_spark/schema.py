@@ -24,6 +24,7 @@ Scale notes (10^12-row design):
 from __future__ import annotations
 
 import enum as _enum
+import itertools
 import typing
 
 from pyspark.sql import Column, DataFrame
@@ -1670,11 +1671,13 @@ class Schema:
                 ),
                 F.lit(0),
             )
-            msg = next((f.marker_msg for f in grp if f.marker_msg), None) or (
-                f"two or more values in the same group of exclusion '{label}'"
+            msg = _excl_trigger_msg(
+                grp, label,
+                lambda f: (_fcol(f.name).isNotNull()
+                           if f.name in by_name else F.lit(False)),
             )
             excl_entries.append(
-                _violation((f"<{label}>",), F.lit(msg), "ExclusiveInvalid",
+                _violation((f"<{label}>",), msg, "ExclusiveInvalid",
                            F.lit("None"), cnt > 1)
             )
         # Inclusive groups (schema_builder.py:555-571)
@@ -2061,6 +2064,70 @@ class Schema:
                 F.map_filter(out, lambda k, v: kcheck.err(k).isNull()),
                 lambda k, v: kcheck.out(k),
             )
+
+        # -- Exclusive/Inclusive groups over dynamic-key maps (reference
+        #    _compile_dict:520-571 runs group checks at EVERY mapping
+        #    level; a firing group raises BEFORE mapping validation, so
+        #    it suppresses every other error of this level) -------------
+        m_ex_groups: dict[str, list] = {}
+        m_in_groups: dict[str, list] = {}
+        for key in self.schema:
+            if isinstance(key, Exclusive):
+                m_ex_groups.setdefault(
+                    key.group_of_exclusion, []).append(key)
+            elif isinstance(key, Inclusive):
+                m_in_groups.setdefault(
+                    key.group_of_inclusion, []).append(key)
+        if m_ex_groups or m_in_groups:
+            def _m_cnt(grp):
+                return sum(
+                    (
+                        F.map_contains_key(
+                            col, F.lit(_key_name(k))).cast("int")
+                        if dsl._lit_comparable(_key_name(k), key_t)
+                        else F.lit(0)
+                        for k in grp
+                    ),
+                    F.lit(0),
+                )
+
+            def _m_present(k):
+                name = _key_name(k)
+                if not dsl._lit_comparable(name, key_t):
+                    return F.lit(False)
+                return col.isNotNull() & F.map_contains_key(
+                    col, F.lit(name))
+
+            grp_errs: list[Column] = []
+            excl_any = F.lit(False)
+            for label, grp in m_ex_groups.items():
+                cond = col.isNotNull() & (_m_cnt(grp) > 1)
+                grp_errs.append(_violation(
+                    prefix + (f"<{label}>",),
+                    _excl_trigger_msg(grp, label, _m_present),
+                    "ExclusiveInvalid", F.lit("None"), cond,
+                ))
+                excl_any = excl_any | cond
+            not_prev = F.lit(True)
+            incl_any = F.lit(False)
+            for label, grp in m_in_groups.items():
+                c = _m_cnt(grp)
+                cond = col.isNotNull() & (c > 0) & (c < len(grp))
+                incl_any = incl_any | cond
+                msg = next((k.msg for k in grp if k.msg), None) or (
+                    "some but not all values in the same group of "
+                    f"inclusion '{label}'"
+                )
+                grp_errs.append(_violation(
+                    prefix + (f"<{label}>",), F.lit(msg),
+                    "InclusiveInvalid", F.lit("None"),
+                    ~excl_any & not_prev & cond,
+                ))
+                not_prev = not_prev & ~cond
+            grp_fired = excl_any | incl_any
+            single_errs = [F.when(~grp_fired, e) for e in single_errs]
+            err_arrays = [F.when(~grp_fired, a) for a in err_arrays]
+            single_errs[:0] = grp_errs
         return out, single_errs, err_arrays
 
     def _any_dict_branches(self, v, col: Column, dtype,
@@ -3176,16 +3243,19 @@ class Schema:
                     F.lit(0),
                 )
 
+            def _present(k):
+                name = _key_name(k)
+                if name not in by_name:
+                    return F.lit(False)
+                return col.isNotNull() & col[name].isNotNull()
+
             grp_entries: list[tuple] = []
             excl_any = F.lit(False)
             for label, grp in n_ex_groups.items():
                 cond = _cnt(grp) > 1
-                msg = next((k.msg for k in grp if k.msg), None) or (
-                    "two or more values in the same group of "
-                    f"exclusion '{label}'"
-                )
+                msg = _excl_trigger_msg(grp, label, _present)
                 grp_entries.append((_violation(
-                    prefix + (f"<{label}>",), F.lit(msg),
+                    prefix + (f"<{label}>",), msg,
                     "ExclusiveInvalid", F.lit("None"), cond,
                 ), len(prefix) + 1, None))
                 excl_any = excl_any | cond
@@ -3643,7 +3713,65 @@ class _DriverMappingMixin:
         from . import exceptions as er
 
         smap = self.schema
-        candidates = sorted(smap.items(), key=lambda kv: _key_prio(kv[0]))
+
+        # Exclusive/Inclusive group checks run BEFORE any value
+        # validation and short-circuit (reference schema_builder.py
+        # _compile_dict:520-571) — exclusion first, raise, then
+        # inclusion (first failing group only), raise.
+        groups_ex, groups_in = {}, {}
+        for node in smap:
+            if isinstance(node, dsl.Exclusive):
+                groups_ex.setdefault(
+                    node.group_of_exclusion, []).append(node)
+            elif isinstance(node, dsl.Inclusive):
+                groups_in.setdefault(
+                    node.group_of_inclusion, []).append(node)
+        gerrors = []
+        for label, group in groups_ex.items():
+            exists = False
+            for excl in group:
+                if excl.schema in data:
+                    if exists:
+                        msg = excl.msg or (
+                            "two or more values in the same group of "
+                            "exclusion '%s'" % label)
+                        gerrors.append(er.ExclusiveInvalid(
+                            msg,
+                            [er.VirtualPathComponent("<%s>" % label)]))
+                        break
+                    exists = True
+        if gerrors:
+            raise er.MultipleInvalid(gerrors)
+        for label, group in groups_in.items():
+            included = [node.schema in data for node in group]
+            if any(included) and not all(included):
+                msg = ("some but not all values in the same group of "
+                       "inclusion '%s'" % label)
+                for g in group:
+                    if g.msg:
+                        msg = g.msg
+                        break
+                gerrors.append(er.InclusiveInvalid(
+                    msg, [er.VirtualPathComponent("<%s>" % label)]))
+                break
+        if gerrors:
+            raise er.MultipleInvalid(gerrors)
+
+        # Candidate bucketing (reference schema_builder.py:273-287):
+        # after priority sorting, literal/marker-literal candidates are
+        # tried for THEIR data key before any wildcard candidate.
+        ordered = sorted(smap.items(), key=lambda kv: _key_prio(kv[0]))
+        prim = (bool, bytes, int, str, float, complex)
+        cands_by_key, wildcard_cands = {}, []
+        for skey, svalue in ordered:
+            if type(skey) in prim:
+                cands_by_key.setdefault(skey, []).append((skey, svalue))
+            elif isinstance(skey, dsl.Marker) \
+                    and type(skey.schema) in prim:
+                cands_by_key.setdefault(
+                    skey.schema, []).append((skey, svalue))
+            else:
+                wildcard_cands.append((skey, svalue))
 
         # required bookkeeping (schema_builder.py:246-263)
         required_keys = set()
@@ -3687,7 +3815,12 @@ class _DriverMappingMixin:
             key_path = [key]
             key_error = None
             claimed = False
-            for skey, svalue in candidates:
+            remove_key = False
+            try:
+                bucket = cands_by_key.get(key, [])
+            except TypeError:  # unhashable data key: wildcards only
+                bucket = []
+            for skey, svalue in itertools.chain(bucket, wildcard_cands):
                 if skey is dsl.Extra or isinstance(skey, dsl.Extra):
                     matched, new_key = True, key
                 else:
@@ -3716,8 +3849,13 @@ class _DriverMappingMixin:
                     cval = Schema(
                         svalue, required=self.required, extra=self.extra
                     )(value, spark)
-                    if not is_remove:
-                        out[new_key] = cval
+                    if is_remove:
+                        # reference schema_builder.py:355-358: mark for
+                        # removal and KEEP scanning — a later candidate
+                        # may reclaim (and keep) the key
+                        remove_key = True
+                        continue
+                    out[new_key] = cval
                     claimed = True
                     for marker, _c in complex_required:
                         required_keys.discard(marker)
@@ -3727,8 +3865,11 @@ class _DriverMappingMixin:
                     exception_errors.extend(e.errors)
                 except er.Invalid as e:
                     exception_errors.append(e)
-                if is_remove:
-                    continue  # Remove fall-through on value mismatch
+                if is_remove or remove_key:
+                    # Remove fall-through on value mismatch, and silent
+                    # skip of later candidates' errors once removal is
+                    # pending (schema_builder.py:365-366)
+                    continue
                 # no backtracking once a key is selected
                 # (schema_builder.py:347-348): record and stop
                 for err in exception_errors:
@@ -3746,6 +3887,8 @@ class _DriverMappingMixin:
                 break
             if claimed:
                 continue
+            if remove_key:
+                continue  # no later candidate reclaimed it: drop the key
             if self.extra == ALLOW_EXTRA:
                 out[key] = value
             elif self.extra == REMOVE_EXTRA:
@@ -3872,7 +4015,8 @@ def _resolve_driver_values(schema_dict, data, extra_policy, root_schema,
         """Candidates claiming data key ``k`` in reference priority order
         (values, Remove, markers, types — schema_builder.py:844-871);
         returns ``([(is_remove, value_node), ...], extra_node)``."""
-        lits, rems, mark_lits, mark_types, types_ = [], [], [], [], []
+        lits, rem_lits, rem_types = [], [], []
+        mark_lits, mark_types, types_ = [], [], []
         extra_node = _MISSING_NODE
         for sk, sv in smap.items():
             if sk is dsl.Extra or isinstance(sk, dsl.Extra):
@@ -3880,9 +4024,10 @@ def _resolve_driver_values(schema_dict, data, extra_policy, root_schema,
                 continue
             if isinstance(sk, dsl.Remove):
                 inner = sk.schema
-                if (isinstance(inner, str) and inner == k) or (
-                        isinstance(inner, type) and isinstance(k, inner)):
-                    rems.append(sv)
+                if isinstance(inner, str) and inner == k:
+                    rem_lits.append(sv)
+                elif isinstance(inner, type) and isinstance(k, inner):
+                    rem_types.append(sv)
             elif isinstance(sk, dsl.Marker):
                 inner = sk.schema
                 if isinstance(inner, str) and inner == k:
@@ -3895,8 +4040,12 @@ def _resolve_driver_values(schema_dict, data, extra_policy, root_schema,
             elif isinstance(sk, type):
                 if isinstance(k, sk):
                     types_.append(sv)
-        cands = ([(False, v) for v in lits] + [(True, v) for v in rems]
+        # bucketed order (schema_builder.py:273-287): literal-key
+        # candidates (incl. literal Removes/markers) BEFORE wildcards
+        cands = ([(False, v) for v in lits]
+                 + [(True, v) for v in rem_lits]
                  + [(False, v) for v in mark_lits]
+                 + [(True, v) for v in rem_types]
                  + [(False, v) for v in mark_types]
                  + [(False, v) for v in types_])
         return cands, extra_node
@@ -3928,20 +4077,27 @@ def _resolve_driver_values(schema_dict, data, extra_policy, root_schema,
         struct keeps its field order and schema-hinted type, and every
         ride error at the path is filtered as an artifact at merge."""
         cands, extra_node = claim(smap, k)
+        remove_key = False
         for is_remove, vnode in cands:
             nv = verdict_fn(vnode)
-            if is_remove:
-                if nv is not None and nv[0] == "accept":
-                    res.append((prefix + (k,), "drop", None))
-                    cleaned[k] = None
-                    return
-                if nv is not None:
-                    continue  # Remove fall-through on mismatch
             if nv is None:
                 cleaned[k] = v  # unknown: keep the documented divergence
-            else:
-                record(prefix + (k,), nv, boundary)
-                cleaned[k] = None
+                return
+            if is_remove:
+                if nv[0] == "accept":
+                    # reference schema_builder.py:355-358: mark for
+                    # removal, keep scanning — a later candidate may
+                    # reclaim the key
+                    remove_key = True
+                continue  # fall-through on mismatch too
+            if nv[0] != "accept" and remove_key:
+                continue  # errors are silent once removal is pending
+            record(prefix + (k,), nv, boundary)
+            cleaned[k] = None
+            return
+        if remove_key:
+            res.append((prefix + (k,), "drop", None))
+            cleaned[k] = None
             return
         if extra_node is not _MISSING_NODE:
             nv = verdict_fn(extra_node)
@@ -4064,8 +4220,9 @@ def _merge_driver_resolutions(result, driver_res, doc_order=None,
     removal (the required probe, or an injected marker default validated
     in the real value's place) and are dropped — the driver verdict is
     authoritative there."""
-    from .exceptions import (MultipleInvalid, RequiredFieldInvalid,
-                             invalid_from_row)
+    from .exceptions import (ExclusiveInvalid, InclusiveInvalid,
+                             MultipleInvalid, RequiredFieldInvalid,
+                             VirtualPathComponent, invalid_from_row)
 
     rows = result.violations.limit(limit).collect()
     ride = [invalid_from_row(r) for r in rows]
@@ -4077,8 +4234,13 @@ def _merge_driver_resolutions(result, driver_res, doc_order=None,
 
     ride = [e for e in ride if not _artifact(e)]
     if any(
-        e.path and isinstance(e.path[0], str)
-        and str(e.path[0]).startswith("<") and str(e.path[0]).endswith(">")
+        # synthesized group errors are TAGGED by class (only the group
+        # machinery at the struct compiler emits these error types) AND
+        # by the virtual path component — a document key literally named
+        # '<g>' under ALLOW_EXTRA/str-wildcard fails with an ordinary
+        # class and so no longer trips the short-circuit
+        isinstance(e, (ExclusiveInvalid, InclusiveInvalid))
+        and e.path and isinstance(e.path[0], VirtualPathComponent)
         for e in ride
     ):
         # an Exclusive/Inclusive GROUP violation: the reference runs
@@ -4362,6 +4524,25 @@ def _msg_collapse_seq(msg_override, key_path, singles, arrs,
     new_singles = [collapsed] + [F.when(~S, s) for s in singles]
     new_arrs = [F.when(~S, a) for a in arrs]
     return new_singles, new_arrs
+
+
+def _excl_trigger_msg(grp, label, present_fn) -> Column:
+    """The reference's Exclusive message comes from the TRIGGERING group
+    member — the second one present in group order (schema_builder.py
+    :536-548 breaks at the first member seen while ``exists`` is already
+    set) — falling back to the stock wording when that member has no
+    ``msg``. ``present_fn(k)`` must yield a Boolean presence Column."""
+    default = ("two or more values in the same group of "
+               f"exclusion '{label}'")
+    presents = [present_fn(k) for k in grp]
+    sel = F.lit(default)
+    prior = [F.lit(False)]
+    for p in presents[:-1]:
+        prior.append(prior[-1] | p)
+    for k, p, before in reversed(list(zip(grp, presents, prior))):
+        msg = getattr(k, "msg", None) or getattr(k, "marker_msg", None)
+        sel = F.when(p & before, F.lit(msg or default)).otherwise(sel)
+    return sel
 
 
 def _violation(path, message: Column, error_type,
