@@ -463,32 +463,72 @@ def _ks_quantity(spark, sf_dir):
 # -- training-data pipeline ops (documents / embeddings) ---------------------
 
 
-def _dedup_exact(spark, sf_dir):
-    from voluptuous_spark.textops import exact_duplicates
+def _checkpoint_resume(spark, sf_dir):
+    """Resumable per-bucket validation (north-rule checkpoint/resume):
+    run 1 validates HALF the buckets then 'crashes' (max_steps=1); run 2
+    resumes, skipping the completed buckets via the checkpoint
+    anti-join. The returned report is the per-bucket pass/fail +
+    lineage-fingerprint table with each bucket's run_id proving which
+    run processed it — the oracle replays the whole thing in SQL
+    (bucket = c_custkey % 16, fingerprint = sum(c_custkey), run r1 =
+    buckets 0-7, run r2 = the resumed rest)."""
+    import shutil
+    import tempfile
 
-    d = exact_duplicates(_t(spark, sf_dir, "documents"))
-    return d.select(
-        "fingerprint",
-        "dup_count",
-        F.array_join(F.transform("doc_ids", lambda x: x.cast("string")), ",")
-        .alias("doc_ids_str"),
+    from voluptuous_spark import Range, Schema
+    from voluptuous_spark.checkpoint import CheckpointedValidation
+
+    d = _t(spark, sf_dir, "customer")
+    schema = Schema({"c_acctbal": Range(min=0.0)}, extra=1)  # ALLOW_EXTRA
+    path = tempfile.mkdtemp(prefix="vs_ckpt_")
+    try:
+        cv = CheckpointedValidation(
+            spark, f"{path}/ckpt", n_buckets=16, key="c_custkey",
+            bucket_expr=F.pmod(F.col("c_custkey"), F.lit(16)).cast("int"),
+            fingerprint_expr=F.col("c_custkey"),
+        )
+        fn = (lambda sub: schema.validate(
+            sub, id_cols=["c_custkey"]).annotated)
+        cv.run(d, fn, buckets_per_step=8, max_steps=1, run_id="r1")
+        assert sorted(cv.completed_buckets()) == list(range(8))
+        cv.run(d, fn, buckets_per_step=8, run_id="r2")  # resume
+        rep = cv.report().select(
+            "bucket", "n_rows", "passed", "failed", "violation_count",
+            "input_fingerprint", "run_id",
+        )
+        rows = rep.collect()  # 16 rows: materialize before cleanup
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "bucket int, n_rows long, passed long, failed long, "
+        "violation_count long, input_fingerprint long, run_id string",
     )
 
 
 def _doc_profile(spark, sf_dir):
-    """Fingerprint + token counts in ONE scan of documents (merged from
-    the separate doc_fingerprints / token_counts queries — same operators,
-    same oracle branches, one query slot)."""
+    """Fingerprint + token counts + EXACT-DEDUP group columns in ONE
+    scan of documents (exact dedup = hash-groupBy on the 32-byte md5
+    fingerprint, textops.exact_duplicates; expressed as a window over
+    the fingerprint so the per-doc profile and the dup-group stats share
+    the single shuffle)."""
+    from pyspark.sql import Window
+
     from voluptuous_spark.textops import normalize_text
 
     d = _t(spark, sf_dir, "documents")
     t = normalize_text(F.col("text"))
     words = F.split(t, " ")
+    w = Window.partitionBy("fingerprint")
     return d.select(
         "doc_id",
         F.md5(t).alias("fingerprint"),
         F.when(F.length(t) == 0, 0).otherwise(F.size(words)).alias("n_tokens"),
         F.ceil(F.length(t) / 4).cast("long").alias("n_bpe_est"),
+    ).select(
+        "doc_id", "fingerprint", "n_tokens", "n_bpe_est",
+        F.count(F.lit(1)).over(w).alias("dup_count"),
+        F.min("doc_id").over(w).alias("canonical_id"),
     )
 
 
@@ -618,7 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": _stats_lineitem,
         "drift_priority": _drift_priority,
         "ks_quantity": _ks_quantity,
-        "dedup_exact": _dedup_exact,
+        "checkpoint_resume": _checkpoint_resume,
         "doc_profile": _doc_profile,
         "dedup_clusters": _dedup_clusters,
         "lang_id": _lang_id,
@@ -1102,22 +1142,29 @@ def oracle_sql() -> dict[str, str]:
                      - cum_b * 1.0 / (SELECT COUNT(*) FROM b))), 6) AS ks_stat
             FROM cum
         """,
-        "dedup_exact": r"""
-            WITH fp AS (
-              SELECT doc_id,
-                     md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
-              FROM documents
-            )
-            SELECT fingerprint, COUNT(*) AS dup_count,
-                   array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids_str
-            FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+        "checkpoint_resume": r"""
+            SELECT CAST(c_custkey % 16 AS INT) AS bucket,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS passed,
+                   CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS failed,
+                   CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS violation_count,
+                   CAST(SUM(c_custkey) AS BIGINT) AS input_fingerprint,
+                   CASE WHEN c_custkey % 16 < 8 THEN 'r1' ELSE 'r2' END
+                     AS run_id
+            FROM customer
+            GROUP BY c_custkey % 16
         """,
         "doc_profile": r"""
             SELECT doc_id,
                    md5(t) AS fingerprint,
                    CASE WHEN length(t) = 0 THEN 0
                         ELSE len(string_split(t, ' ')) END AS n_tokens,
-                   CAST(ceil(length(t) / 4.0) AS BIGINT) AS n_bpe_est
+                   CAST(ceil(length(t) / 4.0) AS BIGINT) AS n_bpe_est,
+                   COUNT(*) OVER (PARTITION BY md5(t)) AS dup_count,
+                   MIN(doc_id) OVER (PARTITION BY md5(t)) AS canonical_id
             FROM (SELECT doc_id,
                          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
                   FROM documents)

@@ -115,3 +115,83 @@ def test_salted_join_left_anti_matches_plain(spark, clips_path):
         ).collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_cosine_band_join_carries_no_vectors(spark):
+    # the SRP band self-join must shuffle ONLY (id, band_id, band_val) —
+    # the embedding payload re-attaches AFTER pair dedup via id-keyed
+    # joins (round-2 verdict: full vectors were riding the band explode
+    # through the shuffle n_bands times)
+    import random
+
+    from voluptuous_spark.similarity import cosine_near_duplicates
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    d = cosine_near_duplicates(emb, dim=8, threshold=0.5)
+    d.collect()  # resolve AQE
+    plan = _plan(d)
+    band_projects = [
+        l for l in plan.splitlines()
+        if "Project [" in l and "__band_id" in l
+    ]
+    assert band_projects, plan[:2000]
+    for line in band_projects:
+        assert " v#" not in line and "va#" not in line \
+            and "vb#" not in line, line
+
+
+def test_ivf_indexed_probe_partition_pruning(spark):
+    # ivf_write_index writes the corpus partitioned by cluster id; a
+    # probe must prune to whole partition directories (PartitionFilters
+    # in the scan), not post-filter a full scan — and return exactly
+    # what the unindexed ivf_topk computes
+    import random
+    import shutil
+    import tempfile
+
+    from voluptuous_spark.similarity import (
+        ivf_topk, ivf_topk_indexed, ivf_write_index)
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(256)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(j, [rng.uniform(-1, 1) for _ in range(8)]) for j in range(3)],
+        "query_id long, embedding array<double>",
+    )
+    tmp = tempfile.mkdtemp(prefix="vs_ivf_")
+    try:
+        cents = ivf_write_index(emb, f"{tmp}/idx", dim=8, n_clusters=8)
+        d = ivf_topk_indexed(spark, f"{tmp}/idx", q, cents, k=5, n_probe=2)
+        got = {(r["query_id"], r["rank"]): r["vec_id"] for r in d.collect()}
+        plan = _plan(d)
+        scan = next(
+            l for l in plan.splitlines()
+            if "FileScan" in l and "idx" in l
+        )
+        assert "PartitionFilters" in scan
+        import re as _re
+
+        pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", scan).group(1)
+        assert "__cid" in pf and pf.strip(), scan
+        # parity with the unindexed path (same quantizer parameters)
+        ref = ivf_topk(emb, q, dim=8, k=5, n_clusters=8, n_probe=2)
+        want = {(r["query_id"], r["rank"]): r["vec_id"] for r in ref.collect()}
+        assert got == want
+        # scan fraction shrinks with n_probe: probed-partition rows only
+        def probed_rows(n_probe):
+            dd = ivf_topk_indexed(
+                spark, f"{tmp}/idx", q, cents, k=5, n_probe=n_probe)
+            dd.collect()
+            sc = next(
+                l for l in _plan(dd).splitlines()
+                if "FileScan" in l and "idx" in l
+            )
+            m = _re.search(r"PartitionFilters: \[[^\]]*IN \(([^)]*)\)", sc)
+            return len(m.group(1).split(",")) if m else 8
+
+        assert probed_rows(1) <= probed_rows(3) <= 8
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -44,12 +44,6 @@ EXPECTED_DIVERGENCES = {
     ("voluptuous.schema_builder.Schema._compile_dict", 36):
         "digit-string key '10' renders data[10] (engine restores numeric "
         "path components for list indexes / numeric map keys)",
-    ("voluptuous.schema_builder.Schema._compile_dict", 43):
-        "Coerce(int) KEY renames — key transforms are a documented "
-        "divergence (column names are static)",
-    ("voluptuous.validators.Any", 10):
-        "transforming validators inside Any branches are validation-only "
-        "(identity output) — one column type per field",
 }
 
 

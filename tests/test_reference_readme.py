@@ -33,11 +33,7 @@ _SHIM_NAMES = (
 )
 
 # example lineno (fence-stripped source) -> documented reason
-EXPECTED_DIVERGENCES = {
-    442: "dict value schema under a dynamic-key MapType "
-         "(Schema({1: {Extra: object}})): nested per-entry mapping "
-         "validation inside transform_values is not expressible",
-}
+EXPECTED_DIVERGENCES: dict = {}
 
 
 class _Collector(doctest.DocTestRunner):

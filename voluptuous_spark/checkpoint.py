@@ -50,11 +50,30 @@ class CheckpointedValidation:
         checkpoint_path: str,
         n_buckets: int = 64,
         key: str = "clip_id",
+        bucket_expr=None,
+        fingerprint_expr=None,
     ):
+        """``bucket_expr`` / ``fingerprint_expr``: optional Column
+        overrides for the partitioning hash and the per-bucket lineage
+        fingerprint (defaults: crc32-based). Override with plain
+        arithmetic (``pmod(key, n)`` / ``sum(key)``) when an external
+        oracle must replay the bucketing."""
         self.spark = spark
         self.path = checkpoint_path
         self.n_buckets = n_buckets
         self.key = key
+        self._bucket_expr = bucket_expr
+        self._fp_expr = fingerprint_expr
+
+    def _bucket(self):
+        if self._bucket_expr is not None:
+            return self._bucket_expr
+        return bucket_col(self.key, self.n_buckets)
+
+    def _fp(self):
+        if self._fp_expr is not None:
+            return self._fp_expr
+        return F.crc32(F.col(self.key).cast("string"))
 
     def completed_buckets(self) -> set[int]:
         try:
@@ -87,7 +106,7 @@ class CheckpointedValidation:
         Returns the number of steps executed. Safe to kill and re-invoke:
         completed buckets are skipped on resume.
         """
-        bdf = df.withColumn("__bucket", bucket_col(self.key, self.n_buckets))
+        bdf = df.withColumn("__bucket", self._bucket())
         pending = self.pending_buckets()
         steps = 0
         for start in range(0, len(pending), buckets_per_step):
@@ -97,7 +116,7 @@ class CheckpointedValidation:
             t0 = time.time()
             subset = bdf.filter(F.col("__bucket").isin(chunk))
             annotated = validate_fn(subset.drop("__bucket")).withColumn(
-                "__bucket", bucket_col(self.key, self.n_buckets)
+                "__bucket", self._bucket()
             )
             ok = (F.size("__errors") == 0).cast("long")
             summary = annotated.groupBy("__bucket").agg(
@@ -105,9 +124,7 @@ class CheckpointedValidation:
                 F.sum(ok).alias("passed"),
                 F.sum(1 - ok).alias("failed"),
                 F.sum(F.size("__errors")).alias("violation_count"),
-                F.sum(F.crc32(F.col(self.key).cast("string"))).alias(
-                    "input_fingerprint"
-                ),
+                F.sum(self._fp()).alias("input_fingerprint"),
             )
             wall_ms = int((time.time() - t0) * 1000)
             out = summary.select(
@@ -148,13 +165,9 @@ class CheckpointedValidation:
         """Buckets whose current input fingerprint differs from the
         checkpointed one (data changed since validation -> stale)."""
         cur = (
-            df.withColumn("__bucket", bucket_col(self.key, self.n_buckets))
+            df.withColumn("__bucket", self._bucket())
             .groupBy("__bucket")
-            .agg(
-                F.sum(F.crc32(F.col(self.key).cast("string"))).alias(
-                    "current_fingerprint"
-                )
-            )
+            .agg(F.sum(self._fp()).alias("current_fingerprint"))
         )
         return (
             self.report()

@@ -55,7 +55,7 @@ class RowCheck:
 
     __slots__ = ("out", "err", "out_type", "drop_path", "multi",
                  "err_arr", "out_arr", "pystr_out", "err_pystr",
-                 "identity_out")
+                 "identity_out", "static_fail")
 
     _ERR_T = "struct<message:string,error_type:string>"
     _MULTI_T = "array<struct<message:string,error_type:string>>"
@@ -101,6 +101,11 @@ class RowCheck:
         # True when out is the identity (pure predicate validators): a
         # threaded Python-str stays valid across such stages
         self.identity_out = False
+        # True when the check REJECTS every cell at bind time (literal /
+        # type / container check against a statically-mismatched column
+        # type): combinators exclude such branches from output-type
+        # unification — they can never be the passing branch
+        self.static_fail = False
 
     @staticmethod
     def passing(out_type=None):
@@ -352,9 +357,11 @@ def compile_validator(v, dtype: T.DataType, path: tuple = ()) -> RowCheck:
     # a different Python type than the column never matches (Spark's
     # implicit string<->numeric cast would wrongly accept '5' for 5)
     if not _lit_comparable(v, dtype):
-        return _pred_check(
+        rc = _pred_check(
             lambda c: F.lit(False), "not a valid value", "ScalarInvalid"
         )
+        rc.static_fail = True
+        return rc
     return _pred_check(
         lambda c: c.eqNullSafe(F.lit(v)), "not a valid value", "ScalarInvalid"
     )
@@ -373,6 +380,7 @@ def _type_check(pytype, dtype) -> RowCheck:
     else:
         rc = _pred_check(lambda c: F.lit(False), f"expected {name}",
                          "TypeInvalid")
+        rc.static_fail = True
     if pytype in (int, float) and _is_numeric(dtype):
         # per-row refinement when an upstream stage threads the Python
         # str of the CURRENT value: Clamp with an int bound substitutes
@@ -401,9 +409,11 @@ def _sequence_check(alternatives, dtype) -> RowCheck:
     Elements matching a Remove alternative are dropped from the output.
     """
     if not isinstance(dtype, T.ArrayType):
-        return _pred_check(
+        rc = _pred_check(
             lambda c: F.lit(False), "expected a list", "SequenceTypeInvalid"
         )
+        rc.static_fail = True
+        return rc
     elem_t = dtype.elementType
     # alternatives are tried IN DECLARATION ORDER per element
     # (schema_builder.py:605-625): an element claimed by an earlier keep
@@ -533,9 +543,11 @@ def _set_check(schema, dtype) -> RowCheck:
     'invalid value in set' per non-matching member."""
     type_name = type(schema).__name__  # 'set' or 'frozenset'
     if not isinstance(dtype, T.ArrayType):
-        return _pred_check(
+        rc = _pred_check(
             lambda c: F.lit(False), f"expected a {type_name}", "Invalid"
         )
+        rc.static_fail = True
+        return rc
     elem_t = dtype.elementType
     alt_checks = [compile_validator(s, elem_t) for s in schema]
 
@@ -1093,20 +1105,27 @@ class Any(Validator):
 
     def bind(self, dtype):
         checks = [compile_validator(v, dtype) for v in self.validators]
-        out_types = {(ch.out_type or dtype).simpleString() for ch in checks}
+        # branches that statically reject this column type can never be
+        # the passing branch — exclude them from output-type unification
+        # (Any('true', All(Any(int, bool), Coerce(bool))) over a bigint
+        # column: the 'true' literal is dead, the live branch's bool
+        # output threads through, reference validators.py:322-329)
+        live = [ch for ch in checks if not ch.static_fail] or checks
+        out_types = {(ch.out_type or dtype).simpleString() for ch in live}
         if len(out_types) > 1:
-            # branches disagree on output type; a Spark column has exactly
-            # one type, so Any degrades to validation-only (identity out)
+            # live branches disagree on output type; a Spark column has
+            # exactly one type, so Any degrades to validation-only
+            # (identity out) — documented divergence
             def out(col):
                 return col
 
             out_t = dtype
         else:
-            out_t = (checks[0].out_type if checks else None) or dtype
+            out_t = (live[0].out_type if live else None) or dtype
 
             def out(col):
                 expr = F.lit(None).cast(out_t.simpleString())
-                for ch in reversed(checks):
+                for ch in reversed(live):
                     expr = F.when(ch.err(col).isNull(), ch.out(col)).otherwise(expr)
                 return expr
 
@@ -1132,7 +1151,7 @@ class Any(Validator):
         err = _err
         rc = RowCheck(out, err, out_t)
         rc.identity_out = len(out_types) > 1 or all(
-            ch.identity_out for ch in checks
+            ch.identity_out for ch in live
         )
         rc.err_pystr = lambda c, s: _err(c, s).cast(RowCheck._ERR_T)
         if any(ch.err_arr is not None for ch in checks):
@@ -1172,8 +1191,8 @@ class Any(Validator):
                 rc.out_arr = lambda arr: arr
             else:
                 def out_arr(arr):
-                    e_arrs = [_err_arr_of(ch)(arr) for ch in checks]
-                    o_arrs = [_out_arr_of(ch)(arr) for ch in checks]
+                    e_arrs = [_err_arr_of(ch)(arr) for ch in live]
+                    o_arrs = [_out_arr_of(ch)(arr) for ch in live]
                     z = F.arrays_zip(
                         arr.alias("v"),
                         *[ea.alias(f"e{k}")
@@ -1184,7 +1203,7 @@ class Any(Validator):
 
                     def per(s):
                         expr = F.lit(None).cast(out_t.simpleString())
-                        for k in reversed(range(len(checks))):
+                        for k in reversed(range(len(live))):
                             expr = F.when(
                                 s[f"e{k}"].isNull(), s[f"o{k}"]
                             ).otherwise(expr)

@@ -313,6 +313,15 @@ class Schema:
             return self._call_map_doc(data, spark)
         if isinstance(self.schema, dict) and not isinstance(
             self.schema, dsl.Object
+        ) and data and _key_transform_applies(self.schema, data):
+            # a transforming wildcard KEY renames entries (Coerce(int)
+            # key turns '10' into 10, reference schema_builder.py
+            # :483-488): the output key changes TYPE, which no static
+            # struct/map column can carry — validate driver-side, where
+            # _driver_match_key computes the renamed key exactly
+            return self._driver_validate_mapping(data, spark)
+        if isinstance(self.schema, dict) and not isinstance(
+            self.schema, dsl.Object
         ) and any(
             isinstance(sk, dsl.Marker)
             and getattr(sk, "default", dsl.UNDEFINED) is not dsl.UNDEFINED
@@ -626,10 +635,14 @@ class Schema:
         ) and (
             len(key_kinds) > 1 or not scalar_keys
             or _is_mixed_seq(list(data.values()))
+            or any(isinstance(v, dict) for v in data.values())
         ):
-            # no MapType can carry this document (mixed/non-scalar key
-            # types, or mixed value types) — validate driver-side with
-            # each key/value riding the column engine individually
+            # no MapType ride can carry this document faithfully
+            # (mixed/non-scalar key types, mixed value types, or NESTED
+            # dict values — per-entry mapping validation inside
+            # transform_values is not expressible) — validate
+            # driver-side with each key/value riding the column engine
+            # individually
             return self._driver_validate_mapping(data, spark)
         _assert_representable(data)
         kt = _infer_spark_type(next(iter(data)))
@@ -4524,6 +4537,36 @@ def _msg_collapse_seq(msg_override, key_path, singles, arrs,
     new_singles = [collapsed] + [F.when(~S, s) for s in singles]
     new_arrs = [F.when(~S, a) for a in arrs]
     return new_singles, new_arrs
+
+
+def _key_transform_applies(smap: dict, data: dict) -> bool:
+    """Would any wildcard KEY of this mapping schema RENAME a present
+    data key (``Coerce(int)`` keys turn ``'10'`` into ``10``, reference
+    schema_builder.py:483-488; plain-callable keys may return a new key,
+    schema_builder.py:337-339)? Detection runs driver-side with the
+    key-transform function applied directly — cheap, exact, and only for
+    single-document validation."""
+    fns = []
+    for sk in smap:
+        inner = sk.schema if isinstance(sk, dsl.Marker) else sk
+        if isinstance(inner, dsl.Coerce):
+            fns.append(inner.type)
+        elif (
+            callable(inner)
+            and not isinstance(inner, (type, dsl.Validator, str, bytes))
+        ):
+            fns.append(inner)
+    if not fns:
+        return False
+    for f in fns:
+        for k in data:
+            try:
+                nk = f(k)
+            except Exception:
+                continue
+            if nk is not k and (nk != k or type(nk) is not type(k)):
+                return True
+    return False
 
 
 def _excl_trigger_msg(grp, label, present_fn) -> Column:
