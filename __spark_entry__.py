@@ -329,12 +329,37 @@ def _maptype_props(spark, sf_dir):
     res = Schema(
         {"attrs": {str: Range(min=0.0, max=100.0)}}, extra=ALLOW_EXTRA
     ).validate(df, id_cols=["event_id"])
-    return res.violations.select(
+    viol = res.violations.select(
         "event_id",
         F.element_at("path", 2).alias("key"),
         "message",
         "error_type",
     )
+    # KEY-TRANSFORM branch (reference schema_builder.py:483-488):
+    # {Coerce(int): v} over a digit-string-keyed map RENAMES entries —
+    # F.transform_keys casts the keys, and the transformed int keys come
+    # back off the annotated output (round-2 verdict #2)
+    from voluptuous_spark import Coerce
+
+    df2 = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.create_map(
+            (F.col("event_id") % 7 + 10).cast("string"),
+            F.coalesce("value", F.lit(-1.0)),
+        ).alias("attrs2"),
+    )
+    res2 = Schema(
+        {"attrs2": {Coerce(int): Range(min=-1e9)}}, extra=ALLOW_EXTRA
+    ).validate(df2, id_cols=["event_id"])
+    trans = res2.annotated.select(
+        "event_id", F.explode(F.map_keys("attrs2")).alias("ik")
+    ).select(
+        "event_id",
+        F.col("ik").cast("string").alias("key"),
+        F.lit("key transformed").alias("message"),
+        F.lit("Coerce").alias("error_type"),
+    )
+    return viol.unionByName(trans)
 
 
 def _set_flags(spark, sf_dir):
@@ -1016,6 +1041,11 @@ def oracle_sql() -> dict[str, str]:
                    'value must be at most 100.0', 'RangeInvalid'
             FROM events
             WHERE user_id % 150 > 100
+            UNION ALL
+            -- key-transform branch: Coerce(int) keys rename '1x' -> 1x
+            SELECT event_id, CAST(event_id % 7 + 10 AS VARCHAR),
+                   'key transformed', 'Coerce'
+            FROM events
         """,
         "set_flags": """
             SELECT l_orderkey, l_linenumber,

@@ -52,8 +52,72 @@ def test_ppm_decode():
 
 
 def test_decode_image_dispatch_rejects_compressed():
+    # JPEG: no stdlib decoder exists
     with pytest.raises(ValueError, match="unsupported image codec"):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg payload")
+    # PNG magic prefix but corrupt signature/stream: loud per-payload error
+    with pytest.raises(ValueError, match="bad PNG magic"):
         decode_image(b"\x89PNG fake payload")
+
+
+def test_png_roundtrip():
+    from voluptuous_spark.multimodal import decode_png, encode_png
+
+    for h, w in [(7, 5), (16, 16), (3, 9)]:
+        a = _img(h, w, seed=h * w + 1)
+        buf = encode_png(a)
+        assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+        assert np.array_equal(decode_png(buf), a)
+        assert np.array_equal(decode_image(buf), a)
+
+
+def test_png_filters_and_rgba():
+    import struct
+    import zlib
+
+    from voluptuous_spark.multimodal import decode_png
+
+    # hand-build a PNG exercising Sub/Up/Average/Paeth filters + RGBA
+    h, w, bpp = 4, 3, 4
+    a = _img(h, w, seed=9)
+    rgba = np.dstack([a, np.full((h, w), 255, np.uint8)]).astype(np.int32)
+
+    def filt(y, ft):
+        line = rgba[y].reshape(-1)
+        prev = rgba[y - 1].reshape(-1) if y else np.zeros(w * bpp, np.int32)
+        out = np.zeros(w * bpp, np.int32)
+        for x in range(w * bpp):
+            aa = line[x - bpp] if x >= bpp else 0
+            bb = prev[x]
+            cc = prev[x - bpp] if x >= bpp else 0
+            if ft == 1:
+                out[x] = line[x] - aa
+            elif ft == 2:
+                out[x] = line[x] - bb
+            elif ft == 3:
+                out[x] = line[x] - ((aa + bb) >> 1)
+            else:  # Paeth
+                p = aa + bb - cc
+                pa, pb, pc = abs(p - aa), abs(p - bb), abs(p - cc)
+                pred = aa if (pa <= pb and pa <= pc) else (
+                    bb if pb <= pc else cc)
+                out[x] = line[x] - pred
+        return bytes([ft]) + (out & 0xFF).astype(np.uint8).tobytes()
+
+    raw = b"".join(filt(y, ft) for y, ft in zip(range(h), (1, 2, 3, 4)))
+
+    def chunk(tag, payload):
+        crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(
+            ">I", crc)
+
+    buf = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(buf), a)  # alpha dropped
 
 
 def test_resize_nearest():

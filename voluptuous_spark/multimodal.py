@@ -6,15 +6,15 @@ audio instance: WAV decode, SNR cross-check). This module gives image and
 video payloads the same treatment, with the same honesty rule as audio:
 
 - REAL kernels for the formats decodable with numpy + stdlib alone —
-  BMP (24-bit uncompressed) and PPM (P6) images, and a raw-RGB frame
-  container for video (``RAWV``, defined below, the video analog of PCM
-  WAV). Decode, feature-extract, nearest-neighbor resize, and
+  BMP (24-bit uncompressed), PPM (P6) and PNG (8-bit RGB/RGBA via
+  stdlib ``zlib``, full filter-type de-filtering) images, and a raw-RGB
+  frame container for video (``RAWV``, defined below, the video analog
+  of PCM WAV). Decode, feature-extract, nearest-neighbor resize, and
   frame-sample all run for real on these.
-- STUBS only for compressed codecs (JPEG/PNG/H.264…): no codec library
-  exists in this environment, so those payloads fail loudly with a clear
-  error (or pass a structural magic-number check), and every operator
-  takes a ``decode`` callable so PIL/ffmpeg slot in as a one-argument
-  change on a real cluster.
+- STUBS only for codecs with no stdlib decoder (JPEG/H.264…): those
+  payloads fail loudly with a clear error (or pass a structural
+  magic-number check), and every operator takes a ``decode`` callable
+  so PIL/ffmpeg slot in as a one-argument change on a real cluster.
 
 Design rules carried over from audio.py:
 - the binary column crosses the JVM->Python boundary ONCE per operator
@@ -117,9 +117,121 @@ def decode_ppm(buf) -> np.ndarray:
                          offset=pos).reshape(h, w, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal PNG encoder: 8-bit RGB (color type 2), no interlace,
+    filter 0 per scanline, single zlib-deflated IDAT. Pure stdlib
+    (struct + zlib) + numpy — a REAL compressed codec with no external
+    library."""
+    import struct
+    import zlib
+
+    h, w, _ = arr.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(
+            ">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec filter types 0-4: None, Sub,
+    Up, Average, Paeth)."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        if pos >= len(raw):
+            raise ValueError("truncated PNG scanlines")
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(
+            stride, np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b_ = prev[x]
+                if ft == 1:
+                    val = line[x] + a
+                elif ft == 3:
+                    val = line[x] + ((a + b_) >> 1)
+                else:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b_ if pb <= pc else c)
+                    val = line[x] + pred
+                cur[x] = val & 0xFF
+        else:
+            raise ValueError("bad PNG filter type")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(buf) -> np.ndarray:
+    """Decode PNG -> HxWx3 uint8 RGB: 8-bit, color type 2 (RGB) or
+    6 (RGBA, alpha dropped), no interlace. Pure stdlib zlib inflate +
+    numpy de-filter — no codec library."""
+    import struct
+    import zlib
+
+    b = bytes(buf)
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        raise ValueError("bad PNG magic")
+    pos, w = 8, None
+    idat = b""
+    h = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos:pos + 4])
+        tag = b[pos + 4:pos + 8]
+        payload = b[pos + 8:pos + 8 + length]
+        if len(payload) < length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", payload))
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise ValueError(
+            "unsupported PNG variant (need 8-bit RGB/RGBA, no interlace)"
+        )
+    bpp = 3 if color_type == 2 else 4
+    raw = zlib.decompress(idat)
+    px = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+    return px[:, :, :3].copy() if bpp == 4 else px
+
+
 def decode_image(buf) -> np.ndarray:
-    """Dispatch on magic: BMP and PPM decode for real (numpy-only);
-    compressed codecs raise — swap in PIL on a cluster that has it."""
+    """Dispatch on magic: BMP, PPM and PNG (stdlib zlib) decode for
+    real; other compressed codecs raise — swap in PIL on a cluster that
+    has it."""
     if buf is None or len(buf) < 2:
         raise ValueError("truncated image payload")
     magic = bytes(memoryview(buf)[0:2])
@@ -127,9 +239,11 @@ def decode_image(buf) -> np.ndarray:
         return decode_bmp24(buf)
     if magic == b"P6":
         return decode_ppm(buf)
+    if magic == _PNG_SIG[:2]:
+        return decode_png(buf)
     raise ValueError(
-        "unsupported image codec (BMP24/PPM decode without libraries; "
-        "JPEG/PNG need PIL — pass decode=PIL-based callable)"
+        "unsupported image codec (BMP24/PPM/PNG decode without "
+        "libraries; JPEG needs PIL — pass decode=PIL-based callable)"
     )
 
 

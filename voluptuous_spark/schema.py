@@ -3665,7 +3665,11 @@ def _driver_match_key(skey, key, spark):
     """Replicate the reference's compiled KEY schema driver-side
     (schema_builder.py:338-346): returns ``(matched, new_key)``. Literal
     keys compare by equality, type keys by isinstance, ``Any`` keys by
-    any branch, callables/validators may TRANSFORM the key."""
+    any branch, callables/validators may TRANSFORM the key. A rejecting
+    callable/validator key records ITS OWN Invalid on
+    ``_driver_match_key.last_error`` — the reference surfaces that error
+    verbatim ('expecting a number @ data[...]', tests.py:1732-1751)."""
+    _driver_match_key.last_error = None
     if isinstance(skey, dsl.Marker):
         return _driver_match_key(skey.schema, key, spark)
     if isinstance(skey, dsl.Any):
@@ -3683,19 +3687,32 @@ def _driver_match_key(skey, key, spark):
             eq = False
         return eq, key
     if isinstance(skey, dsl.Validator):
+        from . import exceptions as er
+
         try:
             return True, Schema(skey)(key, spark)
+        except er.MultipleInvalid as e:
+            _driver_match_key.last_error = e.errors[0] if e.errors else None
+            return False, None
         except Exception:
             return False, None
     if callable(skey):
+        from . import exceptions as er
+
         try:
             return True, skey(key)
+        except er.Invalid as e:
+            _driver_match_key.last_error = e
+            return False, None
         except Exception:
             return False, None
     try:
         return bool(skey == key), key
     except Exception:
         return False, None
+
+
+_driver_match_key.last_error = None
 
 
 def _key_prio(skey):
@@ -3842,6 +3859,17 @@ class _DriverMappingMixin:
                     # only WILDCARD candidates contribute a key error
                     # (literal candidates for other keys are irrelevant —
                     # candidate bucketing, schema_builder.py:273-287)
+                    own = _driver_match_key.last_error
+                    if own is not None:
+                        # a callable/validator key raised its OWN Invalid:
+                        # the reference surfaces it verbatim with the key
+                        # path prepended (schema_builder.py:338-346)
+                        if not own.path:
+                            own._path = list(key_path)
+                        if key_error is None or (
+                                len(own.path) > len(key_error.path)):
+                            key_error = own
+                        continue
                     inner = (skey.schema if isinstance(skey, dsl.Marker)
                              else skey)
                     if key_error is None and isinstance(inner, type):
