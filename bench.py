@@ -584,6 +584,14 @@ def write_baseline_md(queries: dict, scaling: dict,
     ]
     for k, v in sorted(queries.items()):
         lines.append(f"| {k} | {v} |")
+    lines += [
+        "",
+        "Note: `cosine_near_dups` trades ~2s of fixed stage overhead at "
+        "this toy scale (extra dedup/re-attach stages) for an "
+        "n_bands-times smaller shuffle payload at corpus scale — the "
+        "band self-join carries (id, band) only; vectors re-attach "
+        "after pair dedup (plan test in tests/test_plans.py).",
+    ]
     if hashed:
         lines += [
             "",

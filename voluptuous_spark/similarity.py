@@ -449,10 +449,15 @@ def cosine_near_duplicates(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verify joins stream the vector table and broadcast the (narrow,
+    # LSH-pruned) pair set — the survivor set is orders of magnitude
+    # smaller than the corpus; if it ever isn't, AQE demotes to a
+    # sort-merge join on the id key
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        pairs.join(va, "id_a").join(vb, "id_b")
+        va.join(F.broadcast(pairs), "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
