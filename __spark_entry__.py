@@ -542,13 +542,16 @@ def _doc_profile(spark, sf_dir):
     from voluptuous_spark.textops import normalize_text
 
     d = _t(spark, sf_dir, "documents")
-    t = normalize_text(F.col("text"))
-    words = F.split(t, " ")
+    pre = d.select(
+        "doc_id", normalize_text(F.col("text")).alias("__t")
+    )  # staged: the normalize regex evaluates ONCE, not per output column
+    t = F.col("__t")
     w = Window.partitionBy("fingerprint")
-    return d.select(
+    return pre.select(
         "doc_id",
         F.md5(t).alias("fingerprint"),
-        F.when(F.length(t) == 0, 0).otherwise(F.size(words)).alias("n_tokens"),
+        F.when(F.length(t) == 0, 0)
+        .otherwise(F.size(F.split(t, " "))).alias("n_tokens"),
         F.ceil(F.length(t) / 4).cast("long").alias("n_bpe_est"),
     ).select(
         "doc_id", "fingerprint", "n_tokens", "n_bpe_est",

