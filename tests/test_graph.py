@@ -111,3 +111,27 @@ def test_lsh_to_clusters_composes(spark):
     assert set(cc.keys()) <= {1, 2, 3}
     assert len(set(cc.values())) == 1
     assert 4 not in cc
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    # checkpoint_dir= switches the per-round lineage cut to reliable
+    # df.checkpoint() (fault tolerance for multi-hour cluster runs);
+    # results identical to the localCheckpoint default
+    import os
+
+    from voluptuous_spark.graph import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 1)], "id_a long, id_b long"
+    )
+    want = sorted(
+        (r.id, r.cluster_id, r.is_canonical)
+        for r in duplicate_clusters(pairs).collect()
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = sorted(
+        (r.id, r.cluster_id, r.is_canonical)
+        for r in duplicate_clusters(pairs, checkpoint_dir=ckpt).collect()
+    )
+    assert got == want
+    assert os.listdir(ckpt)  # reliable checkpoint data actually written

@@ -24,8 +24,9 @@ DataFrame ops — the scale-correct choice:
 
 Driver-side iteration with a convergence check is the idiomatic Spark
 shape for iterative graph algorithms (GraphFrames does the same); lineage
-is cut per round with localCheckpoint — on a real cluster set a
-checkpoint dir and use `df.checkpoint()` for fault tolerance instead.
+is cut per round with localCheckpoint, or with reliable
+`df.checkpoint()` when `checkpoint_dir=` is passed (fault tolerance for
+multi-hour runs on a real cluster).
 """
 
 from __future__ import annotations
@@ -77,6 +78,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, cluster_id) for every node of ``edges``; cluster_id is the
     minimum node id of the component. Nodes with no edges are absent
@@ -86,9 +88,21 @@ def connected_components(
     unchanged (checked via count + order-independent hash sum — one tiny
     aggregate per round, no driver-side edge materialization). The
     fixpoint is a forest of stars centered at each component's minimum.
+
+    ``checkpoint_dir``: when set, per-round lineage cuts use RELIABLE
+    ``df.checkpoint()`` into that directory (survives executor loss —
+    the right choice for a multi-hour 10^12-edge run); default is
+    ``localCheckpoint`` (executor-local blocks, fastest in-sandbox).
     """
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    e = e.localCheckpoint(eager=True)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = _cut(e)
 
     def _sig(df: DataFrame):
         row = df.agg(
@@ -101,7 +115,7 @@ def connected_components(
 
     sig = _sig(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _cut(_small_star(_large_star(e)))
         sig2 = _sig(e2)
         e = e2
         if sig2 == sig:
@@ -118,12 +132,13 @@ def connected_components(
 
 
 def duplicate_clusters(
-    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs -> (id, cluster_id, is_canonical): the
     transitive closure of the pair relation, with the minimum id of each
     cluster marked canonical (the member a dedup pass keeps)."""
-    cc = connected_components(pairs, src, dst)
+    cc = connected_components(pairs, src, dst, checkpoint_dir=checkpoint_dir)
     return cc.select(
         "id",
         "cluster_id",
