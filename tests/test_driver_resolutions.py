@@ -495,3 +495,38 @@ def test_remove_then_later_candidate_reclaims(spark):
     )({"a": 5}) == {1: 9}
     # later candidate ERRORS while removal pending -> silent, dropped
     assert vs.Schema({vs.Remove(str): int, str: bool})({"a": 5}) == {}
+
+
+def test_nested_group_violation_suppresses_deep_resolutions(spark):
+    # fuzz seed 9501: a NESTED mapping level whose Inclusive group fires
+    # raises BEFORE validating that level (schema_builder.py:536-571) —
+    # a driver-resolved None deeper in the same subtree must not add its
+    # own error next to the group error
+    errs = _err(
+        vs.Schema({"k0": {
+            vs.Inclusive("h0", "g"): int,
+            vs.Inclusive("h1", "g"): int,
+            "n0": {"m": vs.Coerce(int)},
+        }}),
+        {"k0": {"h0": 1, "n0": {"m": None}}},
+    )
+    assert [str(e) for e in errs] == [
+        "some but not all values in the same group of inclusion 'g' "
+        "@ data['k0'][<g>]"
+    ]
+    # sibling branches OUTSIDE the firing level still accumulate
+    errs = _err(
+        vs.Schema({
+            "k0": {
+                vs.Inclusive("h0", "g"): int,
+                vs.Inclusive("h1", "g"): int,
+            },
+            "kc": {"m": vs.Coerce(int)},
+        }),
+        {"k0": {"h0": 1}, "kc": {"m": None}},
+    )
+    assert sorted(str(e) for e in errs) == [
+        "expected int for dictionary value @ data['kc']['m']",
+        "some but not all values in the same group of inclusion 'g' "
+        "@ data['k0'][<g>]",
+    ]

@@ -4274,24 +4274,35 @@ def _merge_driver_resolutions(result, driver_res, doc_order=None,
         return any(t[: len(p)] == p for p in resolved)
 
     ride = [e for e in ride if not _artifact(e)]
-    if any(
-        # synthesized group errors are TAGGED by class (only the group
-        # machinery at the struct compiler emits these error types) AND
-        # by the virtual path component — a document key literally named
-        # '<g>' under ALLOW_EXTRA/str-wildcard fails with an ordinary
-        # class and so no longer trips the short-circuit
-        isinstance(e, (ExclusiveInvalid, InclusiveInvalid))
-        and e.path and isinstance(e.path[0], VirtualPathComponent)
-        for e in ride
-    ):
-        # an Exclusive/Inclusive GROUP violation: the reference runs
-        # group checks BEFORE any value validation and raises immediately
-        # (schema_builder.py:536-571) — driver resolutions are moot
+    # synthesized group errors are TAGGED by class (only the group
+    # machinery at the mapping compilers emits these error types) AND by
+    # the virtual path component — a document key literally named '<g>'
+    # under ALLOW_EXTRA/str-wildcard fails with an ordinary class and so
+    # never trips the short-circuit. The path WITHOUT the '<g>' marker is
+    # the mapping level whose group fired; the reference runs group
+    # checks BEFORE validating that level (schema_builder.py:536-571), so
+    # NOTHING under it — including driver-side resolutions — may
+    # contribute errors.
+    group_levels = [
+        tuple(e.path[:-1]) for e in ride
+        if isinstance(e, (ExclusiveInvalid, InclusiveInvalid))
+        and e.path and isinstance(e.path[-1], VirtualPathComponent)
+    ]
+    if () in group_levels:
+        # a ROOT-level group violation: driver resolutions are moot
         raise MultipleInvalid(ride)
     extra = []
     for _p, kind, payload in driver_res:
         if kind == "error":
             extra.extend(payload)
+    if group_levels:
+        # nested group violation (fuzz seed 9501): drop every
+        # driver-resolution error under a firing level
+        extra = [
+            e for e in extra
+            if not any(tuple(e.path[: len(lvl)]) == lvl
+                       for lvl in group_levels)
+        ]
     if not (ride or extra):
         return
     req = [e for e in ride if isinstance(e, RequiredFieldInvalid)]
