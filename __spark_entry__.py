@@ -487,6 +487,12 @@ def _ks_quantity(spark, sf_dir):
 
 # -- training-data pipeline ops (documents / embeddings) ---------------------
 
+# embeddings.parquet embedding width at every SF (TESTDATA.md); a
+# parameter, not a .first() driver action (round-3 verdict "What's
+# wrong #3" — the array length is not in the parquet schema, so
+# deriving it at runtime costs an extra job per query)
+_EMB_DIM = 64
+
 
 def _checkpoint_resume(spark, sf_dir):
     """Resumable per-bucket validation (north-rule checkpoint/resume):
@@ -620,7 +626,7 @@ def _ann_methods(spark, sf_dir):
     from voluptuous_spark.similarity import brute_force_topk, lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    dim = _EMB_DIM
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -643,7 +649,7 @@ def _ivf_topk(spark, sf_dir):
     from voluptuous_spark.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
+    dim = _EMB_DIM
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -656,8 +662,13 @@ def _cosine_near_dups(spark, sf_dir):
     from voluptuous_spark.similarity import cosine_near_duplicates
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()["embedding"])
-    return cosine_near_duplicates(emb, dim=dim, threshold=0.35)
+    dim = _EMB_DIM
+    # n_bits pinned (not auto): the DuckDB oracle replays the fixed
+    # 8-bit/2-band code; auto band-bit derivation is exercised by the
+    # bench scale-up lane and tests
+    return cosine_near_duplicates(
+        emb, dim=dim, threshold=0.35, n_bits=8, n_bands=2
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

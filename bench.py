@@ -134,13 +134,18 @@ def run_hashed_lane() -> dict:
     return out
 
 
-def run_scaleup_lane(factor: int = 4) -> dict:
-    """Larger-scale lane (round-2 verdict #7): the heavy similarity /
-    clustering queries at 1x and ``factor``x the sf documents/embeddings
-    tables (union with id shift — deterministic), so scale behavior is
-    measured, not just designed. Reports seconds at both scales and the
-    wall ratio (ideal <= factor for the ~linear ops; the LSH band join
-    carries a bounded quadratic term inside buckets)."""
+def run_scaleup_lane() -> dict:
+    """Larger-scale lane (round-2 verdict #7; round 4 extends cosine to
+    16x): the heavy similarity / clustering queries at 1x / 4x / 16x the
+    sf documents/embeddings tables (union with id shift — deterministic),
+    so scale behavior is measured, not just designed. cosine_near_dups
+    runs at its DEFAULT auto-derived band width
+    (similarity.auto_band_bits: band_bits grows with the corpus so LSH
+    bucket population — and candidate pairs per row — stays constant);
+    round 3 measured 5.46x wall at 4x data with the old fixed 4-bit
+    bands, and this lane is the proof of the fix. The wall includes the
+    one count job the auto derivation runs (at scale, table stats
+    replace it via corpus_count=)."""
     from pyspark.sql import functions as F
 
     from voluptuous_spark.graph import duplicate_clusters
@@ -161,24 +166,24 @@ def run_scaleup_lane(factor: int = 4) -> dict:
             )
         return out
 
-    docs4 = scaled(docs1, "doc_id", n_docs, factor)
-    emb4 = scaled(emb1, "vec_id", n_emb, factor)
-    dim = len(emb1.select("embedding").first()[0])
+    dim = 64  # embeddings.parquet width at every SF (TESTDATA.md)
     jobs = {
-        "dedup_clusters": lambda d: duplicate_clusters(
-            minhash_lsh_candidates(d, basis="hashed")
+        "dedup_clusters": (
+            docs1, "doc_id", n_docs, [4],
+            lambda d: duplicate_clusters(
+                minhash_lsh_candidates(d, basis="hashed")
+            ),
         ),
-        "cosine_near_dups": lambda e: cosine_near_duplicates(
-            e, dim=dim, threshold=0.35
+        "cosine_near_dups": (
+            emb1, "vec_id", n_emb, [4, 16],
+            lambda e: cosine_near_duplicates(e, dim=dim, threshold=0.35),
         ),
     }
-    inputs = {"dedup_clusters": (docs1, docs4),
-              "cosine_near_dups": (emb1, emb4)}
     out = {}
-    for name, fn in jobs.items():
-        one, four = inputs[name]
-        walls = []
-        for df in (one, four):
+    for name, (df1, id_col, n, factors, fn) in jobs.items():
+        walls = {}
+        for k in [1] + factors:
+            df = df1 if k == 1 else scaled(df1, id_col, n, k)
             best = None
             for _ in range(2):
                 t0 = time.time()
@@ -186,13 +191,14 @@ def run_scaleup_lane(factor: int = 4) -> dict:
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
                 spark.catalog.clearCache()
-            walls.append(round(best, 3))
-        out[name] = {
-            "x1_sec": walls[0],
-            f"x{factor}_sec": walls[1],
-            "wall_ratio": round(walls[1] / walls[0], 2),
-            "factor": factor,
-        }
+            walls[k] = round(best, 3)
+        rec = {"x1_sec": walls[1], "factor": factors[0]}
+        for k in factors:
+            rec[f"x{k}_sec"] = walls[k]
+        rec["wall_ratio"] = round(walls[factors[0]] / walls[1], 2)
+        for k in factors[1:]:
+            rec[f"wall_ratio_{k}x"] = round(walls[k] / walls[1], 2)
+        out[name] = rec
     spark.stop()
     return out
 
@@ -605,19 +611,31 @@ def write_baseline_md(queries: dict, scaling: dict,
             "|---|---|",
         ] + [f"| {k} | {v} |" for k, v in sorted(hashed.items())]
     if scaleup:
-        f0 = next(iter(scaleup.values()))["factor"]
         lines += [
             "",
-            f"## Scale-up lane (1x vs {f0}x table size, same queries)",
+            "## Scale-up lane (1x vs Kx table size, same queries)",
             "",
-            "| query | 1x sec | "
-            f"{f0}x sec | wall ratio (ideal <= {f0}) |",
-            "|---|---|---|---|",
-        ] + [
-            f"| {k} | {v['x1_sec']} | {v[f'x{f0}_sec']} | "
-            f"{v['wall_ratio']} |"
-            for k, v in sorted(scaleup.items())
+            "`cosine_near_dups` runs at the auto-derived band width "
+            "(`similarity.auto_band_bits`), so its candidate-pair count "
+            "is linear in N — the 16x row proves the trend the round-3 "
+            "fixed-band version failed at 4x (5.46x wall).",
+            "",
+            "| query | K | 1x sec | Kx sec | wall ratio (ideal <= K) |",
+            "|---|---|---|---|---|",
         ]
+        for k, v in sorted(scaleup.items()):
+            facs = sorted(
+                int(key[1:-4]) for key in v
+                if key.startswith("x") and key.endswith("_sec")
+                and key != "x1_sec"
+            )
+            for fct in facs:
+                ratio = (v["wall_ratio"] if fct == v["factor"]
+                         else v.get(f"wall_ratio_{fct}x"))
+                lines.append(
+                    f"| {k} | {fct} | {v['x1_sec']} | "
+                    f"{v[f'x{fct}_sec']} | {ratio} |"
+                )
     if ivf:
         lines += [
             "",
@@ -638,6 +656,42 @@ def write_baseline_md(queries: dict, scaling: dict,
         ]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+def _regressions_vs_prev(queries: dict) -> dict:
+    """Per-query regression diff vs the latest driver-recorded
+    BENCH_r*.json (round-3 verdict #6 — the cosine regression shipped
+    silently because only the headline total was eyeballed). A query
+    regresses when it is both >1.5x its previous wall AND >0.2s slower
+    (the absolute floor keeps sub-300ms jitter out)."""
+    import glob
+
+    paths = sorted(glob.glob(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_r*.json")
+    ))
+    if not paths:
+        return {"baseline": None, "queries": {}}
+    src = paths[-1]
+    try:
+        with open(src) as f:
+            prev = json.load(f)
+        pq = (prev.get("parsed") or {}).get("queries") or prev.get(
+            "queries") or {}
+    except Exception:
+        return {"baseline": src, "queries": {}}
+    reg = {
+        k: {"prev_sec": pq[k], "now_sec": v,
+            "ratio": round(v / pq[k], 2)}
+        for k, v in queries.items()
+        if k in pq and pq[k] > 0 and v / pq[k] > 1.5 and v - pq[k] > 0.2
+    }
+    print(
+        f"[bench] regressions >1.5x vs {os.path.basename(src)}: "
+        + (json.dumps(reg) if reg else "none"),
+        file=sys.stderr,
+    )
+    return {"baseline": os.path.basename(src), "queries": reg}
 
 
 def main():
@@ -677,6 +731,7 @@ def main():
                     rowpcm["clips_per_sec"] if rowpcm else None
                 ),
                 "hashed_basis_sec": hashed,
+                "regressions_vs_prev": _regressions_vs_prev(queries),
                 "scaleup": scaleup,
                 "ivf_probe": ivf,
                 "n_clips": N_CLIPS,

@@ -14,14 +14,18 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # (a_i, b_i) per hyperplane: h_i[j] = ((a_i*(j+1)+b_i) % P)/P - 0.5.
-# Large well-known primes; 22 entries support SRP codes up to 22 bits
-# (the round-1 table stopped at 6, capping the engine at 64 buckets —
-# a scale-killer, since bucket population then grows linearly with the
-# corpus; deeper codes + banding below bound it instead).
+# Large well-known primes. These 22 entries are FROZEN (oracle parity
+# with earlier rounds' frozen DuckDB replays); planes beyond index 21
+# are hash-derived from the plane index by ``srp_coef`` — the plane
+# supply is unbounded, so band_bits can grow with the corpus
+# (band_bits ~ log2(N / target_bucket_rows) needs ~17 bits per band at
+# 10^9 vectors and the old fixed table capped n_bands*band_bits at 22).
 _SRP_COEFS = [
     (1_500_450_271, 97), (179_424_673, 257), (982_451_653, 991),
     (32_452_843, 1_031), (2_038_074_743, 8_191), (492_876_847, 131_071),
@@ -33,6 +37,32 @@ _SRP_COEFS = [
     (160_481_183, 262_139),
 ]
 _P = 2_147_483_647
+
+
+def srp_coef(i: int) -> tuple[int, int]:
+    """(a_i, b_i) for hyperplane ``i``: the frozen table for i < 22,
+    hash-derived (deterministic affine mix of the plane index, mod P)
+    beyond — an unbounded plane supply with no table to ship. An
+    external oracle replays any plane from this same two-line formula."""
+    if i < len(_SRP_COEFS):
+        return _SRP_COEFS[i]
+    a = (1_500_450_271 * (i + 1) + 982_451_653) % _P
+    b = (179_424_673 * (i + 1) + 32_452_843) % _P
+    return (a or 1_500_450_271, b)
+
+
+def auto_band_bits(
+    n_rows: int, target_bucket_rows: int = 64, floor: int = 2
+) -> int:
+    """Per-band code width that bounds LSH bucket population at any
+    corpus size: band_bits = ceil(log2(N / target_bucket_rows)), so a
+    (band_id, band_val) bucket holds ~``target_bucket_rows`` rows and
+    within-bucket pair work is N * target_bucket_rows * n_bands / 2 —
+    LINEAR in N (at fixed band_bits it is quadratic: pairs grow as
+    N^2 * n_bands / 2^band_bits, the round-3 measured scale-killer)."""
+    if n_rows <= target_bucket_rows:
+        return floor
+    return max(floor, math.ceil(math.log2(n_rows / target_bucket_rows)))
 
 
 def _dot(a, b):
@@ -93,14 +123,12 @@ def srp_bucket_expr(vec_col, dim: int, n_bits: int = 6, first_bit: int = 0):
     first_bit+n_bits): bit i = sign of <v, h_i> where
     h_i[j] = ((a_i*(j+1)+b_i) % P)/P - 0.5 — a deterministic pseudo-random
     hyperplane both engines can compute exactly. ``first_bit`` selects a
-    band of a longer code (multi-table LSH)."""
-    if first_bit + n_bits > len(_SRP_COEFS):
-        raise ValueError(
-            f"SRP code limited to {len(_SRP_COEFS)} bits; "
-            f"requested bits [{first_bit}, {first_bit + n_bits})"
-        )
+    band of a longer code (multi-table LSH). Plane supply is unbounded
+    (``srp_coef``): any first_bit/n_bits combination is valid."""
     acc = F.lit(0).cast("long")
-    for i, (a, b) in enumerate(_SRP_COEFS[first_bit:first_bit + n_bits]):
+    for i, (a, b) in enumerate(
+        srp_coef(first_bit + k) for k in range(n_bits)
+    ):
         comp = F.aggregate(
             F.zip_with(
                 vec_col,
@@ -413,10 +441,12 @@ def cosine_near_duplicates(
     df: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    n_bits: int = 8,
+    n_bits: int | None = None,
     n_bands: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
+    target_bucket_rows: int = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs: banded SRP codes (near-identical vectors
     agree on all sign bits of at least one band with high probability),
@@ -424,15 +454,27 @@ def cosine_near_duplicates(
     (id_a, id_b, score) with id_a < id_b, score >= threshold.
 
     Scale shape: the self-join is keyed on (band_id, band_val), so the
-    quadratic term is sum over buckets of pop² with pop ~ N/2**band_bits;
-    band_bits parameterizes the bound (round-1 used a flat 16-bucket code,
-    which is quadratic in N — fixed here). The band explode and self-join
-    carry ONLY (id, band_id, band_val) — 3 narrow columns — never the
-    embedding payload: candidate pairs are deduped first, then the
-    vectors re-attach through two id-keyed joins for the exact-cosine
-    verify (2 x N vector rows through an exchange instead of
-    n_bands x N both sides of the band shuffle — the round-2 verdict's
-    remaining wide-embedding nit)."""
+    quadratic term is sum over buckets of pop² with pop ~ N/2**band_bits.
+    By default band_bits is DERIVED from the corpus size
+    (``auto_band_bits``: band_bits = ceil(log2(N/target_bucket_rows))),
+    which pins bucket population at ~target_bucket_rows and makes
+    candidate-pair count LINEAR in N — at a fixed band_bits (the round-3
+    default of 4) pairs grow as N², the measured 5.46x-wall-at-4x-data
+    scale-killer. Pass ``corpus_count`` (e.g. from table stats) to skip
+    the one count job the derivation otherwise runs, or pin ``n_bits``
+    explicitly for oracle-replayable fixed codes. The plane supply is
+    unbounded (``srp_coef``), so n_bands >= 2 stays affordable at any
+    band_bits — recall amplification survives the scale-up.
+
+    The band explode and self-join carry ONLY (id, band_id, band_val) —
+    3 narrow columns — never the embedding payload: candidate pairs are
+    deduped first, then the vectors re-attach through two id-keyed joins
+    for the exact-cosine verify (2 x N vector rows through an exchange
+    instead of n_bands x N both sides of the band shuffle)."""
+    if n_bits is None:
+        n = corpus_count if corpus_count is not None else df.count()
+        band_bits = auto_band_bits(n, target_bucket_rows)
+        n_bits = band_bits * n_bands
     assert n_bits % n_bands == 0, "n_bits must split evenly into bands"
     band_bits = n_bits // n_bands
     base = _as_double(df, vec_col).select(
@@ -449,14 +491,17 @@ def cosine_near_duplicates(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verify joins stream the vector table and broadcast the (narrow,
-    # LSH-pruned) pair set — the survivor set is orders of magnitude
-    # smaller than the corpus; if it ever isn't, AQE demotes to a
-    # sort-merge join on the id key
+    # verify joins stream the vector table against the (narrow,
+    # LSH-pruned) pair set. No broadcast() hint: Spark never demotes an
+    # explicit hint, and on a duplicate-heavy corpus the pair set is
+    # ~N * target_bucket_rows * n_bands / 2 rows — far past driver
+    # memory at 10^9 vectors. The pair set sits downstream of a shuffle
+    # (dropDuplicates), so AQE sees its TRUE runtime size and converts
+    # to broadcast-hash exactly when it fits autoBroadcastJoinThreshold.
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        va.join(F.broadcast(pairs), "id_a")
+        va.join(pairs, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
