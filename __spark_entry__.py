@@ -197,34 +197,34 @@ def _any_event_type(spark, sf_dir):
     selection, validators.py:322-336), unioned with a src discriminator.
     Dict branches: branch 1 wants a in [0,50]; branch 2 wants a in
     [0,100] and b in [0,10]; depth ties keep branch 1's Range error."""
-    df = _t(spark, sf_dir, "events")
-    res = Schema(
-        {"event_type": Any(In(["click", "view"]), Match("^err"))},
-        extra=ALLOW_EXTRA,
-    ).validate(df, id_cols=["event_id"])
-    scalar = res.violations.select(
-        "event_id", F.lit("scalar").alias("src"), "message", "error_type"
-    )
-    df2 = df.select(
+    # ONE derived frame + ONE combined Schema -> ONE scan and ONE
+    # validation pass (round 3 unioned two full validations — 2 scans);
+    # the src discriminator is recovered from the violation PATH, which
+    # names the offending key
+    df = _t(spark, sf_dir, "events").select(
         "event_id",
+        "event_type",
         F.struct(
             F.coalesce("value", F.lit(-1.0)).alias("a"),
             (F.coalesce("user_id", F.lit(0)) % 100).alias("b"),
         ).alias("s"),
     )
-    res2 = Schema(
+    res = Schema(
         {
+            "event_type": Any(In(["click", "view"]), Match("^err")),
             "s": Any(
                 {"a": Range(min=0.0, max=50.0), "b": int},
                 {"a": Range(min=0.0, max=100.0), "b": Range(min=0, max=10)},
-            )
+            ),
         },
         extra=ALLOW_EXTRA,
-    ).validate(df2, id_cols=["event_id"])
-    dicts = res2.violations.select(
-        "event_id", F.lit("dicts").alias("src"), "message", "error_type"
+    ).validate(df, id_cols=["event_id"])
+    return res.violations.select(
+        "event_id",
+        F.when(F.col("path")[0] == "event_type", "scalar")
+        .otherwise("dicts").alias("src"),
+        "message", "error_type",
     )
-    return scalar.unionByName(dicts)
 
 
 def _someof_acctbal(spark, sf_dir):
@@ -356,7 +356,15 @@ def _maptype_props(spark, sf_dir):
     ).select(
         "event_id",
         F.col("ik").cast("string").alias("key"),
-        F.lit("key transformed").alias("message"),
+        # succ = ik + 1 as INT arithmetic: evidence the key REALLY is
+        # numeric post-transform — an implementation that skips the
+        # Coerce(int) key transform leaves string keys, whose arithmetic
+        # renders '11.0' (double) and hash-mismatches the oracle's '11'
+        # (the plain string-rendered key was byte-identical either way)
+        F.concat(
+            F.lit("key transformed succ="),
+            (F.col("ik") + 1).cast("string"),
+        ).alias("message"),
         F.lit("Coerce").alias("error_type"),
     )
     return viol.unionByName(trans)
@@ -520,9 +528,15 @@ def _checkpoint_resume(spark, sf_dir):
         )
         fn = (lambda sub: schema.validate(
             sub, id_cols=["c_custkey"]).annotated)
-        cv.run(d, fn, buckets_per_step=8, max_steps=1, run_id="r1")
+        # staging_path: input materialized partitionBy(__bucket) once,
+        # so each step (and the resumed run) is a partition-pruned scan
+        # of ONLY its chunk's directories, not a full re-scan
+        # (round-3 verdict item #2; plan proof in tests/test_plans.py)
+        cv.run(d, fn, buckets_per_step=8, max_steps=1, run_id="r1",
+               staging_path=f"{path}/staged")
         assert sorted(cv.completed_buckets()) == list(range(8))
-        cv.run(d, fn, buckets_per_step=8, run_id="r2")  # resume
+        cv.run(d, fn, buckets_per_step=8, run_id="r2",  # resume
+               staging_path=f"{path}/staged")
         rep = cv.report().select(
             "bucket", "n_rows", "passed", "failed", "violation_count",
             "input_fingerprint", "run_id",
@@ -1056,9 +1070,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id % 150 > 100
             UNION ALL
-            -- key-transform branch: Coerce(int) keys rename '1x' -> 1x
+            -- key-transform branch: Coerce(int) keys rename '1x' -> 1x;
+            -- succ = key + 1 via INT arithmetic mirrors the Spark-side
+            -- proof that the transformed key is numeric
             SELECT event_id, CAST(event_id % 7 + 10 AS VARCHAR),
-                   'key transformed', 'Coerce'
+                   'key transformed succ='
+                     || CAST(event_id % 7 + 10 + 1 AS VARCHAR),
+                   'Coerce'
             FROM events
         """,
         "set_flags": """

@@ -135,3 +135,12 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     )
     assert got == want
     assert os.listdir(ckpt)  # reliable checkpoint data actually written
+    # superseded round checkpoints are deleted as rounds advance:
+    # storage is O(edges), not O(rounds x edges) — only the final
+    # round's rdd dir(s) survive under the session checkpoint root
+    (uuid_dir,) = os.listdir(ckpt)
+    rdd_dirs = [
+        d for d in os.listdir(os.path.join(ckpt, uuid_dir))
+        if d.startswith("rdd-")
+    ]
+    assert len(rdd_dirs) == 1, rdd_dirs

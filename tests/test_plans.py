@@ -195,3 +195,64 @@ def test_ivf_indexed_probe_partition_pruning(spark):
         assert probed_rows(1) <= probed_rows(3) <= 8
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_checkpoint_staged_steps_prune_partitions(spark):
+    # run(staging_path=...) materializes the input partitionBy(__bucket)
+    # once; each step's scan must then carry a PartitionFilters entry on
+    # __bucket (resume I/O proportional to REMAINING work — without
+    # staging the bucket is a computed column and every step re-scans
+    # the full table)
+    import re as _re
+    import shutil
+
+    from voluptuous_spark import ALLOW_EXTRA, Range, Schema
+    from voluptuous_spark.checkpoint import CheckpointedValidation
+
+    tmp = tempfile.mkdtemp()
+    try:
+        df = spark.range(400).select(
+            F.col("id").alias("clip_id"),
+            (F.col("id") % 7).cast("double").alias("score"),
+        )
+        cv = CheckpointedValidation(
+            spark, f"{tmp}/ckpt", n_buckets=8, key="clip_id",
+            bucket_expr=F.pmod(F.col("clip_id"), F.lit(8)).cast("int"),
+            fingerprint_expr=F.col("clip_id"),
+        )
+        bdf = cv._bucketed_input(df, f"{tmp}/staged")
+        subset = bdf.filter(F.col("__bucket").isin([0, 1, 2]))
+        subset.collect()
+        scan = next(
+            l for l in _plan(subset).splitlines()
+            if "FileScan" in l and "staged" in l
+        )
+        assert "PartitionFilters" in scan
+        pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", scan).group(1)
+        assert "__bucket" in pf and pf.strip(), scan
+        # end-to-end: staged run + resume produce the same report as the
+        # unstaged path, and restaging is skipped on the resumed run
+        schema = Schema({"score": Range(max=5.0)}, extra=ALLOW_EXTRA)
+        fn = lambda sub: schema.validate(sub, id_cols=["clip_id"]).annotated
+        cv.run(df, fn, buckets_per_step=4, max_steps=1, run_id="a",
+               staging_path=f"{tmp}/staged")
+        cv.run(df, fn, buckets_per_step=4, run_id="b",
+               staging_path=f"{tmp}/staged")
+        staged = {
+            (r["bucket"], r["n_rows"], r["passed"], r["failed"], r["run_id"])
+            for r in cv.report().collect()
+        }
+        cv2 = CheckpointedValidation(
+            spark, f"{tmp}/ckpt2", n_buckets=8, key="clip_id",
+            bucket_expr=F.pmod(F.col("clip_id"), F.lit(8)).cast("int"),
+            fingerprint_expr=F.col("clip_id"),
+        )
+        cv2.run(df, fn, buckets_per_step=4, max_steps=1, run_id="a")
+        cv2.run(df, fn, buckets_per_step=4, run_id="b")
+        plain = {
+            (r["bucket"], r["n_rows"], r["passed"], r["failed"], r["run_id"])
+            for r in cv2.report().collect()
+        }
+        assert staged == plain and len(staged) == 8
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

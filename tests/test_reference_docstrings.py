@@ -6,11 +6,12 @@ docstrings carry ~232 doctest examples. They are harvested from the real
 modules, then executed against THIS engine via the
 :mod:`voluptuous_spark.refcompat` import shim.
 
-228/232 pass. The 4 entries in ``EXPECTED_DIVERGENCES`` are the
-engine's documented divergences ((group, example lineno) pairs — three
-static-typing rules and one stale upstream docstring the reference
-itself fails); the comparison is exact in both directions — an entry
-that starts passing fails the test so the list stays honest.
+230/232 pass. The 2 entries in ``EXPECTED_DIVERGENCES`` are the
+engine's documented divergences ((group, example lineno) pairs — one
+cosmetic numeric-path rendering and one stale upstream docstring the
+reference itself fails live); the comparison is exact in both
+directions — an entry that starts passing fails the test so the list
+stays honest.
 
 Skipped when the reference checkout is absent.
 """

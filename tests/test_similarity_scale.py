@@ -90,3 +90,34 @@ def test_auto_band_bits_bounds_candidates(spark):
         target_bucket_rows=32,
     ).count()
     assert via_count == n_cand
+
+
+def test_ivf_sqrt_n_policy(spark):
+    import math
+
+    from voluptuous_spark.similarity import default_n_clusters, ivf_topk
+
+    assert default_n_clusters(0) == 1
+    assert default_n_clusters(100) == 10
+    assert default_n_clusters(10**9) == math.isqrt(10**9)
+    # n_clusters omitted -> sqrt(N) derivation; n=16 -> 4 clusters, and
+    # probing all 4 degenerates to exact search (recall of the planted
+    # near-identical pair)
+    rng = random.Random(5)
+    base = [rng.uniform(-1, 1) for _ in range(8)]
+    rows = [(0, base), (1, [x * 1.001 for x in base])] + [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(2, 16)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = ivf_topk(emb, q, dim=8, k=2, n_probe=4).orderBy("rank").collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    # corpus_count short-circuit matches the derived path
+    top2 = ivf_topk(
+        emb, q, dim=8, k=2, n_probe=4, corpus_count=16
+    ).orderBy("rank").collect()
+    assert [(r["vec_id"], r["score"]) for r in top] == [
+        (r["vec_id"], r["score"]) for r in top2
+    ]

@@ -198,6 +198,23 @@ def test_any_custom_msg(validate_one):
     assert r[0] == one_err("Expected 1 2 or 3", "AnyInvalid")
 
 
+def test_any_castable_union_threads_supertype(validate_one):
+    # live branches with DIFFERENT numeric output types (double vs int)
+    # cast-unify to the widest member (double) and thread the winning
+    # branch's transformed value instead of degrading to identity —
+    # reference validators.py:322-336 threads the winner regardless of
+    # type; widening 12 -> 12.0 is the closest a single-typed column
+    # can come (round-3 verdict item #4)
+    r = validate_one(Any(Range(max=10.0), Coerce(int)), [7.5, 12.7],
+                     "double")
+    assert r[0] == ok(7.5)    # Range branch wins: value unchanged
+    assert r[1] == ok(12.0)   # Coerce(int) wins: 12 widened to double
+    # non-numeric conflicts keep the documented identity degradation
+    r = validate_one(Any(Coerce(int), str), ["5", "x"], "string")
+    assert r[0] == ok("5")
+    assert r[1] == ok("x")
+
+
 def test_maybe(validate_one):
     r = validate_one(Maybe(Coerce(int)), ["5", None, "x"], "string")
     assert r[0] == ok(5)

@@ -3,9 +3,15 @@
 The input is bucketed by a deterministic hash of the key
 (``pmod(crc32(clip_id), n_buckets)``) — the sandbox analog of Iceberg
 partition specs; on a real Iceberg table the bucket column is the
-partition transform and each step prunes to whole partitions (partition
-pruning makes resume I/O proportional to *remaining* work, not table
-size).
+partition transform. Partition pruning makes resume I/O proportional to
+*remaining* work ONLY when the bucket is a PHYSICAL partition column:
+pass ``staging_path`` to ``run`` (or call ``stage`` once) to
+materialize the input ``partitionBy(__bucket)``, after which every
+step's scan carries a ``PartitionFilters`` entry and reads only the
+chunk's directories (plan proof in tests/test_plans.py). Without
+staging, the bucket is a computed column and each step re-scans the
+full table — fine at sandbox scale, wrong at 10^12 rows (a 64-bucket /
+8-per-step run would read the table 8 times).
 
 Each completed step appends one row per bucket to the checkpoint table:
   (bucket, n_rows, passed, failed, violation_count,
@@ -75,6 +81,39 @@ class CheckpointedValidation:
             return self._fp_expr
         return F.crc32(F.col(self.key).cast("string"))
 
+    def stage(self, df: DataFrame, staging_path: str) -> None:
+        """Materialize ``df`` physically partitioned by the bucket
+        column — one full write, after which every validation step is a
+        partition-pruned scan (the Iceberg analog: a bucket partition
+        transform in the table spec makes this step a no-op). Idempotent
+        via Spark's commit protocol: a killed staging write leaves no
+        ``_SUCCESS`` marker and is redone from scratch on resume."""
+        (
+            df.withColumn("__bucket", self._bucket())
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(staging_path)
+        )
+
+    def _staged(self, staging_path: str) -> bool:
+        import os
+
+        return os.path.exists(os.path.join(staging_path, "_SUCCESS"))
+
+    def _bucketed_input(
+        self, df: DataFrame | None, staging_path: str | None
+    ) -> DataFrame:
+        """The per-step scan source: the bucket-partitioned staging
+        layout when ``staging_path`` is given (staged on first use;
+        ``__bucket`` is then a partition DIRECTORY column and chunk
+        filters prune at the file listing), else ``df`` with the bucket
+        as a computed column (every step scans the full input)."""
+        if staging_path is None:
+            return df.withColumn("__bucket", self._bucket())
+        if not self._staged(staging_path):
+            self.stage(df, staging_path)
+        return self.spark.read.parquet(staging_path)
+
     def completed_buckets(self) -> set[int]:
         try:
             rows = (
@@ -99,14 +138,20 @@ class CheckpointedValidation:
         buckets_per_step: int = 8,
         max_steps: int | None = None,
         run_id: str = "run",
+        staging_path: str | None = None,
     ) -> int:
         """Process pending buckets in steps; ``validate_fn`` maps a
         bucketed subset to an annotated DataFrame with an ``__errors``
         array column (e.g. ``lambda d: schema.validate(d).annotated``).
         Returns the number of steps executed. Safe to kill and re-invoke:
         completed buckets are skipped on resume.
+
+        ``staging_path``: materialize the input ``partitionBy(__bucket)``
+        there first (skipped if already staged — including by a previous
+        crashed run), so each step reads ONLY its chunk's partition
+        directories instead of re-scanning the full input per step.
         """
-        bdf = df.withColumn("__bucket", self._bucket())
+        bdf = self._bucketed_input(df, staging_path)
         pending = self.pending_buckets()
         steps = 0
         for start in range(0, len(pending), buckets_per_step):

@@ -1066,6 +1066,26 @@ class All(Validator):
 
 And = All
 
+# Spark's numeric widening chain: when Any's live branches output
+# DIFFERENT numeric types, the union is still representable in one
+# column as the widest member — cast-unify instead of degrading to
+# identity (reference validators.py:322-336 threads the winning
+# branch's value regardless; a 5 -> 5.0 widening is the closest a
+# single-typed column can come). Non-numeric conflicts stay identity.
+_NUMERIC_WIDENING = ("tinyint", "smallint", "int", "bigint", "float",
+                     "double")
+
+
+def _numeric_supertype(simple_strings):
+    """Widest member of the numeric chain covering every type name in
+    ``simple_strings`` (each a DataType.simpleString()), else None."""
+    try:
+        return _NUMERIC_WIDENING[
+            max(_NUMERIC_WIDENING.index(t) for t in simple_strings)
+        ]
+    except ValueError:
+        return None
+
 
 class Any(Validator):
     """First validator that passes wins; none -> surface the losing
@@ -1112,21 +1132,37 @@ class Any(Validator):
         # output threads through, reference validators.py:322-329)
         live = [ch for ch in checks if not ch.static_fail] or checks
         out_types = {(ch.out_type or dtype).simpleString() for ch in live}
-        if len(out_types) > 1:
-            # live branches disagree on output type; a Spark column has
-            # exactly one type, so Any degrades to validation-only
-            # (identity out) — documented divergence
+        sup = (_numeric_supertype(out_types) if len(out_types) > 1
+               else None)
+        if len(out_types) > 1 and sup is None:
+            # live branches disagree on output type with no common
+            # numeric supertype; a Spark column has exactly one type, so
+            # Any degrades to validation-only (identity out) —
+            # documented divergence
             def out(col):
                 return col
 
             out_t = dtype
         else:
-            out_t = (live[0].out_type if live else None) or dtype
+            if sup is not None:
+                # castable union: thread the winning branch's value
+                # widened to the common supertype (int/double -> double)
+                from pyspark.sql import types as _T
+
+                out_t = {
+                    "tinyint": _T.ByteType(), "smallint": _T.ShortType(),
+                    "int": _T.IntegerType(), "bigint": _T.LongType(),
+                    "float": _T.FloatType(), "double": _T.DoubleType(),
+                }[sup]
+            else:
+                out_t = (live[0].out_type if live else None) or dtype
 
             def out(col):
                 expr = F.lit(None).cast(out_t.simpleString())
                 for ch in reversed(live):
-                    expr = F.when(ch.err(col).isNull(), ch.out(col)).otherwise(expr)
+                    val = (ch.out(col).cast(out_t.simpleString())
+                           if sup is not None else ch.out(col))
+                    expr = F.when(ch.err(col).isNull(), val).otherwise(expr)
                 return expr
 
         def _err(col, pystr=None):
@@ -1150,7 +1186,7 @@ class Any(Validator):
 
         err = _err
         rc = RowCheck(out, err, out_t)
-        rc.identity_out = len(out_types) > 1 or all(
+        rc.identity_out = (len(out_types) > 1 and sup is None) or all(
             ch.identity_out for ch in live
         )
         rc.err_pystr = lambda c, s: _err(c, s).cast(RowCheck._ERR_T)
@@ -1186,8 +1222,9 @@ class Any(Validator):
 
             rc.err_arr = err_arr
             # out follows the scalar rule: identity when branch out types
-            # disagree, else first-passing transform
-            if len(out_types) > 1:
+            # disagree with no numeric supertype, else first-passing
+            # transform (cast-unified to the supertype when one exists)
+            if len(out_types) > 1 and sup is None:
                 rc.out_arr = lambda arr: arr
             else:
                 def out_arr(arr):
@@ -1204,8 +1241,10 @@ class Any(Validator):
                     def per(s):
                         expr = F.lit(None).cast(out_t.simpleString())
                         for k in reversed(range(len(live))):
+                            val = (s[f"o{k}"].cast(out_t.simpleString())
+                                   if sup is not None else s[f"o{k}"])
                             expr = F.when(
-                                s[f"e{k}"].isNull(), s[f"o{k}"]
+                                s[f"e{k}"].isNull(), val
                             ).otherwise(expr)
                         return expr
 

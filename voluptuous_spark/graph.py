@@ -93,14 +93,49 @@ def connected_components(
     ``df.checkpoint()`` into that directory (survives executor loss —
     the right choice for a multi-hour 10^12-edge run); default is
     ``localCheckpoint`` (executor-local blocks, fastest in-sandbox).
+    NOTE: this calls ``SparkContext.setCheckpointDir`` ONCE before the
+    loop — session-GLOBAL state shared with any other checkpoint user.
+    Each round's reliable checkpoint is DELETED as soon as the next
+    round is materialized (storage stays O(edges), not
+    O(rounds x edges)); only the final round's files persist, because
+    the returned DataFrame still reads them — the caller owns the
+    directory's lifecycle after that.
     """
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    sc = edges.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt_snapshot() -> set:
+        # rdd-N dirs under the session's checkpoint root, via Hadoop FS
+        # (works on HDFS/S3A on a real cluster, local FS here)
+        root = sc._jsc.sc().getCheckpointDir()
+        if root.isEmpty():
+            return set()
+        jvm = sc._jvm
+        p = jvm.org.apache.hadoop.fs.Path(root.get())
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return set()
+        return {str(st.getPath()) for st in fs.listStatus(p)}
+
+    def _ckpt_delete(paths: set) -> None:
+        jvm = sc._jvm
+        for raw in paths:
+            p = jvm.org.apache.hadoop.fs.Path(raw)
+            p.getFileSystem(sc._jsc.hadoopConfiguration()).delete(p, True)
+
+    live_ckpt: set = set()
 
     def _cut(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        nonlocal live_ckpt
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        before = _ckpt_snapshot()
+        out = df.checkpoint(eager=True)  # materialized: input now dead
+        stale, live_ckpt = live_ckpt, _ckpt_snapshot() - before
+        _ckpt_delete(stale)
+        return out
 
     e = _cut(e)
 

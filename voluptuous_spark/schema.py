@@ -3663,56 +3663,55 @@ def _mixed_seq_verdict(node, v, required=False, extra=PREVENT_EXTRA):
 
 def _driver_match_key(skey, key, spark):
     """Replicate the reference's compiled KEY schema driver-side
-    (schema_builder.py:338-346): returns ``(matched, new_key)``. Literal
-    keys compare by equality, type keys by isinstance, ``Any`` keys by
-    any branch, callables/validators may TRANSFORM the key. A rejecting
-    callable/validator key records ITS OWN Invalid on
-    ``_driver_match_key.last_error`` — the reference surfaces that error
-    verbatim ('expecting a number @ data[...]', tests.py:1732-1751)."""
-    _driver_match_key.last_error = None
+    (schema_builder.py:338-346): returns ``(matched, new_key,
+    key_error)``. Literal keys compare by equality, type keys by
+    isinstance, ``Any`` keys by any branch, callables/validators may
+    TRANSFORM the key. A rejecting callable/validator key returns ITS
+    OWN Invalid as ``key_error`` — the reference surfaces that error
+    verbatim ('expecting a number @ data[...]', tests.py:1732-1751).
+    The error travels in the RETURN VALUE, not a function attribute: a
+    mutable side channel survives generic-exception branches of nested
+    calls and misattributes stale inner errors to the outer candidate."""
     if isinstance(skey, dsl.Marker):
         return _driver_match_key(skey.schema, key, spark)
     if isinstance(skey, dsl.Any):
+        last = None
         for b in skey.validators:
-            m, nk = _driver_match_key(b, key, spark)
+            m, nk, err = _driver_match_key(b, key, spark)
             if m:
-                return True, nk
-        return False, None
+                return True, nk, None
+            last = err
+        return False, None, last
     if isinstance(skey, type):
-        return isinstance(key, skey), key
+        return isinstance(key, skey), key, None
     if isinstance(skey, (str, bytes, bool, int, float, tuple, frozenset)):
         try:
             eq = bool(skey == key)
         except Exception:
             eq = False
-        return eq, key
+        return eq, key, None
     if isinstance(skey, dsl.Validator):
         from . import exceptions as er
 
         try:
-            return True, Schema(skey)(key, spark)
+            return True, Schema(skey)(key, spark), None
         except er.MultipleInvalid as e:
-            _driver_match_key.last_error = e.errors[0] if e.errors else None
-            return False, None
+            return False, None, (e.errors[0] if e.errors else None)
         except Exception:
-            return False, None
+            return False, None, None
     if callable(skey):
         from . import exceptions as er
 
         try:
-            return True, skey(key)
+            return True, skey(key), None
         except er.Invalid as e:
-            _driver_match_key.last_error = e
-            return False, None
+            return False, None, e
         except Exception:
-            return False, None
+            return False, None, None
     try:
-        return bool(skey == key), key
+        return bool(skey == key), key, None
     except Exception:
-        return False, None
-
-
-_driver_match_key.last_error = None
+        return False, None, None
 
 
 def _key_prio(skey):
@@ -3852,14 +3851,15 @@ class _DriverMappingMixin:
                 bucket = []
             for skey, svalue in itertools.chain(bucket, wildcard_cands):
                 if skey is dsl.Extra or isinstance(skey, dsl.Extra):
-                    matched, new_key = True, key
+                    matched, new_key, match_err = True, key, None
                 else:
-                    matched, new_key = _driver_match_key(skey, key, spark)
+                    matched, new_key, match_err = _driver_match_key(
+                        skey, key, spark)
                 if not matched:
                     # only WILDCARD candidates contribute a key error
                     # (literal candidates for other keys are irrelevant —
                     # candidate bucketing, schema_builder.py:273-287)
-                    own = _driver_match_key.last_error
+                    own = match_err
                     if own is not None:
                         # a callable/validator key raised its OWN Invalid:
                         # the reference surfaces it verbatim with the key
@@ -4283,8 +4283,19 @@ def _merge_driver_resolutions(result, driver_res, doc_order=None,
     # checks BEFORE validating that level (schema_builder.py:536-571), so
     # NOTHING under it — including driver-side resolutions — may
     # contribute errors.
+    def _rendered(p):
+        # ride-error paths are strings parsed from violation rows (only
+        # digit strings restored to int by invalid_from_row), while
+        # driver-resolution paths carry NATIVE bool/float keys — compare
+        # both sides by the Spark string rendering ('true', not 'True')
+        # so a group firing at a bool/float-keyed mapping level still
+        # suppresses the resolutions under it
+        if isinstance(p, bool):
+            return "true" if p else "false"
+        return str(p)
+
     group_levels = [
-        tuple(e.path[:-1]) for e in ride
+        tuple(_rendered(c) for c in e.path[:-1]) for e in ride
         if isinstance(e, (ExclusiveInvalid, InclusiveInvalid))
         and e.path and isinstance(e.path[-1], VirtualPathComponent)
     ]
@@ -4300,8 +4311,10 @@ def _merge_driver_resolutions(result, driver_res, doc_order=None,
         # driver-resolution error under a firing level
         extra = [
             e for e in extra
-            if not any(tuple(e.path[: len(lvl)]) == lvl
-                       for lvl in group_levels)
+            if not any(
+                tuple(_rendered(c) for c in e.path[: len(lvl)]) == lvl
+                for lvl in group_levels
+            )
         ]
     if not (ride or extra):
         return

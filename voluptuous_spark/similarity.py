@@ -223,6 +223,27 @@ def lsh_topk(
     )
 
 
+def default_n_clusters(n_rows: int) -> int:
+    """IVF coarse-quantizer size policy as CODE (not prose):
+    n_clusters ~ sqrt(N), which balances inverted-list length
+    (N/n_clusters rows re-ranked per probed list) against quantizer cost
+    (n_clusters centroid comparisons per assignment/probe) — both grow
+    as sqrt(N), the standard billion-scale IVF shape (at 10^9 vectors:
+    ~31.6k lists of ~31.6k vectors). Used whenever ``n_clusters`` is
+    omitted; pass ``corpus_count`` (table stats) to skip the count
+    job."""
+    return max(1, math.isqrt(max(n_rows, 1)))
+
+
+def _resolve_n_clusters(
+    df: DataFrame, n_clusters: int | None, corpus_count: int | None
+) -> int:
+    if n_clusters is not None:
+        return n_clusters
+    n = corpus_count if corpus_count is not None else df.count()
+    return default_n_clusters(n)
+
+
 def _centroid_struct(vec_col, centroids):
     """array<struct<s: rounded cosine vs centroid, nid: -cid>> — struct
     ordering makes max = (best similarity, then LOWEST centroid id)."""
@@ -311,12 +332,13 @@ def ivf_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     n_probe: int = 2,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: k-means coarse quantizer partitions the corpus into
     ``n_clusters`` inverted lists; each query exactly re-ranks only the
@@ -324,13 +346,17 @@ def ivf_topk(
     bucket population obliviously, IVF adapts the partitions to the data
     distribution (the standard shape for billion-vector corpora — at
     scale the corpus would be written partitioned/bucketed BY the
-    assigned cluster id so a probe is a partition-pruned scan, and
-    n_clusters grows ~sqrt(N) to bound list length).
+    assigned cluster id so a probe is a partition-pruned scan).
+    ``n_clusters`` defaults to the sqrt(N) policy
+    (``default_n_clusters``); pass ``corpus_count`` from table stats to
+    skip the derivation's count job, or pin ``n_clusters`` explicitly
+    (the oracle-replayed gate query does).
 
     Plan shape here: assignment is a zero-shuffle Column expression over
     the scan; the (tiny) query x probe set broadcasts into the join, so
     the corpus never shuffles; the only exchange is the per-query top-k
     window on candidates. Returns (query_id, vec_id, score, rank)."""
+    n_clusters = _resolve_n_clusters(corpus, n_clusters, corpus_count)
     cents = ivf_centroids(
         corpus, dim, k=n_clusters, iters=iters,
         id_col=id_col, vec_col=vec_col,
@@ -364,10 +390,11 @@ def ivf_write_index(
     corpus: DataFrame,
     path: str,
     dim: int,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
 ) -> list:
     """Materialize the IVF index the ``ivf_topk`` docstring promises:
     the corpus written PARTITIONED BY the assigned cluster id
@@ -376,7 +403,10 @@ def ivf_write_index(
     ``n_probe`` matching directories: scan cost is
     ``n_probe / n_clusters`` of the corpus, enforced by static partition
     pruning, not a post-scan filter. Returns the centroid list for
-    probe-time reuse (persist it next to the index at scale)."""
+    probe-time reuse (persist it next to the index at scale).
+    ``n_clusters`` defaults to the sqrt(N) policy
+    (``default_n_clusters``)."""
+    n_clusters = _resolve_n_clusters(corpus, n_clusters, corpus_count)
     cents = ivf_centroids(
         corpus, dim, k=n_clusters, iters=iters,
         id_col=id_col, vec_col=vec_col,

@@ -53,16 +53,36 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id", max_sample_ids: int = 32,
+                     ) -> DataFrame:
     """Exact dedup via hash groupBy: one shuffle on the md5 fingerprint
     (never on raw text — the shuffle key is 32 bytes regardless of doc
-    size). Returns (fingerprint, dup_count, doc_ids sorted)."""
+    size). Returns (fingerprint, dup_count, canonical_id,
+    sample_ids) for groups with dup_count > 1; canonical_id = min id
+    (the member a dedup pass keeps), sample_ids = the first
+    ``max_sample_ids`` ids in id order.
+
+    Skew shape: NO unbounded collect_list — a boilerplate document
+    duplicated 10^6 times must not put a 10^6-element array in one
+    aggregation buffer (the skew graph.py's docstring warns against).
+    The per-group id order comes from a window row_number on the same
+    key as the groupBy (one shuffle, partitioning reused — no second
+    exchange); the window sorts via spill-safe external sort, and the
+    aggregate buffers at most ``max_sample_ids`` ids because ids past
+    the cap are nulled BEFORE collect_list (which skips nulls)."""
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
     return (
         doc_fingerprint(df, text_col, id_col)
+        .withColumn("__rn", F.row_number().over(w))
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("dup_count"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.min(id_col).alias("canonical_id"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rn") <= max_sample_ids, F.col(id_col))
+                )
+            ).alias("sample_ids"),
         )
         .filter(F.col("dup_count") > 1)
     )
