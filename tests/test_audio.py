@@ -503,6 +503,62 @@ def test_audio_near_duplicates(spark):
     assert not any("d" in p for p in got)
 
 
+def test_audio_near_duplicates_128bit(spark):
+    """fp_bits=128: 32-bit LSH bands (2^32 buckets — the corpus-scale
+    band space) with the same pigeonhole recall. Exact and gain-scaled
+    copies land at hamming 0 across both words; different content stays
+    out; the wide fingerprint emits afp + afp_hi."""
+    from voluptuous_spark.audio import (audio_fingerprints,
+                                        audio_near_duplicates)
+
+    sr = 16000
+    base = _smooth_noise(1)
+    scaled = (base // 4).astype(np.int16)
+    other = _smooth_noise(2)
+    rows = [
+        ("a", encode_wav_pcm16(base, sr), sr, 1000, "wav", "t"),
+        ("b", encode_wav_pcm16(scaled, sr), sr, 1000, "wav", "t"),
+        ("d", encode_wav_pcm16(other, sr), sr, 1000, "wav", "t"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int,"
+        " codec string, transcript string")
+    fp = audio_fingerprints(df, n_bits=128, n_fft=512, hop=256)
+    by_id = {r.clip_id: (r.afp, r.afp_hi) for r in fp.collect()}
+
+    def ham(x, y):
+        m = (1 << 64) - 1
+        return (bin((x[0] ^ y[0]) & m).count("1")
+                + bin((x[1] ^ y[1]) & m).count("1"))
+
+    # 128 narrow sub-bands: integer gain truncation can flip near-tie
+    # bits, but the copy stays inside the pigeonhole radius while
+    # different content is far in BOTH words
+    assert ham(by_id["a"], by_id["b"]) <= 3
+    assert ham(by_id["a"], by_id["d"]) > 20
+    got = {
+        (r.id_a, r.id_b)
+        for r in audio_near_duplicates(
+            df, fp_bits=128, n_fft=512, hop=256
+        ).collect()
+    }
+    assert ("a", "b") in got
+    assert not any("d" in p for p in got)
+    # reusing a precomputed wide fingerprint table matches
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in audio_near_duplicates(
+            df, fp_bits=128, fingerprints=fp
+        ).collect()
+    }
+    assert got2 == got
+    # misaligned band split is rejected, not silently mis-bucketed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        audio_near_duplicates(df, fp_bits=128, n_lsh_bands=5)
+
+
 def test_audio_segments(spark):
     """Chunking fan-out: per-segment exact stats, shorter tail segment,
     segment bytes decode back to the exact slice, undecodable clips

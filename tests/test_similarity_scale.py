@@ -121,3 +121,28 @@ def test_ivf_sqrt_n_policy(spark):
     assert [(r["vec_id"], r["score"]) for r in top] == [
         (r["vec_id"], r["score"]) for r in top2
     ]
+
+
+def test_lsh_topk_auto_band_width(spark):
+    # n_bits=None derives the band width from the corpus size (same
+    # policy as cosine_near_duplicates); the planted exact duplicate of
+    # the query must rank first either way
+    from voluptuous_spark.similarity import lsh_topk
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(128)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    auto = lsh_topk(
+        emb, q, dim=8, k=3, n_bits=None, target_bucket_rows=16
+    ).orderBy("rank").collect()
+    assert auto[0]["vec_id"] == 7 and auto[0]["score"] == 1.0
+    via_count = lsh_topk(
+        emb, q, dim=8, k=3, n_bits=None, corpus_count=128,
+        target_bucket_rows=16,
+    ).orderBy("rank").collect()
+    assert [(r["vec_id"], r["score"]) for r in auto] == [
+        (r["vec_id"], r["score"]) for r in via_count
+    ]

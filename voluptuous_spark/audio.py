@@ -1233,11 +1233,23 @@ def _fingerprint_one(buf, codec, n_fft=256, hop=128, n_bands=64,
     d = band_diff[1:] - band_diff[:-1]          # minus previous frame's
     votes = (d > 0).sum(axis=0)
     bits = (votes * 2 > d.shape[0]).astype(np.uint64)
-    fp = np.uint64(0)
+    fp = 0
     for b in range(n_bands):
-        fp |= bits[b] << np.uint64(b)
-    v = int(fp)
-    return v - (1 << 64) if v >= (1 << 63) else v  # wrap to signed long
+        fp |= int(bits[b]) << b
+    return fp  # raw n_bands-bit int; callers split/wrap into words
+
+
+def _wrap64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _fp_words(fp, n_words: int) -> list:
+    """Split a raw fingerprint int into ``n_words`` signed 64-bit words,
+    LOW word first (word i holds bits [64*i, 64*(i+1)))."""
+    if fp is None:
+        return [None] * n_words
+    return [_wrap64((fp >> (64 * i)) & ((1 << 64) - 1))
+            for i in range(n_words)]
 
 
 def audio_fingerprints(
@@ -1249,22 +1261,39 @@ def audio_fingerprints(
     hop: int = 128,
     f_lo: float = 100.0,
     f_hi: float | None = None,
+    n_bits: int = 64,
 ) -> DataFrame:
     """Append ``afp`` (64-bit spectral fingerprint, long; NULL = payload
     absent/undecodable/non-PCM) in one zero-copy ``mapInArrow`` pass.
     O(n log n_fft) per clip, embarrassingly parallel, payload dropped.
     ``f_lo``/``f_hi`` pin the band range to absolute frequencies
     (default: 0.45*sr) — fix them (e.g. 300/2000Hz) when the corpus
-    mixes recording rates so resampled copies fingerprint alike."""
+    mixes recording rates so resampled copies fingerprint alike.
+
+    ``n_bits``: fingerprint width in 64-bit multiples. 64 (default,
+    frozen-oracle compatible) emits ``afp``; 128 additionally emits
+    ``afp_hi`` (bits 64-127 from 128 spectral sub-bands — pair with
+    n_fft >= 512 so the FFT resolves the narrower bands). The wide
+    fingerprint exists for CORPUS SCALE: banded LSH over a 64-bit code
+    caps the per-band bucket space at 2^16 (4 bands), so bucket
+    population — and candidate pairs — grow linearly with N past ~10^7
+    clips; 32-bit bands from a 128-bit code give 2^32 buckets, keeping
+    buckets ~constant out to 10^12 while pigeonhole recall for
+    hamming <= n_bands-1 is unchanged."""
     import pyarrow as pa
 
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    n_words = n_bits // 64
+    word_names = ["afp"] + [f"afp_hi{i if i > 1 else ''}"
+                            for i in range(1, n_words)]
     out_fields = [
         f for f in df.schema.fields if not (drop_bytes and f.name == bytes_col)
     ]
     keep_names = [f.name for f in out_fields]
     out_schema_ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
-    ) + ", `afp` long"
+    ) + "".join(f", `{w}` long" for w in word_names)
 
     def gen(batches):
         for batch in batches:
@@ -1273,9 +1302,13 @@ def audio_fingerprints(
                 batch.schema.get_field_index(codec_col)
             ).to_pylist()
             fps = [
-                _fingerprint_one(
-                    bcol[i].as_buffer() if bcol[i].is_valid else None,
-                    codec[i], n_fft=n_fft, hop=hop, f_lo=f_lo, f_hi=f_hi,
+                _fp_words(
+                    _fingerprint_one(
+                        bcol[i].as_buffer() if bcol[i].is_valid else None,
+                        codec[i], n_fft=n_fft, hop=hop, n_bands=n_bits,
+                        f_lo=f_lo, f_hi=f_hi,
+                    ),
+                    n_words,
                 )
                 for i in range(batch.num_rows)
             ]
@@ -1284,8 +1317,11 @@ def audio_fingerprints(
                 for n in keep_names
             ]
             yield pa.RecordBatch.from_arrays(
-                cols + [pa.array(fps, type=pa.int64())],
-                names=keep_names + ["afp"],
+                cols + [
+                    pa.array([w[i] for w in fps], type=pa.int64())
+                    for i in range(n_words)
+                ],
+                names=keep_names + word_names,
             )
 
     return df.mapInArrow(gen, out_schema_ddl)
@@ -1303,6 +1339,7 @@ def audio_near_duplicates(
     hop: int = 128,
     f_lo: float = 100.0,
     f_hi: float | None = None,
+    fp_bits: int = 64,
 ) -> DataFrame:
     """Near-duplicate audio pairs ``(id_a, id_b, hamming)`` via banded LSH
     over the 64-bit spectral fingerprint: the fingerprint splits into
@@ -1332,24 +1369,48 @@ def audio_near_duplicates(
     8 LSH bands keep pigeonhole recall total for hamming <= 7). Measured
     on broadband content, a 16k master and its 8k-derived copy land at
     hamming 4-5 while unrelated clips stay > 25
-    (tests/test_audio.py)."""
-    band_width = 64 // n_lsh_bands
-    mask = (1 << band_width) - 1
+    (tests/test_audio.py).
+
+    ``fp_bits``: fingerprint width (64-bit multiples). The default
+    64-bit/4-band code has only 2^16 buckets per band, so bucket
+    population — and candidate pairs — grow LINEARLY with corpus size
+    past ~10^7 clips (the same fixed-band-space quadratic the SRP text
+    path had before auto band width). ``fp_bits=128`` (with
+    ``audio_fingerprints(n_bits=128, n_fft=512)`` so the FFT resolves
+    128 sub-bands) gives 32-bit bands: 2^32 buckets, ~250 rows/bucket
+    at 10^12 clips, pigeonhole recall for hamming <= n_lsh_bands-1
+    unchanged. The 64-bit default stays for the frozen-oracle gate."""
+    if fp_bits % 64:
+        raise ValueError("fp_bits must be a multiple of 64")
+    band_width = fp_bits // n_lsh_bands
+    if band_width < 64 and 64 % band_width:
+        raise ValueError(
+            "each LSH band must sit inside one 64-bit fingerprint word: "
+            f"fp_bits={fp_bits} / n_lsh_bands={n_lsh_bands} gives "
+            f"band_width={band_width}"
+        )
+    mask = (1 << band_width) - 1 if band_width < 64 else -1
+    words = ["afp"] + [f"afp_hi{i if i > 1 else ''}"
+                       for i in range(1, fp_bits // 64)]
     fp = fingerprints if fingerprints is not None else audio_fingerprints(
-        df, bytes_col, codec_col, n_fft=n_fft, hop=hop, f_lo=f_lo, f_hi=f_hi
+        df, bytes_col, codec_col, n_fft=n_fft, hop=hop, f_lo=f_lo,
+        f_hi=f_hi, n_bits=fp_bits,
     )
-    fp = fp.filter(F.col("afp").isNotNull()).select(id_col, "afp")
+    fp = fp.filter(F.col("afp").isNotNull()).select(id_col, *words)
+
+    def _band_bits(b):
+        word = words[(b * band_width) // 64]
+        shift = (b * band_width) % 64
+        return (F.shiftright(word, shift).bitwiseAND(F.lit(mask))
+                .alias("band_bits"))
+
     bands = fp.select(
-        id_col, "afp",
+        id_col, *words,
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.shiftright("afp", b * band_width)
-                .bitwiseAND(F.lit(mask)).alias("band_bits"),
-            )
+            F.struct(F.lit(b).alias("band_id"), _band_bits(b))
             for b in range(n_lsh_bands)
         ])).alias("band"),
-    ).select(id_col, "afp", "band.band_id", "band.band_bits")
+    ).select(id_col, *words, "band.band_id", "band.band_bits")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -1364,16 +1425,17 @@ def audio_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.afp").alias("afp_a"),
-            F.col("b.afp").alias("afp_b"),
+            *[F.col(f"a.{w}").alias(f"{w}_a") for w in words],
+            *[F.col(f"b.{w}").alias(f"{w}_b") for w in words],
         )
         .distinct()
     )
+    ham = None
+    for w in words:
+        h = F.bit_count(F.col(f"{w}_a").bitwiseXOR(F.col(f"{w}_b")))
+        ham = h if ham is None else ham + h
     return (
-        pairs.withColumn(
-            "hamming",
-            F.bit_count(F.col("afp_a").bitwiseXOR(F.col("afp_b"))),
-        )
+        pairs.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

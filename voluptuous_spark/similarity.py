@@ -181,18 +181,27 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_bits: int = 8,
+    n_bits: int | None = 8,
     n_bands: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    corpus_count: int | None = None,
+    target_bucket_rows: int = 64,
 ) -> DataFrame:
     """Approximate top-k: banded SRP codes (``n_bits`` total, split into
     ``n_bands`` tables of n_bits/n_bands bits). A corpus vector is a
     candidate when ANY band matches the query's band — multi-table LSH
     recall amplification — then exact cosine re-ranks candidates only.
     At scale the (band_id, band_val) pair is the partition / cluster key;
-    a query touches n_bands/2**(n_bits/n_bands) of the corpus."""
+    a query touches n_bands/2**(n_bits/n_bands) of the corpus.
+    ``n_bits=None`` derives the band width from the corpus size
+    (``auto_band_bits``, same policy as ``cosine_near_duplicates``) so
+    per-query candidate count stays ~n_bands * target_bucket_rows at any
+    N; the default stays the oracle-replayable fixed 8-bit code."""
+    if n_bits is None:
+        n = corpus_count if corpus_count is not None else corpus.count()
+        n_bits = auto_band_bits(n, target_bucket_rows) * n_bands
     assert n_bits % n_bands == 0, "n_bits must split evenly into bands"
     band_bits = n_bits // n_bands
     c = _banded(_as_double(corpus, vec_col), F.col(vec_col), dim,
