@@ -146,3 +146,35 @@ def test_lsh_topk_auto_band_width(spark):
     assert [(r["vec_id"], r["score"]) for r in auto] == [
         (r["vec_id"], r["score"]) for r in via_count
     ]
+
+
+def test_semantic_duplicates(spark):
+    # SemDeDup-style: cluster assignment buckets the self-join; the
+    # planted near-identical pair concentrates in one cluster and
+    # surfaces, while the pair set stays far below all-pairs
+    from voluptuous_spark.similarity import semantic_duplicates
+
+    rng = random.Random(23)
+    centers = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(4)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.1) for x in centers[i % 4]])
+        for i in range(64)
+    ]
+    rows.append((100, [x * 1.0001 for x in rows[0][1]]))  # planted dup
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in semantic_duplicates(emb, dim=8, threshold=0.999).collect()
+    }
+    assert (0, 100) in got and got[(0, 100)] >= 0.999
+    # candidate work is bounded by within-cluster pairs, not all-pairs
+    n_cand = semantic_duplicates(emb, dim=8, threshold=-1.0).count()
+    assert n_cand < 65 * 64 // 2
+    # corpus_count short-circuit is equivalent
+    got2 = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in semantic_duplicates(
+            emb, dim=8, threshold=0.999, corpus_count=65
+        ).collect()
+    }
+    assert got2 == got

@@ -50,6 +50,7 @@ def test_spark_submit_end_to_end_with_resume(spark, tmp_path):
         "--output", out_dir,
         "--checkpoint", ckpt_dir,
         "--buckets", "8",
+        "--staging", str(tmp_path / "staged"),
     ]
     r1 = _spark_submit(args, env)
     assert r1.returncode == 0, r1.stderr[-3000:]
@@ -67,3 +68,8 @@ def test_spark_submit_end_to_end_with_resume(spark, tmp_path):
     # checkpoint table still consistent: one completion row per bucket run
     ck = spark.read.parquet(ckpt_dir)
     assert ck.select("bucket").distinct().count() == 8
+    # the staged layout was materialized bucket-partitioned (the resume
+    # run reused it — partition-pruned per-step scans, not full rescans)
+    staged = str(tmp_path / "staged")
+    assert os.path.exists(os.path.join(staged, "_SUCCESS"))
+    assert any(d.startswith("__bucket=") for d in os.listdir(staged))

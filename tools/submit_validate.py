@@ -41,6 +41,13 @@ def main(argv=None) -> int:
     ap.add_argument("--transcripts", default=None)
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument(
+        "--staging", default=None,
+        help="bucket-partitioned staging layout for checkpointed runs: "
+        "the input is written partitionBy(__bucket) here once, so every "
+        "step and every resume is a partition-pruned scan of only its "
+        "chunk's directories (on Iceberg, instead make the table's "
+        "partition spec bucket(N, clip_id) and skip this)")
     ap.add_argument("--format", default="parquet",
                     choices=["parquet", "iceberg"])
     ap.add_argument("--buckets", type=int, default=64)
@@ -106,6 +113,7 @@ def main(argv=None) -> int:
             lambda d: CLIPS_SCHEMA.validate(d, id_cols=["clip_id"]).annotated,
             buckets_per_step=args.buckets_per_step,
             run_id=args.run_id,
+            staging_path=args.staging,
         )
         print(f"checkpointed row-level validation: {steps} steps")
 

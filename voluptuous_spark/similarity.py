@@ -476,6 +476,66 @@ def ivf_topk_indexed(
     )
 
 
+def semantic_duplicates(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_clusters: int | None = None,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicates (Abbas et al. 2023,
+    arXiv:2303.09540): k-means clusters the embedding space, then exact
+    cosine pairs are computed WITHIN clusters only — the data-ADAPTIVE
+    complement of ``cosine_near_duplicates``'s oblivious SRP buckets
+    (semantically equivalent documents concentrate inside one cluster,
+    where an oblivious hyperplane code may split borderline pairs
+    across buckets). Returns (id_a, id_b, score) with id_a < id_b,
+    score >= threshold.
+
+    Scale shape mirrors the IVF path: assignment is a zero-shuffle
+    Column expression over broadcast-literal centroids
+    (``ivf_assign_expr``); the self-join is keyed on the cluster id, so
+    pair work is sum over clusters of size² with ~sqrt(N) clusters of
+    ~sqrt(N) rows by ``default_n_clusters`` — at 10^12 vectors write
+    the assigned corpus ``partitionBy(cluster_id)`` (the
+    ``ivf_write_index`` layout) and run per-cluster joins against a
+    partition-pruned scan. The join carries (id, cluster) only; vectors
+    re-attach after the pair set is formed, exactly like the SRP
+    path."""
+    n_clusters = _resolve_n_clusters(df, n_clusters, corpus_count)
+    cents = ivf_centroids(
+        df, dim, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    base = _as_double(df, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    assigned = base.select(
+        "id", ivf_assign_expr(F.col("v"), cents).alias("__cid")
+    )
+    a = assigned.select(F.col("id").alias("id_a"), "__cid")
+    b = assigned.select(F.col("id").alias("id_b"), "__cid")
+    pairs = (
+        a.join(b, "__cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        va.join(pairs, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def cosine_near_duplicates(
     df: DataFrame,
     dim: int,
