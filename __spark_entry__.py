@@ -656,20 +656,40 @@ def _ann_methods(spark, sf_dir):
 
 
 def _ivf_topk(spark, sf_dir):
-    """IVF-flat ANN: deterministic k-means coarse quantizer (6dp-rounded
-    Lloyd rounds so DuckDB replays the identical fixpoint), corpus
-    assigned zero-shuffle, queries probe the 2 nearest of 8 inverted
-    lists, exact cosine re-rank inside probed lists only."""
-    from voluptuous_spark.similarity import ivf_topk
+    """IVF-flat ANN + SemDeDup-style semantic near-dups sharing ONE
+    k-means quantizer (``method`` discriminator). The deterministic
+    coarse quantizer (6dp-rounded Lloyd rounds so DuckDB replays the
+    identical fixpoint) is trained once: the 'topk' rows probe the 2
+    nearest of 8 inverted lists with exact cosine re-rank inside probed lists only;
+    the 'semantic' rows are within-cluster cosine pairs >= 0.35
+    (similarity.semantic_duplicates with centroids= reuse) — dedup and
+    ANN ride the same quantizer, as they would at corpus scale over one
+    cluster-partitioned index."""
+    from voluptuous_spark.similarity import (ivf_centroids, ivf_topk,
+                                             semantic_duplicates)
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = _EMB_DIM
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(
-        emb, queries, dim=dim, k=5, n_clusters=8, n_probe=2, iters=2
+    cents = ivf_centroids(emb, dim, k=8, iters=2)
+    topk = ivf_topk(
+        emb, queries, dim=dim, k=5, n_probe=2, centroids=cents
+    ).select(
+        F.lit("topk").alias("method"),
+        F.col("query_id").alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        "score",
+        "rank",
     )
+    sem = semantic_duplicates(
+        emb, dim=dim, threshold=0.35, centroids=cents
+    ).select(
+        F.lit("semantic").alias("method"), "id_a", "id_b", "score",
+        F.lit(-1).alias("rank"),
+    )
+    return topk.unionByName(sem)
 
 
 def _cosine_near_dups(spark, sf_dir):
@@ -859,20 +879,9 @@ _MINHASH_ORACLE = _MINHASH_ORACLE_CTE + """
 """
 
 
-def _ivf_oracle(
-    n_clusters: int = 8,
-    iters: int = 2,
-    n_probe: int = 2,
-    n_queries: int = 5,
-    topk: int = 5,
-) -> str:
-    """SQL replay of similarity.ivf_centroids/ivf_topk: the 6dp rounding
-    of both the cosine argmax and the centroid means makes every Lloyd
-    round bit-reproducible across engines."""
-
-    def _assign(cent, out, extra_where="", rn_cond="rn = 1",
-                cols="vec_id, v, cid"):
-        return f"""
+def _ivf_assign_sql(cent, out, extra_where="", rn_cond="rn = 1",
+                    cols="vec_id, v, cid"):
+    return f"""
     , {out} AS (
       SELECT {cols} FROM (
         SELECT e.vec_id, e.v, c.cid,
@@ -883,10 +892,21 @@ def _ivf_oracle(
       ) t WHERE {rn_cond}
     )"""
 
-    parts = [f"""
+
+def _kmeans_ctes(n_clusters: int = 8, iters: int = 2,
+                 include_e: bool = True) -> tuple[str, str]:
+    """The deterministic k-means replay CTE chain (init = lowest-id
+    vectors, 6dp-rounded assignment argmax + means, empty-cluster
+    carryover) shared by the ivf_topk and semantic-dup oracles. Returns
+    (sql, final_centroid_cte_name); ``include_e=False`` emits a
+    continuation (no WITH/e) for embedding into an existing CTE chain
+    that already defines ``e``."""
+    head = ("""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), init AS (
+    ), init AS (""" if include_e else """
+    , init AS (""")
+    parts = [head + f"""
       SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS cid
       FROM e QUALIFY cid < {n_clusters}
     ), c0 AS (
@@ -896,7 +916,7 @@ def _ivf_oracle(
     )"""]
     prev = "c0"
     for i in range(1, iters + 1):
-        parts.append(_assign(prev, f"a{i}"))
+        parts.append(_ivf_assign_sql(prev, f"a{i}"))
         parts.append(f"""
     , m{i} AS (
       SELECT cid, list(round(m, 6) ORDER BY j) AS c FROM (
@@ -909,8 +929,26 @@ def _ivf_oracle(
       FROM {prev} LEFT JOIN m{i} USING (cid)
     )""")
         prev = f"c{i}"
-    parts.append(_assign(prev, "af", cols="vec_id, cid"))
-    parts.append(_assign(
+    return "".join(parts), prev
+
+
+def _ivf_oracle(
+    n_clusters: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    n_queries: int = 5,
+    topk: int = 5,
+    semantic_threshold: float = 0.35,
+) -> str:
+    """SQL replay of the shared-quantizer gate query: ivf_topk rows
+    ('topk') + SemDeDup within-cluster pairs ('semantic') off the SAME
+    deterministic k-means chain; the 6dp rounding of both the cosine
+    argmax and the centroid means makes every Lloyd round
+    bit-reproducible across engines."""
+    km, prev = _kmeans_ctes(n_clusters, iters)
+    parts = [km]
+    parts.append(_ivf_assign_sql(prev, "af", cols="vec_id, cid"))
+    parts.append(_ivf_assign_sql(
         prev, "qp",
         extra_where=f" WHERE e.vec_id < {n_queries}",
         rn_cond=f"rn <= {n_probe}",
@@ -925,11 +963,23 @@ def _ivf_oracle(
       FROM cand
       JOIN e cv ON cv.vec_id = cand.vec_id
       JOIN e qv ON qv.vec_id = cand.query_id
+    ), sp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
     )
-    SELECT query_id, vec_id, score,
+    SELECT 'topk' AS method, query_id AS id_a, vec_id AS id_b, score,
            row_number() OVER (PARTITION BY query_id
                               ORDER BY score DESC, vec_id) AS rank
     FROM scored QUALIFY rank <= {topk}
+    UNION ALL
+    SELECT 'semantic' AS method, sp.id_a, sp.id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS score,
+           -1 AS rank
+    FROM sp
+    JOIN e ea ON ea.vec_id = sp.id_a
+    JOIN e eb ON eb.vec_id = sp.id_b
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6)
+          >= {semantic_threshold}
     """)
     return "".join(parts)
 

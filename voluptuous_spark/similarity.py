@@ -88,6 +88,21 @@ def _as_double(df: DataFrame, col: str) -> DataFrame:
     return df.withColumn(col, F.col(col).cast("array<double>"))
 
 
+def _rebalance_pairs(pairs: DataFrame) -> DataFrame:
+    """Spread the candidate-pair set across the session's default
+    parallelism before the exact-cosine verify stage. Two reasons, both
+    real at opposite ends of the scale: locally, a small corpus arrives
+    as one parquet partition, the pair join broadcasts the tiny vector
+    side, and ALL per-pair dot folds land in a single task; at corpus
+    scale, pairs inherit the bucket-keyed partitioning of the band/
+    cluster join, so a fat bucket's pairs sit in one task — an explicit
+    exchange of the NARROW (id_a, id_b) rows (16 bytes/row) rebalances
+    the compute-bound fold stage either way, and AQE never coalesces a
+    user-specified repartition."""
+    sc = pairs.sparkSession.sparkContext
+    return pairs.repartition(sc.defaultParallelism)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -348,6 +363,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     corpus_count: int | None = None,
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: k-means coarse quantizer partitions the corpus into
     ``n_clusters`` inverted lists; each query exactly re-ranks only the
@@ -364,12 +380,17 @@ def ivf_topk(
     Plan shape here: assignment is a zero-shuffle Column expression over
     the scan; the (tiny) query x probe set broadcasts into the join, so
     the corpus never shuffles; the only exchange is the per-query top-k
-    window on candidates. Returns (query_id, vec_id, score, rank)."""
-    n_clusters = _resolve_n_clusters(corpus, n_clusters, corpus_count)
-    cents = ivf_centroids(
-        corpus, dim, k=n_clusters, iters=iters,
-        id_col=id_col, vec_col=vec_col,
-    )
+    window on candidates. Returns (query_id, vec_id, score, rank).
+    ``centroids``: reuse an already-trained quantizer (skips the
+    k-means pass entirely)."""
+    if centroids is not None:
+        cents = centroids
+    else:
+        n_clusters = _resolve_n_clusters(corpus, n_clusters, corpus_count)
+        cents = ivf_centroids(
+            corpus, dim, k=n_clusters, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
     c = _as_double(corpus, vec_col).withColumn(
         "__cid", ivf_assign_expr(F.col(vec_col), cents)
     )
@@ -485,6 +506,7 @@ def semantic_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_count: int | None = None,
+    centroids: list | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicates (Abbas et al. 2023,
     arXiv:2303.09540): k-means clusters the embedding space, then exact
@@ -504,11 +526,17 @@ def semantic_duplicates(
     ``ivf_write_index`` layout) and run per-cluster joins against a
     partition-pruned scan. The join carries (id, cluster) only; vectors
     re-attach after the pair set is formed, exactly like the SRP
-    path."""
-    n_clusters = _resolve_n_clusters(df, n_clusters, corpus_count)
-    cents = ivf_centroids(
-        df, dim, k=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
-    )
+    path. ``centroids``: reuse a quantizer already trained elsewhere
+    (e.g. the one an ``ivf_topk``/``ivf_write_index`` call produced) —
+    dedup and ANN then share ONE k-means pass."""
+    if centroids is not None:
+        cents = centroids
+    else:
+        n_clusters = _resolve_n_clusters(df, n_clusters, corpus_count)
+        cents = ivf_centroids(
+            df, dim, k=n_clusters, iters=iters, id_col=id_col,
+            vec_col=vec_col,
+        )
     base = _as_double(df, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     )
@@ -517,20 +545,30 @@ def semantic_duplicates(
     )
     a = assigned.select(F.col("id").alias("id_a"), "__cid")
     b = assigned.select(F.col("id").alias("id_b"), "__cid")
-    pairs = (
+    pairs = _rebalance_pairs(
         a.join(b, "__cid")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # norms precomputed ONCE per vector (N folds), so each of the
+    # O(N * bucket) candidate pairs pays only the dot fold — 3x less
+    # per-pair lambda work than cosine_expr's dot + two norms, and
+    # bit-identical: same fold over the same vector, same division
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     _norm(F.col("v")).alias("__na"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     _norm(F.col("v")).alias("__nb"))
     return (
         va.join(pairs, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score"),
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
@@ -584,7 +622,7 @@ def cosine_near_duplicates(
     )
     a = v.select(F.col("id").alias("id_a"), "__band_id", "__band_val")
     b = v.select(F.col("id").alias("id_b"), "__band_id", "__band_val")
-    pairs = (
+    pairs = _rebalance_pairs(
         a.join(b, ["__band_id", "__band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
@@ -597,15 +635,24 @@ def cosine_near_duplicates(
     # memory at 10^9 vectors. The pair set sits downstream of a shuffle
     # (dropDuplicates), so AQE sees its TRUE runtime size and converts
     # to broadcast-hash exactly when it fits autoBroadcastJoinThreshold.
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # norms precomputed once per vector: each candidate pair pays only
+    # the dot fold (bit-identical to cosine_expr — same fold, same
+    # division — at a third of the per-pair lambda work)
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     _norm(F.col("v")).alias("__na"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     _norm(F.col("v")).alias("__nb"))
     return (
         va.join(pairs, "id_a")
         .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("score"),
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
