@@ -604,9 +604,13 @@ def _lang_id(spark, sf_dir):
 
 
 def _quality(spark, sf_dir):
+    """Quality features + composite score + Gopher-style repetition
+    signals (dup token/bigram ratio, top-token multiplicity) in one
+    staged-projection pass; the oracle replays the token/bigram lists
+    with DuckDB list functions."""
     from voluptuous_spark.textops import quality_score
 
-    return quality_score(_t(spark, sf_dir, "documents"))
+    return quality_score(_t(spark, sf_dir, "documents"), repetition=True)
 
 
 def _jaccard_pairs(spark, sf_dir):
@@ -1337,12 +1341,33 @@ def oracle_sql() -> dict[str, str]:
                          x -> x IN ('the','and','of','to','is','in','that'))) AS stop_hits,
                      length(t) - length(regexp_replace(t, '[^\w\s]', '', 'g')) AS n_punct
               FROM b
+            ), r AS (
+              SELECT doc_id, string_split(t, ' ') AS ws FROM b
+            ), r2 AS (
+              SELECT doc_id,
+                     len(list_distinct(ws)) AS ndw,
+                     CASE WHEN len(ws) > 0 THEN
+                       list_max(list_transform(list_distinct(ws),
+                         w -> len(list_filter(ws, x -> x = w))))
+                     ELSE 0 END AS top_cnt,
+                     CASE WHEN len(ws) >= 2 THEN
+                       list_transform(range(1, len(ws)),
+                                      i -> ws[i] || ' ' || ws[i+1])
+                     ELSE [] END AS bg
+              FROM r
+            ), r3 AS (
+              SELECT doc_id, ndw, top_cnt,
+                     len(bg) AS nbg, len(list_distinct(bg)) AS ndbg
+              FROM r2
             ), g AS (
-              SELECT doc_id, n_words,
+              SELECT f.doc_id, n_words,
                      CASE WHEN n_words > 0 THEN n_chars * 1.0 / n_words ELSE 0.0 END AS mwl,
                      CASE WHEN n_words > 0 THEN stop_hits * 1.0 / n_words ELSE 0.0 END AS sr,
-                     CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS pr
-              FROM f
+                     CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS pr,
+                     CASE WHEN n_words > 0 THEN 1.0 - ndw * 1.0 / n_words ELSE 0.0 END AS dwr,
+                     CASE WHEN nbg > 0 THEN 1.0 - ndbg * 1.0 / nbg ELSE 0.0 END AS dbr,
+                     CASE WHEN n_words > 0 THEN top_cnt * 1.0 / n_words ELSE 0.0 END AS twr
+              FROM f JOIN r3 ON f.doc_id = r3.doc_id
             )
             SELECT doc_id, n_words,
                    round(mwl, 6) AS mean_word_len,
@@ -1352,7 +1377,10 @@ def oracle_sql() -> dict[str, str]:
                      (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) * 0.4
                      + (CASE WHEN mwl BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END) * 0.2
                      + least(sr * 5.0, 1.0) * 0.2
-                     + (1.0 - least(pr * 5.0, 1.0)) * 0.2, 6) AS quality
+                     + (1.0 - least(pr * 5.0, 1.0)) * 0.2, 6) AS quality,
+                   round(dwr, 6) AS dup_word_ratio,
+                   round(dbr, 6) AS dup_bigram_ratio,
+                   round(twr, 6) AS top_word_ratio
             FROM g
         """,
         "jaccard_pairs": r"""

@@ -4,10 +4,11 @@
    /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] — per-query seconds.
 2. North-rule scaling evidence: the FULL clips constraint suite (row schema
    + Arrow PCM + uniqueness + referential + stats + drift) on an identical
-   deterministic synthetic clips table at TWO parallelism levels
-   (local[8] vs local[32] — the sandbox stand-in for N vs 4N executors);
-   reports validated clips/sec at both and scaling efficiency
-   = (throughput_32 / throughput_8) / 4.
+   deterministic synthetic clips table at two parallelism levels per pair
+   (the sandbox stand-in for N vs 4N executors): local[1]->local[4],
+   local[2]->local[8], and the full-box local[8]->local[32]; reports
+   validated clips/sec at both levels of each pair and scaling efficiency
+   = (throughput_4N / throughput_N) / 4.
 
 Prints ONE JSON line and rewrites BENCH/BASELINE.md.
 """
@@ -369,10 +370,12 @@ def _suite_throughput(cores: int, clips_path: str, tr_path: str) -> dict:
 def run_scaling() -> dict:
     """North-rule evidence: identical job, two cluster sizes (N vs 4N).
 
-    Reports two pairs:
-    - local[2] -> local[8]: the representative pair — per-thread memory
-      bandwidth and allocator behavior at <=8 of 32 cores match a real
-      cluster where executors don't share one memory bus.
+    Reports three 4x pairs (the rule's k is 4; efficiency denominator
+    is 4 for every pair):
+    - local[1] -> local[4] and local[2] -> local[8]: the representative
+      pairs — per-thread memory bandwidth and allocator behavior at
+      <=8 of 32 cores match a real cluster where executors don't share
+      one memory bus.
     - local[8] -> local[32]: the full-box pair — at 32 threads all
       executors share one socket's DRAM bandwidth and one in-process
       Arrow allocator, which penalizes the streaming audio decode (a
@@ -406,7 +409,7 @@ def run_scaling() -> dict:
     # thread baseline is also directly comparable to the reference
     # library's single-threaded throughput. local[4] -> local[32] (8x
     # threads on one bus) is reported for honesty.
-    levels = (1, 4, 32)
+    levels = (1, 2, 4, 8, 32)
     runs: dict[int, list] = {c: [] for c in levels}
     for _ in range(SESSIONS):
         for c in levels:
@@ -421,7 +424,8 @@ def run_scaling() -> dict:
     out = {}
     for lo_c, hi_c, factor, name in (
         (1, 4, 4.0, "n1_to_4"),
-        (4, 32, 8.0, "n4_to_32"),
+        (2, 8, 4.0, "n2_to_8"),
+        (8, 32, 4.0, "n8_to_32"),
     ):
         lo, hi = best[lo_c], best[hi_c]
         eff = (hi["clips_per_sec"] / lo["clips_per_sec"]) / factor
@@ -583,8 +587,9 @@ def write_baseline_md(queries: dict, scaling: dict,
     any_pair = next(iter(scaling.values()))
     lines += [
         "",
-        "Efficiency = (throughput_kN / throughput_N) / k; the north rule "
-        "requires >= 0.8 for the N -> 4N pair (n1_to_4).",
+        "Efficiency = (throughput_4N / throughput_N) / 4; the north rule "
+        "requires >= 0.8 between N and 4N executors — evidenced by the "
+        "two representative pairs (n1_to_4, n2_to_8).",
         "",
         "Round-2 engine change: the PCM content check runs as a pure JVM "
         "Column expression",
@@ -603,17 +608,18 @@ def write_baseline_md(queries: dict, scaling: dict,
         "next on identical code+data) — the per-NODE comparison below is "
         "the stable one.",
         "",
-        "n1_to_4 is the representative N -> 4N pair: walls stay >20s so "
-        "fixed per-run",
-        "cost is <10% of the measurement, and <=4 of 32 cores means "
-        "per-thread DRAM",
-        "bandwidth matches a real cluster where executors do not share "
-        "one socket's",
-        "memory bus. n4_to_32 (8x threads on one bus, efficiency "
-        "denominator 8) is the",
-        "full-box pair, reported for honesty: it is bounded by the "
-        "single-socket memory",
-        "bus, a colocation artifact a multi-node cluster does not have.",
+        "n1_to_4 and n2_to_8 are the representative N -> 4N pairs: "
+        "walls stay long",
+        "enough that fixed per-run cost is <10% of the measurement, and "
+        "<=8 of 32 cores",
+        "means per-thread DRAM bandwidth matches a real cluster where "
+        "executors do not",
+        "share one socket's memory bus. n8_to_32 (all 32 threads on one "
+        "bus at the hi",
+        "end) is the full-box pair, reported for honesty: it is bounded "
+        "by the",
+        "single-socket memory bus, a colocation artifact a multi-node "
+        "cluster does not have.",
         "",
         f"Suite outputs at n={N_CLIPS}: {any_pair['lo']['failed']} failed "
         f"rows, {any_pair['lo']['violations']} violations "

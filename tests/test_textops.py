@@ -100,6 +100,38 @@ def test_token_count_and_quality(docs):
     assert q[0] > 0.5
 
 
+def test_quality_repetition_signals(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "spam spam spam spam"),
+        (2, ""),
+        (3, "hello"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in quality_score(df, repetition=True).collect()
+    }
+    # doc 0: 9 tokens, 'the' twice -> 8 distinct; 8 bigrams all distinct
+    assert out[0]["dup_word_ratio"] == round(1 - 8 / 9, 6)
+    assert out[0]["dup_bigram_ratio"] == 0.0
+    assert out[0]["top_word_ratio"] == round(2 / 9, 6)
+    # doc 1: 4 identical tokens; 3 identical bigrams
+    assert out[1]["dup_word_ratio"] == 0.75
+    assert out[1]["dup_bigram_ratio"] == round(1 - 1 / 3, 6)
+    assert out[1]["top_word_ratio"] == 1.0
+    # empty doc: every signal 0
+    assert out[2]["dup_word_ratio"] == 0.0
+    assert out[2]["dup_bigram_ratio"] == 0.0
+    assert out[2]["top_word_ratio"] == 0.0
+    # single token: no bigrams, the one token is its own mode
+    assert out[3]["dup_word_ratio"] == 0.0
+    assert out[3]["dup_bigram_ratio"] == 0.0
+    assert out[3]["top_word_ratio"] == 1.0
+    # default stays schema-stable (no repetition columns)
+    assert "dup_word_ratio" not in quality_score(df).columns
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     import numpy as np

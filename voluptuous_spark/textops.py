@@ -12,7 +12,10 @@ oracle-checkable in ANSI SQL):
                        rank-encoded shingle dictionary; band-bucket join
 - SimHash              sign-aggregated bit fingerprint from token ranks
 - language id          stopword-hit heuristic over a fixed marker table
-- quality score        length / punctuation / stopword-ratio features
+- quality score        length / punctuation / stopword-ratio features,
+                       plus Gopher-style within-document repetition
+                       signals (dup token/bigram ratio, top-token
+                       multiplicity) in the same pass
 - token count          regex word split
 - fingerprint          md5 of normalized text
 
@@ -392,10 +395,48 @@ def token_count(df: DataFrame, text_col: str = "text",
     )
 
 
+def _top_run_count(arr):
+    """Max multiplicity of any element in ``arr``: sort, then fold
+    counting the longest run of equal neighbours — O(n log n) per row.
+    (The obvious ``transform(array_distinct(a), w -> size(filter(a,
+    x -> x = w)))`` is O(n * distinct) — quadratic on a long document
+    whose tokens are mostly unique.)"""
+    s = F.sort_array(arr)
+    step = lambda acc, x: F.struct(
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1)
+        .otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
+    )
+    return F.aggregate(
+        s,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  repetition: bool = False) -> DataFrame:
     """Length / punctuation / stopword-ratio features + a composite score
     in [0,1] (mirrors common pretraining-corpus heuristics).
+
+    ``repetition=True`` adds Gopher-style (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) within-document repetition signals in the
+    same single pass — the standard filter for boilerplate/spam in
+    pretraining corpora:
+
+    - ``dup_word_ratio``    1 - distinct_tokens / tokens
+    - ``dup_bigram_ratio``  1 - distinct_bigrams / bigrams
+    - ``top_word_ratio``    max single-token multiplicity / tokens
 
     Staged projections: the normalize/split/regexp trees materialize ONCE
     as intermediate columns — inlining them into every feature column
@@ -413,10 +454,28 @@ def quality_score(df: DataFrame, text_col: str = "text",
         ).alias("__np"),
     )
     n_chars, words = F.col("__nc"), F.col("__w")
+    rep_cols = []
+    if repetition:
+        bigrams = F.when(
+            F.size(words) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(words, i), F.element_at(words, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        rep_cols = [
+            F.size(F.array_distinct(words)).alias("__ndw"),
+            _top_run_count(words).alias("__top"),
+            F.size(bigrams).alias("__nbg"),
+            F.size(F.array_distinct(bigrams)).alias("__ndbg"),
+        ]
     pre2 = pre.select(
         id_col, "__nc", "__np",
         F.when(n_chars == 0, 0).otherwise(F.size(words)).alias("__nw"),
         _marker_hits(words, LANG_MARKERS["en"]).alias("__sh"),
+        *rep_cols,
     )
     n_chars, n_words = F.col("__nc"), F.col("__nw")
     stop_hits, n_punct = F.col("__sh"), F.col("__np")
@@ -431,6 +490,21 @@ def quality_score(df: DataFrame, text_col: str = "text",
         + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.2
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.2
     )
+    out_rep = []
+    if repetition:
+        ndw, top = F.col("__ndw"), F.col("__top")
+        nbg, ndbg = F.col("__nbg"), F.col("__ndbg")
+        out_rep = [
+            F.round(
+                F.when(n_words > 0, 1.0 - ndw / n_words).otherwise(0.0), 6
+            ).alias("dup_word_ratio"),
+            F.round(
+                F.when(nbg > 0, 1.0 - ndbg / nbg).otherwise(0.0), 6
+            ).alias("dup_bigram_ratio"),
+            F.round(
+                F.when(n_words > 0, top / n_words).otherwise(0.0), 6
+            ).alias("top_word_ratio"),
+        ]
     return pre2.select(
         F.col(id_col),
         n_words.alias("n_words"),
@@ -438,4 +512,5 @@ def quality_score(df: DataFrame, text_col: str = "text",
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(score, 6).alias("quality"),
+        *out_rep,
     )
