@@ -204,6 +204,64 @@ def run_scaleup_lane() -> dict:
     return out
 
 
+def run_audio_scale_lane() -> dict:
+    """Audio near-dup pipeline at 1x vs 4x clip count: deterministic
+    synthetic clips (datasynth shape incl. its ~0.1% injected exact
+    duplicates), decode + spectral fingerprint (mapInArrow) + banded-LSH
+    band join + hamming verify, end-to-end. The decode/FFT pass is
+    embarrassingly parallel and the band join is bucketed, so the wall
+    should grow ~linearly with N (ideal ratio <= 4) — the same measured
+    proof the cosine/dedup lanes carry for the text/embedding paths."""
+    from pyspark.sql import functions as F
+
+    from voluptuous_spark.audio import audio_near_duplicates
+    from voluptuous_spark.datasynth import write_clips
+
+    spark = _session(CPUS)
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    # warm the Arrow worker pool (same reasoning as the headline lane)
+    spark.range(0, CPUS, numPartitions=CPUS).mapInArrow(
+        _noop, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    n1 = int(os.environ.get("SPARK_GRAFT_AUDIO_N", "8000"))
+    walls, pairs = {}, {}
+    for k in (1, 4):
+        tag = f"audioscale_{n1 * k}_{SEED}"
+        path = f"{CACHE_DIR}/{tag}"
+        if not os.path.exists(f"{path}/clips.parquet"):
+            write_clips(spark, n1 * k, path, seed=SEED, partitions=64,
+                        min_ms=200, spread_ms=400)
+        base = spark.read.parquet(f"{path}/clips.parquet")
+        # datasynth's injected duplicates reuse the SAME clip_id (the
+        # uniqueness-check fixture) and the pair search excludes
+        # self-pairs, so add a 1% exact-duplicate augmentation under
+        # fresh ids — every copy must come back as a hamming-0 pair
+        clips = base.unionByName(
+            base.filter(F.crc32(F.col("clip_id")) % 100 == 3)
+            .withColumn("clip_id", F.concat(F.lit("dup_"), "clip_id"))
+        )
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            d = audio_near_duplicates(clips)
+            _force(d)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        walls[k] = round(best, 3)
+        pairs[k] = audio_near_duplicates(clips).count()
+    spark.stop()
+    return {
+        "n_1x": n1, "x1_sec": walls[1], "x4_sec": walls[4],
+        "wall_ratio": round(walls[4] / walls[1], 2),
+        "pairs_1x": pairs[1], "pairs_4x": pairs[4], "factor": 4,
+    }
+
+
 def run_ivf_scan_fraction() -> dict:
     """IVF partition-pruned probe evidence (round-2 verdict #6): write
     the embeddings corpus partitioned by assigned cluster id, probe at
@@ -551,13 +609,14 @@ def run_reference_baseline(clips_path: str, n: int = 20000) -> dict:
     }
 
 
-def write_baseline_md(queries: dict, scaling: dict,
+def write_baseline_md(queries: dict, scaling: dict,  # noqa: C901
                       ref: dict | None = None,
                       rowpcm: dict | None = None,
                       hashed: dict | None = None,
                       scaleup: dict | None = None,
                       ivf: dict | None = None,
-                      ivf_clustered: dict | None = None) -> None:
+                      ivf_clustered: dict | None = None,
+                      audioscale: dict | None = None) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lines = [
         "# BENCH / BASELINE — measured",
@@ -714,6 +773,19 @@ def write_baseline_md(queries: dict, scaling: dict,
                     f"| {k} | {fct} | {v['x1_sec']} | "
                     f"{v[f'x{fct}_sec']} | {ratio} |"
                 )
+        if audioscale:
+            a = audioscale
+            lines += [
+                f"| audio_near_dups (synthetic clips, n={a['n_1x']}) | 4 "
+                f"| {a['x1_sec']} | {a['x4_sec']} | {a['wall_ratio']} |",
+                "",
+                "The audio row is decode + spectral fingerprint "
+                "(mapInArrow) + banded-LSH join + hamming verify "
+                "end-to-end on the datasynth clips shape plus a 1% "
+                "exact-duplicate augmentation under fresh ids "
+                f"({a['pairs_1x']} / {a['pairs_4x']} near-dup pairs "
+                "found at 1x / 4x).",
+            ]
     if ivf:
         lines += [
             "",
@@ -796,6 +868,7 @@ def main():
     queries = run_headline_queries()
     hashed = run_hashed_lane()
     scaleup = run_scaleup_lane()
+    audioscale = run_audio_scale_lane()
     ivf = run_ivf_scan_fraction()
     ivf_clustered = run_ivf_recall_clustered()
     scaling = run_scaling()
@@ -806,7 +879,7 @@ def main():
         ref = None  # reference repo unavailable: skip the comparison
     rowpcm = _rowpcm_throughput(1, f"{CACHE_DIR}/{tag}/clips.parquet")
     write_baseline_md(queries, scaling, ref, rowpcm, hashed, scaleup, ivf,
-                      ivf_clustered)
+                      ivf_clustered, audioscale)
     total = sum(queries.values())
     rep = scaling["n1_to_4"]
     print(
@@ -833,6 +906,7 @@ def main():
                 "hashed_basis_sec": hashed,
                 "regressions_vs_prev": _regressions_vs_prev(queries),
                 "scaleup": scaleup,
+                "audio_scaleup": audioscale,
                 "ivf_probe": ivf,
                 "ivf_recall_clustered": ivf_clustered,
                 "n_clips": N_CLIPS,
