@@ -124,3 +124,62 @@ def test_streaming_pcm_check_composes(spark):
         errs = {r["clip_id"]: r[PCM_ERR_COL] for r in out.collect()}
         assert errs["ok"] is None
         assert "decode failed" in errs["bad"]
+
+
+def test_streaming_numeric_psi(spark):
+    """Windowed drift-on-ingest: a window matching the reference
+    distribution scores ~0 PSI; a concentrated window scores high."""
+    import datetime as dt
+
+    from voluptuous_spark.streaming import (
+        reference_bucket_probs,
+        streaming_numeric_psi,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "v double"
+    )
+    probs = reference_bucket_probs(ref, "v", 0.0, 100.0, n_buckets=10)
+    assert len(probs) == 12
+    assert abs(sum(probs) - 1.0) < 1e-9
+    assert all(abs(p - 0.1) < 1e-9 for p in probs[1:11])
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        # window 1: uniform 0..99 (matches reference)
+        *[(float(i), t0 + dt.timedelta(seconds=i % 60)) for i in range(100)],
+        # window 2 (5 min later): everything piles into one bucket
+        *[(5.0, t0 + dt.timedelta(minutes=5, seconds=i % 60))
+          for i in range(100)],
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        spark.createDataFrame(rows, "v double, ts timestamp").write.parquet(
+            in_dir
+        )
+        stream = spark.readStream.schema("v double, ts timestamp").parquet(
+            in_dir
+        )
+        psi = streaming_numeric_psi(
+            stream, "v", "ts", probs, 0.0, 100.0,
+            window_duration="1 minute", watermark="1 minute",
+        )
+        q = (
+            psi.writeStream.foreachBatch(
+                lambda bdf, _id: bdf.write.mode("overwrite").parquet(out_dir)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = sorted(
+            (r["window"]["start"], r["rows"], r["psi"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        assert len(out) == 2
+        (w1_start, w1_rows, w1_psi), (w2_start, w2_rows, w2_psi) = out
+        assert (w1_rows, w2_rows) == (100, 100)
+        assert w1_psi < 0.01          # matches reference
+        assert w2_psi > 1.0           # concentrated -> strong drift

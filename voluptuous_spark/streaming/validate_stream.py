@@ -94,3 +94,85 @@ def stateful_duplicate_flags(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def reference_bucket_probs(df: DataFrame, col: str, min_v: float,
+                           max_v: float, n_buckets: int = 10) -> list:
+    """Reference bucket probabilities for ``streaming_numeric_psi``: one
+    tiny batch aggregation (``n_buckets + 2`` conditional sums — indexes
+    follow ``width_bucket``: 0 = below ``min_v``, ``n_buckets + 1`` =
+    at/above ``max_v``), collected driver-side as plain floats. Compute
+    ONCE on the reference corpus; the result is literal-broadcast into
+    the streaming aggregate, so the reference side costs the stream
+    nothing per batch."""
+    b = F.width_bucket(
+        F.col(col).cast("double"), F.lit(float(min_v)),
+        F.lit(float(max_v)), F.lit(n_buckets),
+    )
+    row = (
+        df.filter(F.col(col).isNotNull())
+        .select(b.alias("__b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((F.col("__b") == i).cast("long")).alias(f"c{i}")
+                for i in range(n_buckets + 2)
+            ],
+        )
+        .first()
+    )
+    n = row["n"] or 1
+    return [(row[f"c{i}"] or 0) / n for i in range(n_buckets + 2)]
+
+
+def streaming_numeric_psi(
+    stream_df: DataFrame,
+    col: str,
+    ts_col: str,
+    ref_probs: list,
+    min_v: float,
+    max_v: float,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Windowed PSI of a streaming numeric column against a FIXED
+    reference distribution — drift-on-ingest, the streaming analog of
+    ``checks.drift.numeric_psi`` (same EPS floor, same fixed-width
+    ``width_bucket`` bucketing).
+
+    Structured Streaming allows ONE aggregation per query, so the
+    per-window histogram is ``len(ref_probs)`` conditional sums inside
+    the single windowed aggregate (a ``groupBy(bucket)`` followed by a
+    re-aggregation would be two), and PSI folds over those sums as a
+    closed-form select expression — no second shuffle, no state beyond
+    the windowed agg's own store. Returns (window, rows, psi) per
+    event-time window; alert when psi exceeds the usual 0.1/0.25
+    thresholds."""
+    from ..checks.drift import EPS
+
+    n_buckets = len(ref_probs) - 2
+    b = F.width_bucket(
+        F.col(col).cast("double"), F.lit(float(min_v)),
+        F.lit(float(max_v)), F.lit(n_buckets),
+    )
+    agg = (
+        stream_df.filter(F.col(col).isNotNull())
+        .withColumn("__b", b)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            *[
+                F.sum((F.col("__b") == i).cast("long")).alias(f"__c{i}")
+                for i in range(n_buckets + 2)
+            ],
+        )
+    )
+    rows = F.col("rows")
+    psi = None
+    for i, q in enumerate(ref_probs):
+        p = F.greatest(F.col(f"__c{i}") / rows, F.lit(EPS))
+        ql = F.lit(max(float(q), EPS))
+        term = (p - ql) * F.log(p / ql)
+        psi = term if psi is None else psi + term
+    return agg.select("window", "rows", F.round(psi, 6).alias("psi"))
