@@ -897,19 +897,15 @@ def _ivf_assign_sql(cent, out, extra_where="", rn_cond="rn = 1",
     )"""
 
 
-def _kmeans_ctes(n_clusters: int = 8, iters: int = 2,
-                 include_e: bool = True) -> tuple[str, str]:
+def _kmeans_ctes(n_clusters: int = 8, iters: int = 2) -> tuple[str, str]:
     """The deterministic k-means replay CTE chain (init = lowest-id
     vectors, 6dp-rounded assignment argmax + means, empty-cluster
     carryover) shared by the ivf_topk and semantic-dup oracles. Returns
-    (sql, final_centroid_cte_name); ``include_e=False`` emits a
-    continuation (no WITH/e) for embedding into an existing CTE chain
-    that already defines ``e``."""
-    head = ("""
+    (sql, final_centroid_cte_name)."""
+    head = """
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), init AS (""" if include_e else """
-    , init AS (""")
+    ), init AS ("""
     parts = [head + f"""
       SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS cid
       FROM e QUALIFY cid < {n_clusters}

@@ -361,8 +361,11 @@ def run_ivf_recall_clustered() -> dict:
            "n_clusters": k_clusters, "n_clusters_policy": "sqrt(N)"}
     for n_probe in (1, 2, 4):
         got: dict = {}
+        # centroids= reuses the quantizer trained above instead of
+        # re-running the Lloyd rounds once per n_probe setting
         for r in ivf_topk(emb, q, dim=dim, k=5, n_clusters=k_clusters,
-                          n_probe=n_probe, iters=2).collect():
+                          n_probe=n_probe, iters=2,
+                          centroids=cents).collect():
             got.setdefault(r["query_id"], set()).add(r["vec_id"])
         recall = sum(
             len(got.get(qid, set()) & hits) / len(hits)
@@ -836,10 +839,17 @@ def _regressions_vs_prev(queries: dict) -> dict:
     (the absolute floor keeps sub-300ms jitter out)."""
     import glob
 
+    def _round_no(p):
+        import re
+
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    # numeric key: lexicographic sort would place r10 before r2
     paths = sorted(glob.glob(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_r*.json")
-    ))
+    ), key=_round_no)
     if not paths:
         return {"baseline": None, "queries": {}}
     src = paths[-1]

@@ -557,6 +557,14 @@ def test_audio_near_duplicates_128bit(spark):
 
     with _pytest.raises(ValueError):
         audio_near_duplicates(df, fp_bits=128, n_lsh_bands=5)
+    # band wider than one fingerprint word would silently bucket on a
+    # truncated bit subset — rejected
+    with _pytest.raises(ValueError):
+        audio_near_duplicates(df, fp_bits=128, n_lsh_bands=1)
+    # zero-width bands (more bands than bits) rejected, not a
+    # ZeroDivisionError
+    with _pytest.raises(ValueError):
+        audio_near_duplicates(df, fp_bits=64, n_lsh_bands=128)
 
 
 def test_audio_segments(spark):

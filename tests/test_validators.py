@@ -215,6 +215,15 @@ def test_any_castable_union_threads_supertype(validate_one):
     assert r[1] == ok("x")
 
 
+def test_any_bigint_union_stays_exact(validate_one):
+    # bigint branch values of exact-integer provenance must NOT widen
+    # to double (longs above 2^53 don't survive the cast; the reference
+    # threads the exact int) — the union degrades to identity instead
+    big = 9_007_199_254_740_993  # 2^53 + 1
+    r = validate_one(Any(int, Coerce(float)), [big], "bigint")
+    assert r[0] == ok(big)
+
+
 def test_maybe(validate_one):
     r = validate_one(Maybe(Coerce(int)), ["5", None, "x"], "string")
     assert r[0] == ok(5)

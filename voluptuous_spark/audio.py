@@ -1382,12 +1382,18 @@ def audio_near_duplicates(
     unchanged. The 64-bit default stays for the frozen-oracle gate."""
     if fp_bits % 64:
         raise ValueError("fp_bits must be a multiple of 64")
+    if n_lsh_bands < 1 or fp_bits % n_lsh_bands:
+        raise ValueError(
+            f"n_lsh_bands={n_lsh_bands} must evenly divide "
+            f"fp_bits={fp_bits} (bands must cover every bit for the "
+            "pigeonhole recall guarantee)"
+        )
     band_width = fp_bits // n_lsh_bands
-    if band_width < 64 and 64 % band_width:
+    if band_width > 64 or 64 % band_width:
         raise ValueError(
             "each LSH band must sit inside one 64-bit fingerprint word: "
             f"fp_bits={fp_bits} / n_lsh_bands={n_lsh_bands} gives "
-            f"band_width={band_width}"
+            f"band_width={band_width} (need a divisor of 64, <= 64)"
         )
     mask = (1 << band_width) - 1 if band_width < 64 else -1
     words = ["afp"] + [f"afp_hi{i if i > 1 else ''}"

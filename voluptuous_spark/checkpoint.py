@@ -96,9 +96,16 @@ class CheckpointedValidation:
         )
 
     def _staged(self, staging_path: str) -> bool:
-        import os
-
-        return os.path.exists(os.path.join(staging_path, "_SUCCESS"))
+        """Commit-marker check through the Hadoop FileSystem API — a
+        driver-local ``os.path.exists`` is always False for hdfs:///
+        s3a:// URIs, which would re-stage (full-table rewrite) on every
+        run of a cluster deployment, inverting the resume-I/O
+        guarantee."""
+        sc = self.spark.sparkContext
+        jvm = sc._jvm
+        p = jvm.org.apache.hadoop.fs.Path(staging_path + "/_SUCCESS")
+        fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
 
     def _bucketed_input(
         self, df: DataFrame | None, staging_path: str | None

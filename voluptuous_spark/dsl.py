@@ -1076,15 +1076,28 @@ _NUMERIC_WIDENING = ("tinyint", "smallint", "int", "bigint", "float",
                      "double")
 
 
-def _numeric_supertype(simple_strings):
-    """Widest member of the numeric chain covering every type name in
-    ``simple_strings`` (each a DataType.simpleString()), else None."""
-    try:
-        return _NUMERIC_WIDENING[
-            max(_NUMERIC_WIDENING.index(t) for t in simple_strings)
-        ]
-    except ValueError:
+def _numeric_supertype(simple_strings, in_dtype):
+    """LOSSLESS common supertype of the type names in ``simple_strings``
+    (each a DataType.simpleString()), else None.
+
+    All-integral unions widen to the widest integral. A union with a
+    fractional member unifies to double — int32-and-below and float are
+    exactly representable there — EXCEPT when a bigint branch carries
+    values of exact-integer provenance (the input column is not
+    float/double): casting such longs to double corrupts values above
+    2^53, where the reference threads the exact int, so those unions
+    degrade to validation-only identity instead. When the input column
+    IS fractional, any bigint branch output was truncated FROM a double
+    and is double-exact by construction, so the widening is safe."""
+    ss = set(simple_strings)
+    if not ss <= set(_NUMERIC_WIDENING):
         return None
+    integral = _NUMERIC_WIDENING[:4]  # tinyint smallint int bigint
+    if ss <= set(integral):
+        return integral[max(integral.index(t) for t in ss)]
+    if "bigint" in ss and in_dtype not in ("float", "double"):
+        return None
+    return "double"
 
 
 class Any(Validator):
@@ -1132,8 +1145,8 @@ class Any(Validator):
         # output threads through, reference validators.py:322-329)
         live = [ch for ch in checks if not ch.static_fail] or checks
         out_types = {(ch.out_type or dtype).simpleString() for ch in live}
-        sup = (_numeric_supertype(out_types) if len(out_types) > 1
-               else None)
+        sup = (_numeric_supertype(out_types, dtype.simpleString())
+               if len(out_types) > 1 else None)
         if len(out_types) > 1 and sup is None:
             # live branches disagree on output type with no common
             # numeric supertype; a Spark column has exactly one type, so

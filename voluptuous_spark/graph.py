@@ -79,6 +79,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 30,
     checkpoint_dir: str | None = None,
+    cleanup_superseded: bool = True,
 ) -> DataFrame:
     """(id, cluster_id) for every node of ``edges``; cluster_id is the
     minimum node id of the component. Nodes with no edges are absent
@@ -95,11 +96,19 @@ def connected_components(
     ``localCheckpoint`` (executor-local blocks, fastest in-sandbox).
     NOTE: this calls ``SparkContext.setCheckpointDir`` ONCE before the
     loop — session-GLOBAL state shared with any other checkpoint user.
-    Each round's reliable checkpoint is DELETED as soon as the next
-    round is materialized (storage stays O(edges), not
-    O(rounds x edges)); only the final round's files persist, because
-    the returned DataFrame still reads them — the caller owns the
-    directory's lifecycle after that.
+    With ``cleanup_superseded=True`` (default) each round's reliable
+    checkpoint is DELETED as soon as the next round is materialized
+    (storage stays O(edges), not O(rounds x edges)); only the final
+    round's files persist, because the returned DataFrame still reads
+    them — the caller owns the directory's lifecycle after that.
+    Superseded rounds are identified by diffing the checkpoint root's
+    ``rdd-*`` listing around each materialization, so the default
+    REQUIRES that no other job checkpoints concurrently in this session
+    (their dirs would be mis-attributed to this loop and deleted — and
+    the global ``setCheckpointDir`` would already be redirecting their
+    files here). In a shared session pass
+    ``cleanup_superseded=False``: nothing is ever deleted, at the cost
+    of O(rounds x edges) checkpoint storage.
     """
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     sc = edges.sparkSession.sparkContext
@@ -131,6 +140,8 @@ def connected_components(
         nonlocal live_ckpt
         if checkpoint_dir is None:
             return df.localCheckpoint(eager=True)
+        if not cleanup_superseded:
+            return df.checkpoint(eager=True)
         before = _ckpt_snapshot()
         out = df.checkpoint(eager=True)  # materialized: input now dead
         stale, live_ckpt = live_ckpt, _ckpt_snapshot() - before

@@ -3313,6 +3313,42 @@ _PY_TO_SPARK = {
 }
 
 
+def _java_double_str(x: float) -> str:
+    """Java ``Double.toString`` rendering — what Spark's double->string
+    cast emits into violation-row paths. Decimal form on
+    [1e-3, 1e7), shortest-round-trip mantissa ``E`` exponent outside it;
+    Python ``str()`` differs (thresholds 1e16/1e-4 and 'e+07' style),
+    so path comparison must not use it for floats."""
+    import math
+    from decimal import Decimal
+
+    if x != x:
+        return "NaN"
+    if x == float("inf"):
+        return "Infinity"
+    if x == float("-inf"):
+        return "-Infinity"
+    sign = "-" if math.copysign(1.0, x) < 0 else ""
+    a = abs(x)
+    if a == 0.0:
+        return sign + "0.0"
+    _s, dt, dexp = Decimal(repr(a)).as_tuple()
+    digits = "".join(map(str, dt))
+    stripped = len(digits) - len(digits.rstrip("0"))
+    if stripped and len(digits) > stripped:
+        digits = digits[:-stripped]
+        dexp += stripped
+    pow10 = len(digits) + dexp - 1  # value = d.ddd * 10^pow10
+    if -3 <= pow10 < 7:
+        if pow10 >= 0:
+            ip = digits[: pow10 + 1].ljust(pow10 + 1, "0")
+            fp = digits[pow10 + 1:] or "0"
+            return f"{sign}{ip}.{fp}"
+        return sign + "0." + "0" * (-pow10 - 1) + digits
+    mant_frac = digits[1:] or "0"
+    return f"{sign}{digits[0]}.{mant_frac}E{pow10}"
+
+
 def _has_type_content(x) -> bool:
     """True when ``x`` determines a concrete leaf type: a non-null
     scalar, or a container with at least one such leaf anywhere below."""
@@ -4287,11 +4323,15 @@ def _merge_driver_resolutions(result, driver_res, doc_order=None,
         # ride-error paths are strings parsed from violation rows (only
         # digit strings restored to int by invalid_from_row), while
         # driver-resolution paths carry NATIVE bool/float keys — compare
-        # both sides by the Spark string rendering ('true', not 'True')
-        # so a group firing at a bool/float-keyed mapping level still
-        # suppresses the resolutions under it
+        # both sides by the Spark string rendering ('true' not 'True';
+        # '1.0E7' not '10000000.0' — Spark's double->string cast follows
+        # Java Double.toString, whose scientific-notation thresholds
+        # differ from Python str()) so a group firing at a bool/float-
+        # keyed mapping level still suppresses the resolutions under it
         if isinstance(p, bool):
             return "true" if p else "false"
+        if isinstance(p, float):
+            return _java_double_str(p)
         return str(p)
 
     group_levels = [
