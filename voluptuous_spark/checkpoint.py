@@ -146,6 +146,8 @@ class CheckpointedValidation:
         max_steps: int | None = None,
         run_id: str = "run",
         staging_path: str | None = None,
+        stats_cols: typing.Sequence[str] | None = None,
+        stats_path: str | None = None,
     ) -> int:
         """Process pending buckets in steps; ``validate_fn`` maps a
         bucketed subset to an annotated DataFrame with an ``__errors``
@@ -157,7 +159,24 @@ class CheckpointedValidation:
         there first (skipped if already staged — including by a previous
         crashed run), so each step reads ONLY its chunk's partition
         directories instead of re-scanning the full input per step.
-        """
+
+        ``stats_cols`` + ``stats_path``: the north rule's "checkpoints
+        carrying stats metrics" — each step ALSO appends one mergeable
+        sketch row per (bucket, column) (counts/min/max/moments + HLL
+        distinct + log-histogram quantiles, ``checks.sketches``) to
+        ``stats_path``, riding the same partition-pruned chunk scan.
+        ``merged_stats`` then folds the sketch rows into corpus-level
+        column stats WITHOUT rescanning any completed bucket — resume
+        cost stays proportional to remaining work even for the stats.
+        A crash between the stats append and the checkpoint append makes
+        the bucket revalidate on resume and append a second sketch row;
+        ``merged_stats`` keeps one row per (bucket, column), and both
+        candidates are identical anyway (same input — lineage would
+        flag it otherwise), so the double-append is harmless."""
+        if (stats_cols is None) != (stats_path is None):
+            raise ValueError(
+                "stats_cols and stats_path must be passed together"
+            )
         bdf = self._bucketed_input(df, staging_path)
         pending = self.pending_buckets()
         steps = 0
@@ -167,6 +186,8 @@ class CheckpointedValidation:
             chunk = pending[start : start + buckets_per_step]
             t0 = time.time()
             subset = bdf.filter(F.col("__bucket").isin(chunk))
+            if stats_cols is not None:
+                self._append_stats(subset, stats_cols, stats_path, run_id)
             annotated = validate_fn(subset.drop("__bucket")).withColumn(
                 "__bucket", self._bucket()
             )
@@ -209,6 +230,53 @@ class CheckpointedValidation:
             out.write.mode("append").parquet(self.path)
             steps += 1
         return steps
+
+    def _append_stats(
+        self,
+        subset: DataFrame,
+        stats_cols: typing.Sequence[str],
+        stats_path: str,
+        run_id: str,
+    ) -> None:
+        from .checks.sketches import column_sketches
+
+        sk = column_sketches(
+            subset, cols=list(stats_cols), group_col="__bucket"
+        ).select(
+            F.col("__bucket").alias("bucket"),
+            "column", "n_rows", "null_count", "min_num", "max_num",
+            "sum1", "sum2", "min_str", "max_str", "hll", "hist",
+            F.lit(run_id).alias("run_id"),
+            F.lit(
+                time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+            ).alias("completed_at"),
+        )
+        sk.write.mode("append").parquet(stats_path)
+
+    def merged_stats(
+        self,
+        stats_path: str,
+        quantiles: typing.Sequence[float] = (),
+    ) -> DataFrame:
+        """Corpus-level column stats folded from the per-bucket sketch
+        rows ``run(stats_cols=...)`` appended — reads ONLY the (tiny)
+        sketch table, never the input. One sketch row is kept per
+        (bucket, column) (latest append wins) so a crash-induced
+        double-append cannot double-count a bucket."""
+        from pyspark.sql import Window
+
+        from .checks.sketches import merge_sketches
+
+        sk = self.spark.read.parquet(stats_path)
+        w = Window.partitionBy("bucket", "column").orderBy(
+            F.desc("completed_at"), F.desc("run_id")
+        )
+        latest = (
+            sk.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "bucket", "run_id", "completed_at")
+        )
+        return merge_sketches(latest, quantiles=quantiles)
 
     def report(self) -> DataFrame:
         return self.spark.read.schema(CHECKPOINT_DDL).parquet(self.path)
