@@ -212,6 +212,41 @@ def test_checkpointed_stats_resume(spark):
         assert again["sr_hz"]["n_rows"] == want["sr_hz"]["n_rows"]
 
 
+def test_sketch_psi_drift(spark):
+    """Cross-run drift from sketch histograms alone: same distribution
+    -> tiny PSI; shifted distribution -> large PSI. Input tables are
+    never re-read (the PSI plan sees only the sketch rows)."""
+    import random
+
+    from voluptuous_spark.checks.sketches import sketch_psi
+
+    random.seed(21)
+
+    def mk(mean):
+        rows = [(i, random.gauss(mean, 30.0)) for i in range(4000)]
+        return spark.createDataFrame(rows, "id long, x double")
+
+    sk_same_a = column_sketches(mk(200.0), ["x"])
+    sk_same_b = column_sketches(mk(200.0), ["x"])
+    sk_shift = column_sketches(mk(800.0), ["x"])
+
+    same = {r["column"]: r["psi"]
+            for r in sketch_psi(sk_same_a, sk_same_b).collect()}
+    shift = {r["column"]: r["psi"]
+             for r in sketch_psi(sk_same_a, sk_shift).collect()}
+    assert same["x"] < 0.1          # industry "no drift" band
+    assert shift["x"] > 0.5         # far past the 0.25 action threshold
+
+    # per-bucket sketch rows (the checkpoint stats layout) fold to the
+    # same PSI as whole-table sketches: the explode+sum IS the merge
+    g = mk(200.0).withColumn("g", (F.col("id") % 5).cast("int"))
+    per_bucket = column_sketches(g, ["x"], group_col="g").drop("g")
+    whole = column_sketches(g.drop("g"), ["x"])
+    a = sketch_psi(per_bucket, sk_shift).collect()[0]["psi"]
+    b = sketch_psi(whole, sk_shift).collect()[0]["psi"]
+    assert a == pytest.approx(b, rel=1e-9)
+
+
 def test_stats_args_must_pair(spark):
     clips = clips_df(spark, 10, seed=0, partitions=1)
     with tempfile.TemporaryDirectory() as tmp:

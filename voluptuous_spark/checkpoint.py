@@ -253,6 +253,23 @@ class CheckpointedValidation:
         )
         sk.write.mode("append").parquet(stats_path)
 
+    def latest_sketches(self, stats_path: str) -> DataFrame:
+        """The sketch table with exactly one row per (bucket, column) —
+        latest append wins, so a crash-induced double-append cannot
+        double-count a bucket. Feed this to ``merge_sketches`` or to
+        ``sketch_psi`` (cross-run drift from sketch histograms alone)."""
+        from pyspark.sql import Window
+
+        sk = self.spark.read.parquet(stats_path)
+        w = Window.partitionBy("bucket", "column").orderBy(
+            F.desc("completed_at"), F.desc("run_id")
+        )
+        return (
+            sk.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "bucket", "run_id", "completed_at")
+        )
+
     def merged_stats(
         self,
         stats_path: str,
@@ -260,23 +277,12 @@ class CheckpointedValidation:
     ) -> DataFrame:
         """Corpus-level column stats folded from the per-bucket sketch
         rows ``run(stats_cols=...)`` appended — reads ONLY the (tiny)
-        sketch table, never the input. One sketch row is kept per
-        (bucket, column) (latest append wins) so a crash-induced
-        double-append cannot double-count a bucket."""
-        from pyspark.sql import Window
-
+        sketch table, never the input."""
         from .checks.sketches import merge_sketches
 
-        sk = self.spark.read.parquet(stats_path)
-        w = Window.partitionBy("bucket", "column").orderBy(
-            F.desc("completed_at"), F.desc("run_id")
+        return merge_sketches(
+            self.latest_sketches(stats_path), quantiles=quantiles
         )
-        latest = (
-            sk.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "bucket", "run_id", "completed_at")
-        )
-        return merge_sketches(latest, quantiles=quantiles)
 
     def report(self) -> DataFrame:
         return self.spark.read.schema(CHECKPOINT_DDL).parquet(self.path)

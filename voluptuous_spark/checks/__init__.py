@@ -11,4 +11,8 @@ from .uniqueness import duplicate_keys, uniqueness_report  # noqa: F401
 from .referential import orphans, referential_report  # noqa: F401
 from .drift import psi_report, ks_statistic, category_histogram  # noqa: F401
 from .skew import salted_agg, salted_join  # noqa: F401
-from .sketches import column_sketches, merge_sketches  # noqa: F401
+from .sketches import (  # noqa: F401
+    column_sketches,
+    merge_sketches,
+    sketch_psi,
+)

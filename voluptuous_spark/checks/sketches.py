@@ -275,6 +275,60 @@ def merge_sketches(
     return out.drop("hist")
 
 
+def sketch_psi(
+    sketches_a: DataFrame,
+    sketches_b: DataFrame,
+    coarsen: int = 8,
+) -> DataFrame:
+    """Population Stability Index per numeric column between two SKETCH
+    tables (e.g. two checkpointed runs' ``stats_path`` outputs, or last
+    week's merged sketches vs today's): drift is computed from the
+    log-histogram maps alone — neither input table is ever re-read, so
+    cross-run drift costs KBs of sketch rows regardless of corpus size.
+    The fixed bin domain is what makes the two histograms directly
+    comparable (no re-binning against a shared sample).
+
+    ``coarsen`` merges each run of ``coarsen`` adjacent log bins into
+    one PSI bucket (default 8 = one bucket per octave per sign at the
+    default bins_per_octave) — PSI over hundreds of fine bins inflates
+    sampling noise; octave buckets match the 10-20-bucket practice.
+    Returns one row per column: (column, psi, n_bins)."""
+    from pyspark.sql import Window
+
+    def _bins(sk, name):
+        return (
+            sk.select(
+                "column", F.explode(F.map_entries("hist")).alias("e")
+            )
+            .select(
+                "column",
+                F.floor(F.col("e.key") / F.lit(coarsen)).cast("int")
+                .alias("bin"),
+                F.col("e.value").alias(name),
+            )
+            .groupBy("column", "bin")
+            .agg(F.sum(name).alias(name))
+        )
+
+    eps = 1e-6
+    j = (
+        _bins(sketches_a, "cnt_a")
+        .join(_bins(sketches_b, "cnt_b"), ["column", "bin"], "full_outer")
+        .fillna(0, subset=["cnt_a", "cnt_b"])
+    )
+    w = Window.partitionBy("column")
+    ra = F.greatest(F.col("cnt_a") / F.sum("cnt_a").over(w), F.lit(eps))
+    rb = F.greatest(F.col("cnt_b") / F.sum("cnt_b").over(w), F.lit(eps))
+    return (
+        j.withColumn("__t", (ra - rb) * F.log(ra / rb))
+        .groupBy("column")
+        .agg(
+            F.sum("__t").alias("psi"),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
+    )
+
+
 def _hist_quantile_expr(hist, p: float, bins_per_octave: int):
     """Quantile estimate from a merged log-histogram map: walk bins in
     ascending id order (== ascending value order by construction) until
