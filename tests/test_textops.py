@@ -285,3 +285,88 @@ def test_lsh_banding_bounds_candidates(spark, vectors):
         ).collect()
     }
     assert (0, 50) in pairs
+
+
+def test_ngram_contamination_exact(spark):
+    from voluptuous_spark.textops import ngram_contamination
+
+    # eval example: 6 words -> 4 distinct 3-grams
+    eval_df = spark.createDataFrame(
+        [("e1", "the quick brown fox jumps high")],
+        "eval_id string, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the eval text verbatim inside a longer doc
+            ("d1", "today the quick brown fox jumps high again and again"),
+            # shares exactly one 3-gram ("quick brown fox")
+            ("d2", "a quick brown fox sat"),
+            # unrelated
+            ("d3", "completely different words entirely here now"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        (r["doc_id"], r["eval_id"]): r
+        for r in ngram_contamination(
+            docs, eval_df, n=3
+        ).collect()
+    }
+    assert set(got) == {("d1", "e1"), ("d2", "e1")}
+    d1 = got[("d1", "e1")]
+    assert d1["eval_shingles"] == 4 and d1["overlap"] == 4
+    assert d1["eval_frac"] == 1.0
+    # d1 has 10 words -> 8 distinct 3-grams
+    assert d1["doc_shingles"] == 8
+    assert d1["doc_frac"] == pytest.approx(4 / 8)
+    d2 = got[("d2", "e1")]
+    assert d2["overlap"] == 1 and d2["eval_frac"] == pytest.approx(1 / 4)
+
+
+def test_contaminated_docs_threshold(spark):
+    from voluptuous_spark.textops import contaminated_docs
+
+    eval_df = spark.createDataFrame(
+        [
+            ("e1", "alpha beta gamma delta epsilon zeta"),
+            ("e2", "one two three four five six"),
+        ],
+        "eval_id string, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # full copy of e1 AND e2 -> two hits, both frac 1.0;
+            # worst_eval_id ties at 1.0 -> lowest id e1
+            ("d1", "alpha beta gamma delta epsilon zeta one two three "
+                   "four five six"),
+            # covers 2 of e2's 4 2-grams -> 0.5, below 0.7
+            ("d2", "one two three nothing else"),
+            ("d3", "irrelevant content here"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in contaminated_docs(docs, eval_df, n=2, threshold=0.7)
+        .collect()
+    }
+    assert set(rows) == {"d1"}
+    assert rows["d1"]["worst_eval_id"] == "e1"
+    assert rows["d1"]["worst_eval_frac"] == 1.0
+    assert rows["d1"]["n_eval_hits"] == 2
+
+
+def test_contamination_broadcast_plan(spark):
+    """broadcast_eval keeps the corpus side shuffle-free up to the
+    (doc, eval) count agg: the probe join must be broadcast-hash."""
+    from voluptuous_spark.textops import ngram_contamination
+
+    eval_df = spark.createDataFrame(
+        [("e1", "a b c d e f g h")], "eval_id string, text string"
+    )
+    docs = spark.createDataFrame(
+        [("d1", "x a b c d y")], "doc_id string, text string"
+    )
+    plan = ngram_contamination(docs, eval_df, n=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

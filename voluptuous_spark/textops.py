@@ -514,3 +514,103 @@ def quality_score(df: DataFrame, text_col: str = "text",
         F.round(score, 6).alias("quality"),
         *out_rep,
     )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    min_overlap: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: which training documents share word
+    n-grams with an evaluation set (the GPT-3-style 13-gram collision
+    check; PaLM-style thresholding is ``contaminated_docs`` below).
+
+    Plan shape at corpus scale: both sides shingle through the SAME
+    normalization/hashing as the dedup ops (xxhash64 of word n-grams —
+    only 8-byte keys ever shuffle); the eval side is tiny by definition
+    (thousands of examples vs 10^12 training docs), so with
+    ``broadcast_eval`` the probe is a broadcast-hash join the corpus
+    streams through WITHOUT shuffling — the corpus-side cost is one
+    scan + one narrow (doc_id, eval_id) count agg. Set it False only
+    for an eval side too big to broadcast (falls back to a shuffle
+    join on the 8-byte shingle hash).
+
+    Returns one row per contaminated (doc, eval example) pair:
+    (doc_id, eval_id, overlap, doc_shingles, eval_shingles, doc_frac,
+    eval_frac) where eval_frac = overlap / eval_shingles is the
+    fraction of the eval example's n-grams found in the doc (the
+    decontamination decision variable) and doc_frac mirrors it for the
+    training side. Docs shorter than ``n`` words contribute their
+    whole text as one shingle (same rule both sides)."""
+    s = _shingles(df, text_col, id_col, n, hashed=True)
+    e = _shingles(eval_df, eval_text_col, eval_id_col, n, hashed=True)
+    doc_sizes = s.groupBy("id").agg(F.count(F.lit(1)).alias("doc_shingles"))
+    eval_sizes = e.groupBy("id").agg(
+        F.count(F.lit(1)).alias("eval_shingles")
+    )
+    e_side = e.select(F.col("id").alias("__eid"), "shingle")
+    eval_sz = eval_sizes.select(
+        F.col("id").alias("__eid"), "eval_shingles"
+    )
+    if broadcast_eval:
+        e_side = F.broadcast(e_side)
+        eval_sz = F.broadcast(eval_sz)
+    overlap = (
+        s.join(e_side, "shingle")
+        .groupBy("id", "__eid")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )
+    return (
+        overlap.join(doc_sizes, "id")
+        .join(eval_sz, "__eid")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("__eid").alias("eval_id"),
+            "overlap",
+            "doc_shingles",
+            "eval_shingles",
+            F.round(F.col("overlap") / F.col("doc_shingles"), 6)
+            .alias("doc_frac"),
+            F.round(F.col("overlap") / F.col("eval_shingles"), 6)
+            .alias("eval_frac"),
+        )
+    )
+
+
+def contaminated_docs(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """Training docs to DROP before training: any doc covering >=
+    ``threshold`` of some eval example's n-grams (the PaLM setup:
+    70% of 8-grams). One row per doc: (doc_id, worst_eval_id,
+    worst_eval_frac, n_eval_hits) where worst_eval_id is the most-
+    covered eval example (ties -> lowest id) and n_eval_hits counts
+    eval examples over the threshold."""
+    pairs = ngram_contamination(df, eval_df, n=n, **kwargs).filter(
+        F.col("eval_frac") >= threshold
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("eval_frac"), F.col("eval_id")
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("__rn") == 1, F.col("eval_id")))
+            .alias("worst_eval_id"),
+            F.max(F.when(F.col("__rn") == 1, F.col("eval_frac")))
+            .alias("worst_eval_frac"),
+            F.count(F.lit(1)).alias("n_eval_hits"),
+        )
+    )
