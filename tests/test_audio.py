@@ -915,3 +915,46 @@ def test_transform_kernel_properties():
         g2 = 32768.0 * 10 ** (-3.0 / 20.0) / p2
         twice = np.clip(np.floor(once * g2 + 0.5), -32768, 32767)
         assert np.abs(twice - once).max() <= 1.0
+
+
+def test_transcript_label_conflicts(spark):
+    from voluptuous_spark.audio import (
+        encode_wav_pcm16,
+        rerecorded_transcripts,
+        transcript_label_conflicts,
+    )
+
+    rng = np.random.default_rng(33)
+    a = (rng.normal(0, 3000, 800)).astype(np.int16)
+    b = (rng.normal(0, 3000, 800)).astype(np.int16)
+    c = (rng.normal(0, 3000, 800)).astype(np.int16)
+    rows = [
+        # same audio, conflicting labels  -> conflict group (c1..c3)
+        ("c1", encode_wav_pcm16(a, 16000), "wav", "hello world"),
+        ("c2", encode_wav_pcm16(a, 16000), "wav", "hello world"),
+        ("c3", encode_wav_pcm16(a, 16000), "wav", "goodbye world"),
+        # same audio, same label after normalization -> NOT a conflict
+        ("c4", encode_wav_pcm16(b, 16000), "wav", "Same  Text"),
+        ("c5", encode_wav_pcm16(b, 16000), "wav", "same text"),
+        # same transcript, different audio -> rerecording (c4/c5 share
+        # b; c6 is a new take of "same text")
+        ("c6", encode_wav_pcm16(c, 16000), "wav", "same text"),
+        # undecodable payload never groups
+        ("c7", b"notawav", "wav", "hello world"),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, transcript string"
+    )
+
+    conf = transcript_label_conflicts(df).collect()
+    assert len(conf) == 1
+    g = conf[0]
+    assert g["canonical_id"] == "c1"
+    assert g["n_clips"] == 3 and g["n_transcripts"] == 2
+    assert g["sample_ids"] == ["c1", "c2", "c3"]
+
+    rr = {r["canonical_id"]: r for r in rerecorded_transcripts(df).collect()}
+    assert set(rr) == {"c4"}
+    assert rr["c4"]["n_clips"] == 3
+    assert rr["c4"]["n_audio_versions"] == 2
+    assert rr["c4"]["sample_ids"] == ["c4", "c5", "c6"]

@@ -1905,3 +1905,104 @@ def audio_trim_silence(
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.mapInArrow(gen, out_schema_ddl)
+
+
+def transcript_label_conflicts(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    transcript_col: str = "transcript",
+    max_sample_ids: int = 8,
+) -> DataFrame:
+    """Cross-modal label-conflict detection: groups of clips whose AUDIO
+    CONTENT is identical (exact decoded-sample signature — container
+    metadata can't split a group) but whose transcripts DISAGREE after
+    normalization. Identical-audio/different-label rows are the
+    highest-value curation find in an ASR corpus: at least all-but-one
+    label in the group is wrong.
+
+    One Arrow pass for the signature + ONE shuffle keyed by the 48-byte
+    signature (window partitionBy reuses the same exchange for ordering
+    the id sample); the per-group aggregation buffers at most
+    ``max_sample_ids`` ids and the set of distinct 32-byte transcript
+    hashes (bounded by the number of DISTINCT labels in the group, not
+    the group size). Returns one row per conflicting group:
+    (canonical_id, n_clips, n_transcripts, sample_ids)."""
+    from pyspark.sql import Window
+
+    from .textops import normalize_text
+
+    sig = audio_content_signature(df, bytes_col, codec_col).filter(
+        F.col("sig_n").isNotNull()
+    )
+    base = sig.select(
+        id_col,
+        *AUDIO_SIGNATURE_COLS,
+        F.md5(F.coalesce(normalize_text(F.col(transcript_col)), F.lit("")))
+        .alias("__tfp"),
+    )
+    w = Window.partitionBy(*AUDIO_SIGNATURE_COLS).orderBy(id_col)
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .groupBy(*AUDIO_SIGNATURE_COLS)
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.count_distinct("__tfp").alias("n_transcripts"),
+            F.min(id_col).alias("canonical_id"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rn") <= max_sample_ids, F.col(id_col))
+                )
+            ).alias("sample_ids"),
+        )
+        .filter((F.col("n_clips") > 1) & (F.col("n_transcripts") > 1))
+        .select("canonical_id", "n_clips", "n_transcripts", "sample_ids")
+    )
+
+
+def rerecorded_transcripts(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    transcript_col: str = "transcript",
+    max_sample_ids: int = 8,
+) -> DataFrame:
+    """The mirror image of ``transcript_label_conflicts``: transcripts
+    recorded more than once with DIFFERENT audio content (multiple
+    takes / re-reads of the same prompt). Not an error by itself, but a
+    dedup-policy decision (keep all takes? keep best-SNR?) and a leakage
+    hazard if takes straddle a train/eval split. Same plan shape, keyed
+    by the normalized transcript hash instead of the audio signature.
+    Returns (transcript_fp, n_clips, n_audio_versions, canonical_id,
+    sample_ids) for transcripts with >1 distinct audio content."""
+    from pyspark.sql import Window
+
+    from .textops import normalize_text
+
+    sig = audio_content_signature(df, bytes_col, codec_col).filter(
+        F.col("sig_n").isNotNull()
+    )
+    base = sig.select(
+        id_col,
+        F.md5(F.coalesce(normalize_text(F.col(transcript_col)), F.lit("")))
+        .alias("transcript_fp"),
+        F.xxhash64(*AUDIO_SIGNATURE_COLS).alias("__afp"),
+    )
+    w = Window.partitionBy("transcript_fp").orderBy(id_col)
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .groupBy("transcript_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.count_distinct("__afp").alias("n_audio_versions"),
+            F.min(id_col).alias("canonical_id"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rn") <= max_sample_ids, F.col(id_col))
+                )
+            ).alias("sample_ids"),
+        )
+        .filter(F.col("n_audio_versions") > 1)
+    )
