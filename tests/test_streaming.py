@@ -183,3 +183,72 @@ def test_streaming_numeric_psi(spark):
         assert (w1_rows, w2_rows) == (100, 100)
         assert w1_psi < 0.01          # matches reference
         assert w2_psi > 1.0           # concentrated -> strong drift
+
+
+def test_streaming_sketch_sink_incremental(spark):
+    """Stats-on-ingest: sketch rows per micro-batch fold to the same
+    stats a batch sketch of all ingested data gives; a second ingest
+    updates the fold without re-reading the first."""
+    import pytest
+
+    from voluptuous_spark.checks.sketches import column_sketches, merge_sketches
+    from voluptuous_spark.datasynth import clips_df
+    from voluptuous_spark.streaming import (
+        merged_stream_stats,
+        streaming_sketch_sink,
+    )
+
+    first = clips_df(spark, 300, seed=41, partitions=2).drop("bytes").cache()
+    second = clips_df(spark, 200, seed=42, partitions=2).drop("bytes").cache()
+    first.count(); second.count()
+    cols = ["sr_hz", "dur_ms", "codec"]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, stats, ck = f"{tmp}/in", f"{tmp}/stats", f"{tmp}/ck"
+        first.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        q = (
+            streaming_sketch_sink(stream, cols, stats, ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+        def stats_map(df):
+            return {r["column"]: r for r in df.collect()}
+
+        got1 = stats_map(merged_stream_stats(spark, stats, quantiles=(0.5,)))
+        want1 = stats_map(
+            merge_sketches(column_sketches(first, cols), quantiles=(0.5,))
+        )
+        for c in cols:
+            assert got1[c]["n_rows"] == want1[c]["n_rows"]
+            assert got1[c]["quantiles"] == want1[c]["quantiles"]
+
+        # second ingest: new files -> new batches only
+        second.write.mode("append").parquet(src)
+        q = (
+            streaming_sketch_sink(stream, cols, stats, ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        both = first.unionByName(second)
+        got2 = stats_map(merged_stream_stats(spark, stats, quantiles=(0.5,)))
+        want2 = stats_map(
+            merge_sketches(column_sketches(both, cols), quantiles=(0.5,))
+        )
+        for c in cols:
+            assert got2[c]["n_rows"] == want2[c]["n_rows"]
+            assert got2[c]["null_count"] == want2[c]["null_count"]
+            assert got2[c]["min_value"] == want2[c]["min_value"]
+            assert got2[c]["max_value"] == want2[c]["max_value"]
+            assert got2[c]["quantiles"] == want2[c]["quantiles"]
+            assert got2[c]["distinct_count"] == pytest.approx(
+                want2[c]["distinct_count"], rel=0.05
+            )
+
+        # retried-batch dedupe: duplicate one (batch_id, column) row
+        dup = spark.read.parquet(stats).limit(1)
+        dup.write.mode("append").parquet(stats)
+        got3 = stats_map(merged_stream_stats(spark, stats, quantiles=(0.5,)))
+        for c in cols:
+            assert got3[c]["n_rows"] == want2[c]["n_rows"]

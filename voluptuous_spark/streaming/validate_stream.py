@@ -176,3 +176,73 @@ def streaming_numeric_psi(
         term = (p - ql) * F.log(p / ql)
         psi = term if psi is None else psi + term
     return agg.select("window", "rows", F.round(psi, 6).alias("psi"))
+
+
+def streaming_sketch_sink(
+    stream_df: DataFrame,
+    cols,
+    stats_path: str,
+    checkpoint_location: str,
+    lg_k: int = 12,
+    bins_per_octave: int = 8,
+):
+    """Stats-on-ingest: a ``foreachBatch`` sink that appends one
+    MERGEABLE sketch row per (batch, column) — the streaming counterpart
+    of ``CheckpointedValidation.run(stats_cols=...)``. Each micro-batch
+    pays one narrow aggregation (``checks.sketches.column_sketches``);
+    the running corpus stats are then ``merged_stream_stats`` over the
+    KB-scale sketch table, and drift between any two time ranges of the
+    ingest is ``sketch_psi`` over the same rows — neither ever re-reads
+    the ingested data.
+
+    Exactly-once accounting: Spark re-runs ``foreachBatch`` with the
+    SAME batch_id on failure recovery, so a crash between the sketch
+    append and the offset commit can only duplicate a (batch_id, column)
+    row; ``merged_stream_stats`` keeps one row per (batch_id, column),
+    restoring exactly-once for the folded stats.
+
+    Returns the DataStreamWriter — caller picks the trigger:
+        streaming_sketch_sink(stream, ["dur_ms"], p, ck)
+            .trigger(availableNow=True).start()
+    """
+    from ..checks.sketches import column_sketches
+
+    cols = list(cols)
+
+    def _write(batch_df, batch_id):
+        (
+            column_sketches(
+                batch_df, cols, lg_k=lg_k,
+                bins_per_octave=bins_per_octave,
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append").parquet(stats_path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("append")
+    )
+
+
+def merged_stream_stats(
+    spark, stats_path: str, quantiles=()
+) -> DataFrame:
+    """Running corpus-level column stats from a ``streaming_sketch_sink``
+    table: dedupe retried batches (one row per (batch_id, column)), then
+    fold — reads only the sketch rows."""
+    from pyspark.sql import Window
+
+    from ..checks.sketches import merge_sketches
+
+    sk = spark.read.parquet(stats_path)
+    w = Window.partitionBy("batch_id", "column").orderBy(
+        F.desc("n_rows")
+    )
+    latest = (
+        sk.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "batch_id")
+    )
+    return merge_sketches(latest, quantiles=quantiles)
