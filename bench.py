@@ -135,6 +135,40 @@ def run_hashed_lane() -> dict:
     return out
 
 
+def run_curation_lane() -> dict:
+    """Corpus-curation operators over the documents table: PII
+    detection/redaction (pure regex Column expressions) and
+    deterministic split/stratified-sample (hash-threshold, shuffle-free).
+    All four ride a single scan — wall here is scan + regex throughput."""
+    from voluptuous_spark.pii import pii_counts, redact_pii
+    from voluptuous_spark.sampling import split_assign, stratified_sample
+
+    spark = _session(CPUS)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    jobs = {
+        "pii_counts": lambda: pii_counts(docs),
+        "pii_redact": lambda: redact_pii(docs),
+        "split_assign": lambda: split_assign(
+            docs, {"train": 0.98, "val": 0.01, "test": 0.01}
+        ),
+        "stratified_sample": lambda: stratified_sample(
+            docs, "lang", 0.25
+        ),
+    }
+    out = {}
+    for name, fn in jobs.items():
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _force(fn())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        out[name] = round(best, 3)
+    spark.stop()
+    return out
+
+
 def run_scaleup_lane() -> dict:
     """Larger-scale lane (round-2 verdict #7; round 4 extends cosine to
     16x): the heavy similarity / clustering queries at 1x / 4x / 16x the
@@ -619,7 +653,8 @@ def write_baseline_md(queries: dict, scaling: dict,  # noqa: C901
                       scaleup: dict | None = None,
                       ivf: dict | None = None,
                       ivf_clustered: dict | None = None,
-                      audioscale: dict | None = None) -> None:
+                      audioscale: dict | None = None,
+                      curation: dict | None = None) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lines = [
         "# BENCH / BASELINE — measured",
@@ -762,6 +797,20 @@ def write_baseline_md(queries: dict, scaling: dict,  # noqa: C901
             "| query (hashed basis) | sec |",
             "|---|---|",
         ] + [f"| {k} | {v} |" for k, v in sorted(hashed.items())]
+    if curation:
+        lines += [
+            "",
+            "## Corpus-curation lane (documents table)",
+            "",
+            "PII detection/redaction (regex Column expressions, Luhn via "
+            "`F.aggregate` fold) and deterministic split / stratified "
+            "sample (salted-hash thresholds). Zero shuffles in all four "
+            "plans (tests/test_pii.py, tests/test_sampling.py) — wall is "
+            "scan + regex throughput:",
+            "",
+            "| query | sec |",
+            "|---|---|",
+        ] + [f"| {k} | {v} |" for k, v in sorted(curation.items())]
     if scaleup:
         lines += [
             "",
@@ -889,6 +938,7 @@ def _regressions_vs_prev(queries: dict) -> dict:
 def main():
     queries = run_headline_queries()
     hashed = run_hashed_lane()
+    curation = run_curation_lane()
     scaleup = run_scaleup_lane()
     audioscale = run_audio_scale_lane()
     ivf = run_ivf_scan_fraction()
@@ -901,7 +951,7 @@ def main():
         ref = None  # reference repo unavailable: skip the comparison
     rowpcm = _rowpcm_throughput(1, f"{CACHE_DIR}/{tag}/clips.parquet")
     write_baseline_md(queries, scaling, ref, rowpcm, hashed, scaleup, ivf,
-                      ivf_clustered, audioscale)
+                      ivf_clustered, audioscale, curation)
     total = sum(queries.values())
     rep = scaling["n1_to_4"]
     print(
@@ -926,6 +976,7 @@ def main():
                     rowpcm["clips_per_sec"] if rowpcm else None
                 ),
                 "hashed_basis_sec": hashed,
+                "curation_sec": curation,
                 "regressions_vs_prev": _regressions_vs_prev(queries),
                 "scaleup": scaleup,
                 "audio_scaleup": audioscale,
