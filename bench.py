@@ -421,6 +421,62 @@ def run_ivf_recall_clustered() -> dict:
     return out
 
 
+def run_pq_lane() -> dict:
+    """Product-quantization lane: residual IVF-PQ recall vs code budget
+    on the clustered fixture (same Gaussian mixture as the IVF recall
+    lane), plus compression ratio. The scale claim PQ carries is
+    memory-traffic, not toy-scale wall: a dim-64 float64 row is 512
+    bytes through scan/shuffle/cache; its m-byte code is 8-16 — the
+    recall column prices what that compression costs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from voluptuous_spark.similarity import (
+        brute_force_topk, default_n_clusters, ivf_centroids, ivf_pq_topk)
+
+    spark = _session(CPUS)
+    rng = random.Random(7)
+    dim, n, n_centers, n_queries = 16, 4000, 20, 40
+    centers = [[rng.gauss(0, 1) for _ in range(dim)]
+               for _ in range(n_centers)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.15) for x in centers[i % n_centers]])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(8).cache()
+    emb.count()
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact: dict = {}
+    for r in brute_force_topk(emb, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    cents = ivf_centroids(emb, dim, k=default_n_clusters(n), iters=2)
+    out = {"n": n, "dim": dim, "n_probe": 4}
+    for m, ksub in ((8, 16), (8, 64), (16, 32)):
+        t0 = time.time()
+        got: dict = {}
+        for r in ivf_pq_topk(emb, q, dim, k=5, n_probe=4, m=m, ksub=ksub,
+                             centroids=cents).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recall = sum(
+            len(got.get(qid, set()) & hits) / len(hits)
+            for qid, hits in exact.items()
+        ) / len(exact)
+        out[f"m{m}_k{ksub}"] = {
+            "recall_at_5": round(recall, 3),
+            "code_bits": m * (ksub - 1).bit_length(),
+            "compression_x": round(dim * 64 / (m * (ksub - 1).bit_length()), 1),
+            "train_plus_query_sec": round(time.time() - t0, 3),
+        }
+    emb.unpersist()
+    spark.stop()
+    return out
+
+
 def _suite_throughput(cores: int, clips_path: str, tr_path: str) -> dict:
     """Best-of-REPS full-suite wall time at a given parallelism. The first
     run in a session pays JIT/codegen + python-worker startup; reps measure
@@ -654,7 +710,8 @@ def write_baseline_md(queries: dict, scaling: dict,  # noqa: C901
                       ivf: dict | None = None,
                       ivf_clustered: dict | None = None,
                       audioscale: dict | None = None,
-                      curation: dict | None = None) -> None:
+                      curation: dict | None = None,
+                      pq: dict | None = None) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lines = [
         "# BENCH / BASELINE — measured",
@@ -888,6 +945,26 @@ def write_baseline_md(queries: dict, scaling: dict,  # noqa: C901
             f"{c[f'n_probe_{np}']['scan_fraction']} |"
             for np in (1, 2, 4)
         ]
+    if pq:
+        lines += [
+            "",
+            "## Residual IVF-PQ: recall vs code budget (clustered fixture)",
+            "",
+            f"Same Gaussian-mixture fixture (n={pq['n']}, dim={pq['dim']}), "
+            f"n_probe={pq['n_probe']}, sqrt(N) coarse quantizer. Codes "
+            "quantize the residual x - centroid(x); ADC scores the "
+            "compressed corpus (m lookups/candidate, query-side tables "
+            "built once per query). Compression = raw float64 bits / "
+            "code bits — the scan/shuffle/cache footprint shrink:",
+            "",
+            "| m x ksub | code bits | compression | recall@5 | train+query s |",
+            "|---|---|---|---|---|",
+        ] + [
+            f"| {key.replace('m', '').replace('_k', ' x ')} | "
+            f"{v['code_bits']} | {v['compression_x']}x | "
+            f"{v['recall_at_5']} | {v['train_plus_query_sec']} |"
+            for key, v in pq.items() if key.startswith("m")
+        ]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
 
@@ -943,6 +1020,7 @@ def main():
     audioscale = run_audio_scale_lane()
     ivf = run_ivf_scan_fraction()
     ivf_clustered = run_ivf_recall_clustered()
+    pq = run_pq_lane()
     scaling = run_scaling()
     tag = f"clips_{N_CLIPS}_{SEED}_{CLIP_MIN_MS}ms"
     try:
@@ -951,7 +1029,7 @@ def main():
         ref = None  # reference repo unavailable: skip the comparison
     rowpcm = _rowpcm_throughput(1, f"{CACHE_DIR}/{tag}/clips.parquet")
     write_baseline_md(queries, scaling, ref, rowpcm, hashed, scaleup, ivf,
-                      ivf_clustered, audioscale, curation)
+                      ivf_clustered, audioscale, curation, pq)
     total = sum(queries.values())
     rep = scaling["n1_to_4"]
     print(
@@ -982,6 +1060,7 @@ def main():
                 "audio_scaleup": audioscale,
                 "ivf_probe": ivf,
                 "ivf_recall_clustered": ivf_clustered,
+                "pq_recall": pq,
                 "n_clips": N_CLIPS,
             }
         )
