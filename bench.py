@@ -140,11 +140,30 @@ def run_curation_lane() -> dict:
     detection/redaction (pure regex Column expressions) and
     deterministic split/stratified-sample (hash-threshold, shuffle-free).
     All four ride a single scan — wall here is scan + regex throughput."""
+    from pyspark.sql import functions as F
+
+    from voluptuous_spark.packing import pack_assign
     from voluptuous_spark.pii import pii_counts, redact_pii
-    from voluptuous_spark.sampling import split_assign, stratified_sample
+    from voluptuous_spark.sampling import (
+        rebalance_sources, split_assign, stratified_sample)
+    from voluptuous_spark.textops import remove_boilerplate, token_count
 
     spark = _session(CPUS)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # multi-line view for the boilerplate op: break the (single-line)
+    # fixture text every 6 words and prepend a per-source banner line
+    # that repeats across all of the source's docs — the crawl shape
+    # the operator exists for
+    pages = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("SITE BANNER "), F.col("source"), F.lit("\n"),
+            F.regexp_replace(
+                F.col("text"), r"((?:\S+\s+){5}\S+)\s+", "$1\n"
+            ),
+        ),
+    )
+    toks = token_count(docs)
     jobs = {
         "pii_counts": lambda: pii_counts(docs),
         "pii_redact": lambda: redact_pii(docs),
@@ -154,6 +173,11 @@ def run_curation_lane() -> dict:
         "stratified_sample": lambda: stratified_sample(
             docs, "lang", 0.25
         ),
+        "remove_boilerplate": lambda: remove_boilerplate(
+            pages, min_frac=0.5
+        ),
+        "rebalance_sources": lambda: rebalance_sources(docs),
+        "pack_assign": lambda: pack_assign(toks, budget=2048),
     }
     out = {}
     for name, fn in jobs.items():

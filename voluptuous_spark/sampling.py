@@ -182,3 +182,51 @@ def split_report(df: DataFrame, split_col: str = "split") -> DataFrame:
     return counts.select(
         split_col, "n", (F.col("n") / total).alias("fraction")
     )
+
+
+def rebalance_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    target=None,
+    id_col: str = "doc_id",
+    salt: str = "",
+    basis: str = "hashed",
+    source_counts: dict | None = None,
+) -> DataFrame:
+    """Downsample so the OUTPUT's source distribution matches
+    ``target`` shares ({source: share}, normalized; default uniform
+    over observed sources) while keeping as many rows as possible:
+    the binding source — the one with the smallest count/share ratio —
+    is kept whole and every other source is hash-thresholded down to
+    proportion. Deterministic — the kept set
+    is a fixed function of (id, salt) — and one narrow aggregate (the
+    per-source counts, #sources rows to the driver) plus a
+    shuffle-free filtered scan; pass ``source_counts`` from table
+    stats to skip the count job. Sources absent from a non-None
+    ``target`` are dropped (share 0)."""
+    if source_counts is None:
+        source_counts = {
+            r[source_col]: r["n"]
+            for r in df.groupBy(source_col)
+            .agg(F.count("*").alias("n")).collect()
+        }
+    if not source_counts:
+        return df.where(F.lit(False))
+    if target is None:
+        target = {s: 1.0 for s in source_counts}
+    tot = float(sum(target.values()))
+    if tot <= 0:
+        raise ValueError("target shares must sum to a positive number")
+    shares = {s: w / tot for s, w in target.items() if w > 0}
+    # scale = output size that keeps the binding source whole
+    scale = min(
+        source_counts[s] / share
+        for s, share in shares.items() if s in source_counts
+    )
+    fractions = {
+        s: min(1.0, scale * share / source_counts[s])
+        for s, share in shares.items() if s in source_counts
+    }
+    return stratified_sample(
+        df, source_col, fractions, id_col=id_col, salt=salt, basis=basis
+    )

@@ -614,3 +614,114 @@ def contaminated_docs(
             F.count(F.lit(1)).alias("n_eval_hits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (CCNet / RefinedWeb-style): headers,
+# nav bars, cookie banners repeat VERBATIM across a crawl source's
+# pages; removing lines whose per-source document frequency is high
+# strips them without touching unique content.
+# ---------------------------------------------------------------------------
+
+
+def line_doc_frequency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = "source",
+) -> DataFrame:
+    """(source?, line, df_docs) — how many distinct documents of a
+    source contain each (trimmed) line. One shuffle, map-side partial
+    agg on the (source, line) key; blank lines are ignored. The
+    shuffle key is the line STRING (what a SQL oracle replays) — at
+    crawl scale group on xxhash64(line) and keep one exemplar instead
+    if distinct-line payload dominates."""
+    keys = ([F.col(source_col)] if source_col else []) + [F.col("line")]
+    lines = df.select(
+        F.col(id_col),
+        *([F.col(source_col)] if source_col else []),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).withColumn("line", F.trim(F.col("line"))).where(F.col("line") != "")
+    return (
+        lines.select(id_col, *keys).distinct()
+        .groupBy(*keys)
+        .agg(F.count("*").alias("df_docs"))
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = "source",
+    min_docs: int = 3,
+    min_frac: float | None = None,
+) -> DataFrame:
+    """Strip lines that repeat across >= ``min_docs`` documents (or,
+    if ``min_frac`` is given, >= that fraction of the source's
+    documents) of the same source. Returns the input columns with
+    ``text_col`` rebuilt (original line order, blank lines dropped)
+    plus ``lines_removed``; a document whose every line is boilerplate
+    survives with empty text.
+
+    Shape: line-DF agg (1 shuffle) -> anti-ish join of exploded lines
+    against the flagged set (AQE broadcasts it when small — the
+    flagged set is |boilerplate lines|, tiny vs the corpus) -> per-doc
+    reassembly (1 shuffle on id; the collect_list is bounded by a
+    document's own line count, not corpus size)."""
+    ldf = line_doc_frequency(df, text_col, id_col, source_col)
+    if min_frac is not None:
+        if not source_col:
+            total = df.count()
+            ldf = ldf.where(F.col("df_docs") >= F.lit(total * min_frac))
+        else:
+            per_src = df.groupBy(source_col).agg(
+                F.count("*").alias("__src_docs")
+            )
+            ldf = (
+                ldf.join(per_src, source_col)
+                .where(F.col("df_docs")
+                       >= F.col("__src_docs") * F.lit(min_frac))
+            )
+    else:
+        ldf = ldf.where(F.col("df_docs") >= min_docs)
+    flagged = ldf.select(
+        *([source_col] if source_col else []),
+        F.col("line"), F.lit(True).alias("__bp"),
+    )
+    lines = df.select(
+        F.col(id_col),
+        *([F.col(source_col)] if source_col else []),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line", F.trim(F.col("line"))).where(F.col("line") != "")
+    join_keys = ([source_col] if source_col else []) + ["line"]
+    kept = (
+        lines.join(flagged, join_keys, "left")
+        .withColumn("__bp", F.coalesce(F.col("__bp"), F.lit(False)))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__bp"),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("__clean"),
+        F.sum(F.col("__bp").cast("int")).alias("lines_removed"),
+    )
+    return (
+        df.drop("lines_removed")
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
+        .withColumn(
+            "lines_removed", F.coalesce(F.col("lines_removed"), F.lit(0))
+        )
+        .drop("__clean")
+    )
