@@ -252,3 +252,76 @@ def test_streaming_sketch_sink_incremental(spark):
         got3 = stats_map(merged_stream_stats(spark, stats, quantiles=(0.5,)))
         for c in cols:
             assert got3[c]["n_rows"] == want2[c]["n_rows"]
+
+
+def test_streaming_embedding_psi(spark):
+    """Embedding drift on ingest: a window drawn from the reference
+    distribution scores ~0 on every plane; a rescaled window fires."""
+    import datetime as dt
+    import random
+
+    from voluptuous_spark.checks.embedding_drift import (
+        embedding_projections,
+    )
+    from voluptuous_spark.streaming import (
+        reference_bucket_probs,
+        streaming_embedding_psi,
+    )
+
+    dim, n_planes = 8, 3
+    bound = float(dim) ** 0.5 / 2.0
+    rng = random.Random(5)
+
+    def vecs(n, scale):
+        return [[rng.gauss(0, 1) * scale for _ in range(dim)]
+                for _ in range(n)]
+
+    ref = spark.createDataFrame(
+        [(v,) for v in vecs(800, 1.0)], "embedding array<double>"
+    )
+    proj = embedding_projections(ref, dim, n_planes)
+    probs = [
+        reference_bucket_probs(proj, f"proj_{p}", -bound, bound,
+                               n_buckets=8)
+        for p in range(n_planes)
+    ]
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        *[(v, t0 + dt.timedelta(seconds=i % 50))
+          for i, v in enumerate(vecs(400, 1.0))],
+        *[(v, t0 + dt.timedelta(minutes=5, seconds=i % 50))
+          for i, v in enumerate(vecs(400, 2.5))],
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        spark.createDataFrame(
+            rows, "embedding array<double>, ts timestamp"
+        ).write.parquet(in_dir)
+        stream = spark.readStream.schema(
+            "embedding array<double>, ts timestamp"
+        ).parquet(in_dir)
+        psi = streaming_embedding_psi(
+            stream, dim, "ts", probs, n_planes=n_planes,
+            window_duration="1 minute", watermark="1 minute",
+        )
+        q = (
+            psi.writeStream.foreachBatch(
+                lambda bdf, _id: bdf.write.mode("overwrite").parquet(out_dir)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = sorted(
+            (r["window"]["start"], r["rows"],
+             [r[f"psi_{p}"] for p in range(n_planes)])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+        assert len(out) == 2
+        (_, r1, psis1), (_, r2, psis2) = out
+        assert (r1, r2) == (400, 400)
+        assert all(p < 0.1 for p in psis1)   # same distribution
+        assert max(psis2) > 0.5              # rescaled -> drift on ingest

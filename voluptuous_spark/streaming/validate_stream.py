@@ -246,3 +246,60 @@ def merged_stream_stats(
         .drop("__rn", "batch_id")
     )
     return merge_sketches(latest, quantiles=quantiles)
+
+
+def streaming_embedding_psi(
+    stream_df: DataFrame,
+    dim: int,
+    ts_col: str,
+    ref_probs_per_plane: list,
+    n_planes: int = 4,
+    bound: float | None = None,
+    vec_col: str = "embedding",
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Embedding drift ON INGEST: project each arriving vector onto the
+    deterministic SRP directions (``checks.embedding_drift`` — pure
+    Column folds riding the stream's projection, no extra state) and
+    score every event-time window's per-plane histogram against fixed
+    reference bucket probabilities (from
+    ``checks.embedding_drift.embedding_psi``'s batch bucketing of the
+    reference corpus, or ``reference_bucket_probs`` on a projected
+    frame). One windowed aggregation total: all planes' conditional
+    bucket counts live in the SAME agg, so plane count widens the
+    aggregate row, not the plan. Returns (window, rows, psi_0..psi_{n-1})
+    per window."""
+    from ..checks.drift import EPS
+    from ..checks.embedding_drift import projection_expr
+
+    if bound is None:
+        bound = float(dim) ** 0.5 / 2.0
+    s = stream_df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for p in range(n_planes):
+        n_buckets = len(ref_probs_per_plane[p]) - 2
+        b = F.width_bucket(
+            projection_expr(F.col(vec_col), p, dim),
+            F.lit(-bound), F.lit(bound), F.lit(n_buckets),
+        )
+        aggs += [
+            F.sum((b == i).cast("long")).alias(f"__p{p}c{i}")
+            for i in range(n_buckets + 2)
+        ]
+    agg = (
+        s.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration))
+        .agg(*aggs)
+    )
+    rows = F.col("rows")
+    out = [F.col("window"), rows]
+    for p in range(n_planes):
+        psi = None
+        for i, q in enumerate(ref_probs_per_plane[p]):
+            pr = F.greatest(F.col(f"__p{p}c{i}") / rows, F.lit(EPS))
+            ql = F.lit(max(float(q), EPS))
+            term = (pr - ql) * F.log(pr / ql)
+            psi = term if psi is None else psi + term
+        out.append(F.round(psi, 6).alias(f"psi_{p}"))
+    return agg.select(*out)
