@@ -125,3 +125,37 @@ def test_no_shuffle_in_detection_plan(docs):
     """Detection rides the scan: no Exchange in the counts plan."""
     plan = pii_counts(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_piifree_schema_validator(spark, docs):
+    """PiiFree composes with the Schema DSL: standard violation rows,
+    standard messages, PiiInvalid error_type."""
+    from voluptuous_spark import ALLOW_EXTRA, Schema
+    from voluptuous_spark.pii import PiiFree
+
+    res = Schema(
+        {"text": PiiFree()}, extra=ALLOW_EXTRA
+    ).validate(docs, id_cols=["doc_id"])
+    rows = {r["doc_id"]: r for r in res.violations.collect()}
+    assert set(rows) == {0, 1, 2, 3, 5}  # doc 4 is clean
+    assert rows[0]["message"] == "contains PII (email)"
+    assert rows[3]["message"] == "contains PII (card)"
+    assert rows[0]["error_type"] == "PiiInvalid"
+    assert rows[0]["path"] == ["text"]
+    assert res.valid.count() == 1
+
+    # restricted kinds: only ssn checked -> only doc 2 fails
+    res2 = Schema(
+        {"text": PiiFree(kinds=["ssn"])}, extra=ALLOW_EXTRA
+    ).validate(docs, id_cols=["doc_id"])
+    assert [r["doc_id"] for r in res2.violations.collect()] == [2]
+
+    # custom message + unknown kind rejected
+    res3 = Schema(
+        {"text": PiiFree(kinds=["email"], msg="no emails please")},
+        extra=ALLOW_EXTRA,
+    ).validate(docs, id_cols=["doc_id"])
+    assert res3.violations.collect()[0]["message"] == "no emails please"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        PiiFree(kinds=["dna"])

@@ -209,3 +209,58 @@ def pii_report(
         ),
         *aggs,
     )
+
+
+# ---------------------------------------------------------------------------
+# DSL integration: a first-class validator so PII gating composes with
+# every other rule — Schema({"text": PiiFree()}) emits violation rows
+# with the engine's standard message/error_type surface.
+# ---------------------------------------------------------------------------
+
+from .dsl import Validator, _pred_check  # noqa: E402
+
+
+class PiiFree(Validator):
+    """Passes iff the string contains no PII of the given ``kinds``
+    (default: all detectors; card candidates Luhn-verified). Message
+    names the first kind found: 'contains PII (email)'. Pure predicate
+    over the same zero-shuffle detector expressions as ``pii_counts``,
+    so it rides the row's single validation select."""
+
+    def __init__(self, kinds=None, msg=None):
+        self.kinds = list(kinds or PII_PATTERNS)
+        unknown = set(self.kinds) - set(PII_PATTERNS)
+        if unknown:
+            raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+        self.msg = msg
+
+    def __repr__(self):
+        return "PiiFree(%r, msg=%r)" % (self.kinds, self.msg)
+
+    def bind(self, dtype):
+        from pyspark.sql import types as T
+
+        if not isinstance(dtype, T.StringType):
+            return _pred_check(
+                lambda c: F.lit(False), self._m("expected string or buffer"),
+                "PiiInvalid",
+            )
+
+        def pred(c):
+            total = None
+            for k in self.kinds:
+                n = F.size(_kind_hits(c, k))
+                total = n if total is None else total + n
+            return total == 0
+
+        def message(c):
+            first = F.coalesce(*[
+                F.when(F.size(_kind_hits(c, k)) > 0, F.lit(k))
+                for k in self.kinds
+            ])
+            return F.concat(F.lit("contains PII ("), first, F.lit(")"))
+
+        return _pred_check(
+            pred, (lambda c: F.lit(self.msg)) if self.msg else message,
+            "PiiInvalid",
+        )
