@@ -958,3 +958,34 @@ def test_transcript_label_conflicts(spark):
     assert rr["c4"]["n_clips"] == 3
     assert rr["c4"]["n_audio_versions"] == 2
     assert rr["c4"]["sample_ids"] == ["c4", "c5", "c6"]
+
+
+def test_transcript_pii_in_suite(spark):
+    """The opt-in transcript PII gate rides the suite's single-scan
+    select; PiiInvalid at path ['transcript'], off by default."""
+    from voluptuous_spark.suite import run_suite
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    sine = 16384 * np.sin(2 * np.pi * 440 * t)
+    df = _clips_with_transcripts(spark, [
+        ("clip_a", sine, "a clean transcript line"),
+        ("clip_b", sine, "reach me at leak@example.com today"),
+        ("clip_c", sine, "my ssn is 123-45-6789"),
+    ])
+    res = run_suite(df, with_pcm=False, persist=False, transcript_pii=True)
+    pii_rows = {r["clip_id"]: r for r in res.violations.collect()
+                if r["error_type"] == "PiiInvalid"}
+    assert set(pii_rows) == {"clip_b", "clip_c"}
+    assert pii_rows["clip_b"]["message"] == "transcript contains PII (email)"
+    assert pii_rows["clip_c"]["message"] == "transcript contains PII (ssn)"
+    assert pii_rows["clip_b"]["path"] == ["transcript"]
+    # kind-restricted: only email checked
+    res2 = run_suite(df, with_pcm=False, persist=False,
+                     transcript_pii=["email"])
+    assert [r["clip_id"] for r in res2.violations.collect()
+            if r["error_type"] == "PiiInvalid"] == ["clip_b"]
+    # default stays off
+    res3 = run_suite(df, with_pcm=False, persist=False)
+    assert not [r for r in res3.violations.collect()
+                if r["error_type"] == "PiiInvalid"]

@@ -264,3 +264,19 @@ class PiiFree(Validator):
             pred, (lambda c: F.lit(self.msg)) if self.msg else message,
             "PiiInvalid",
         )
+
+
+def pii_check_expr(text_col: str = "transcript", kinds=None):
+    """PII gate as a message Column (NULL = clean) in the
+    ``Schema.validate(extra_checks=...)`` contract — lets the flagship
+    suite stamp transcript-PII violations inside the same single-scan
+    select as the row schema and the PCM check."""
+    kinds = list(kinds or PII_PATTERNS)
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    first = F.coalesce(*[
+        F.when(F.size(_kind_hits(c, k)) > 0, F.lit(k)) for k in kinds
+    ])
+    return F.when(
+        first.isNotNull(),
+        F.concat(F.lit("transcript contains PII ("), first, F.lit(")")),
+    )

@@ -120,6 +120,7 @@ def run_suite(
     broadcast_transcripts: bool = False,
     content_mode: str = "jvm",
     transcript_rate: tuple[float, float] | None = None,
+    transcript_pii: bool | list = False,
 ) -> SuiteResult:
     """Run the full constraint suite with a single scan of the source.
 
@@ -145,6 +146,16 @@ def run_suite(
         lo, hi = transcript_rate
         extra.append(
             ("transcript", transcript_rate_check_expr(max_cps=hi, min_cps=lo))
+        )
+    if transcript_pii:
+        # transcript PII gate: same zero-shuffle detector expressions as
+        # pii.pii_counts, riding the single-scan select. Opt-in (True =
+        # all kinds, or a kind list) because PII policy is corpus-specific
+        from .pii import pii_check_expr
+
+        kinds = None if transcript_pii is True else list(transcript_pii)
+        extra.append(
+            ("transcript", pii_check_expr("transcript", kinds), "PiiInvalid")
         )
     if with_pcm and content_mode == "jvm":
         from .audio import pcm_check_expr
