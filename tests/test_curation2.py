@@ -196,3 +196,60 @@ def test_pack_md5_matches_duckdb(spark):
         select doc_id, b, cast(floor(prev / 256) as int), pos from w
     """).fetchall()
     assert {i: (b, p, pos) for i, b, p, pos in oracle} == got
+
+
+def test_doc_domains_and_blocklist(spark):
+    from voluptuous_spark.textops import (
+        doc_domains,
+        drop_blocklisted,
+        flag_blocklisted,
+    )
+
+    rows = [
+        (0, "see https://Example.com/page and http://sub.example.com/x"),
+        (1, "links to https://ads.evil.com/track?id=1 here"),
+        (2, "mentions https://evil.com twice https://evil.com/a"),
+        (3, "no urls at all"),
+        (4, "https://good.org/path plus http://evil.company.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    doms = {(r["doc_id"], r["domain"]) for r in doc_domains(df).collect()}
+    assert (0, "example.com") in doms and (0, "sub.example.com") in doms
+    assert (2, "evil.com") in doms
+    # distinct per doc: evil.com appears once for doc 2
+    assert sum(1 for d in doms if d[0] == 2) == 1
+    assert not any(d[0] == 3 for d in doms)
+
+    flagged = {r["doc_id"]: r["blocked_domain"] for r in
+               flag_blocklisted(df, ["evil.com"]).collect()}
+    assert flagged[1] == "ads.evil.com"  # subdomain blocked
+    assert flagged[2] == "evil.com"
+    assert flagged[0] is None and flagged[3] is None
+    # evil.company.org is NOT a subdomain of evil.com
+    assert flagged[4] is None
+
+    kept = sorted(r["doc_id"] for r in
+                  drop_blocklisted(df, ["evil.com"]).collect())
+    assert kept == [0, 3, 4]
+    # plan: pure projection/filter, no Exchange
+    plan = (flag_blocklisted(df, ["evil.com"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_cap_per_domain(spark):
+    from voluptuous_spark.textops import cap_per_domain
+
+    df = spark.range(1_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "megasite.com")
+        .otherwise("small.org").alias("source"),
+    )
+    capped = cap_per_domain(df, 50, salt="c")
+    counts = {r["source"]: r["n"] for r in
+              capped.groupBy("source").agg(F.count("*").alias("n"))
+              .collect()}
+    assert counts["megasite.com"] == 50  # mega-site capped
+    assert counts["small.org"] == 50
+    # deterministic
+    assert capped.exceptAll(cap_per_domain(df, 50, salt="c")).count() == 0

@@ -159,3 +159,15 @@ def test_piifree_schema_validator(spark, docs):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         PiiFree(kinds=["dna"])
+
+
+def test_null_text_is_clean(spark):
+    """NULL text counts as zero hits everywhere (size(NULL) must not
+    poison pii_total or the violation filters)."""
+    df = spark.createDataFrame(
+        [(0, None), (1, "a@b.io")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in pii_counts(df).collect()}
+    assert rows[0]["pii_total"] == 0
+    assert rows[1]["email_count"] == 1
+    assert [r["doc_id"] for r in pii_violations(df).collect()] == [1]

@@ -91,6 +91,9 @@ def _card_hits(text_col):
 
 
 def _kind_hits(text_col, k):
+    # NULL text -> no hits (not NULL counts: size(NULL) would poison
+    # pii_total and the violation filters)
+    text_col = F.coalesce(text_col, F.lit(""))
     if k == "card":
         return _card_hits(text_col)
     if k == "phone":

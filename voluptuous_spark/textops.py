@@ -725,3 +725,97 @@ def remove_boilerplate(
         )
         .drop("__clean")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain curation: crawl corpora are filtered by where text came
+# from or what it links to — blocklisted domains, per-domain volume
+# caps (one mega-site must not dominate a training mix).
+# ---------------------------------------------------------------------------
+
+_URL_RE = r"https?://[A-Za-z0-9._~:/?#\[\]@!$&'()*+,;=%-]+"
+_HOST_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(text_col):
+    """array<string> of http(s) URLs — RE2-class pattern, identical in
+    DuckDB."""
+    return F.regexp_extract_all(
+        F.coalesce(text_col, F.lit("")), F.lit(_URL_RE), 0
+    )
+
+
+def doc_domains(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, domain) — one row per DISTINCT lowercased host mentioned in
+    the document. Zero joins; explode fan-out bounded by URL count."""
+    hosts = F.transform(
+        extract_urls(F.col(text_col)),
+        lambda u: F.lower(F.regexp_extract(u, _HOST_RE, 1)),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(hosts))
+                  .alias("domain"))
+        .where(F.col("domain") != "")
+    )
+
+
+def _domain_matches(domain_col, blocked):
+    """Exact or subdomain match against a literal blocklist (the list
+    is policy-sized — hundreds to low thousands — so it compiles to a
+    broadcast-literal expression, no join)."""
+    cond = None
+    for b in blocked:
+        b = b.lower()
+        m = (domain_col == b) | domain_col.endswith("." + b)
+        cond = m if cond is None else cond | m
+    return cond if cond is not None else F.lit(False)
+
+
+def flag_blocklisted(
+    df: DataFrame,
+    blocklist,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Input plus ``blocked_domain`` (first blocklisted host mentioned,
+    NULL = clean). Subdomains of a blocked domain are blocked
+    (ads.evil.com under evil.com). Pure projection — rides the scan."""
+    blocked = [b.lower() for b in blocklist]
+    hosts = F.transform(
+        extract_urls(F.col(text_col)),
+        lambda u: F.lower(F.regexp_extract(u, _HOST_RE, 1)),
+    )
+    # F.get is the ANSI-safe index: empty array -> NULL, not an error
+    first = F.get(F.filter(hosts, lambda d: _domain_matches(d, blocked)), 0)
+    return df.withColumn("blocked_domain", first)
+
+
+def drop_blocklisted(
+    df: DataFrame,
+    blocklist,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents mentioning no blocklisted domain — shuffle-free filter."""
+    return (
+        flag_blocklisted(df, blocklist, text_col, id_col)
+        .where(F.col("blocked_domain").isNull())
+        .drop("blocked_domain")
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    n: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """At most ``n`` documents per domain/source — the anti-dominance
+    cap a training mix applies to mega-sites. Deterministic and nested
+    (same guarantees as ``sampling.stratified_take``, which this is)."""
+    from .sampling import stratified_take
+
+    return stratified_take(df, domain_col, n, id_col=id_col, salt=salt)
